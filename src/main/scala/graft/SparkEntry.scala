@@ -1,13 +1,376 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` demonstrates one operator family from SURVEY.md §2
+  * (key prefix = §2 id) over the TESTDATA.md corpus; `oracleSql` carries the
+  * DuckDB-equivalent SQL for the hash-match correctness gate.
+  *
+  * Determinism rules applied throughout:
+  *   - every floating-point AGGREGATE is `round(x, 4)` on both sides (sum order
+  *     differs between engines; raw column values are passed through exact);
+  *   - integer sums are `count`-style or cast to BIGINT in the oracle (DuckDB
+  *     sums integers into HUGEINT);
+  *   - `events.ts` is never output raw (parquet ns vs Spark µs truncation) —
+  *     windows order by `event_id` which is equivalent and exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Financial-mart shape: multiway dim join → lead-window pairing → measure
+    * unpivot (the all_financials.sql:124-143,419-424 pattern on TPC-H data).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val orders   = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation   = t(spark, dir, "nation")
+
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val paired = orders
+      .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .withColumn("next_totalprice", lead($"o_totalprice", 1).over(w))
+      .withColumn("price_delta", $"next_totalprice" - $"o_totalprice")
+      .filter($"next_totalprice".isNotNull)
+    Relational.melt(
+      paired.select("n_name", "o_orderkey", "o_totalprice", "next_totalprice", "price_delta"),
+      idCols = Seq("n_name", "o_orderkey"),
+      measureCols = Seq("o_totalprice", "next_totalprice", "price_delta"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.5 aggregations -------------------------------------------------
+
+    // A1: multi-key group-by sums (helpers.py:239-248; data_warehouse.py:179)
+    "a1_group_sum" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 4).as("sum_qty"),
+          round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A2: named agg mixtures sum/avg/min/max/count (protocol_data_warehouse.py:296-318)
+    "a2_named_aggs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(sum($"o_totalprice"), 4).as("sum_price"),
+          round(avg($"o_totalprice"), 4).as("avg_price"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // A3: count / count distinct (sm_token_holders_by_day.sql:6)
+    "a3_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // A7: ratio-of-sums (sm_cost_of_cover_by_day.sql:5-6)
+    "a7_ratio_of_sums" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_linestatus")
+        .agg(round(sum($"l_extendedprice" * $"l_discount") / sum($"l_extendedprice"), 6)
+          .as("effective_discount"))
+    }),
+
+    // A8: conditional (pivoted-by-CASE) aggregation (data_lake.py:1308-1361)
+    "a8_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 4)
+            .as("purchase_value"),
+          count(when($"event_type" === "error", lit(1))).as("n_errors"),
+          count(when($"event_type" === "click", lit(1))).as("n_clicks"))
+    }),
+
+    // A10: bucketed histogram agg (sm_token_holder_distro.sql:8-19,31-44)
+    "a10_bucket_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = when($"c_acctbal" < 0, "negative")
+        .when($"c_acctbal" < 2500, "small")
+        .when($"c_acctbal" < 7500, "medium")
+        .otherwise("large")
+      t(s, dir, "customer")
+        .withColumn("balance_bucket", bucket)
+        .groupBy($"balance_bucket")
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum($"c_acctbal"), 4).as("total_balance"))
+    }),
+
+    // ---- §2.4 joins --------------------------------------------------------
+
+    // J1: left equi-join on natural keys (data_warehouse.py:119,182)
+    "j1_left_join" -> ((s, dir) => {
+      import s.implicits._
+      val orderAgg = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("spend"))
+      t(s, dir, "customer")
+        .join(orderAgg, $"c_custkey" === $"o_custkey", "left")
+        .select(
+          $"c_custkey", $"c_name",
+          coalesce($"cnt", lit(0L)).as("n_orders"),
+          round(coalesce($"spend", lit(0.0)), 4).as("total_spend"))
+    }),
+
+    // J5: multi-way join with small-dim broadcast (all_financials.sql:437-445)
+    "j5_multiway_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+             count(lit(1)).as("n_lines"))
+    }),
+
+    // J8: greatest-1-per-group (price-rank dedup, data_warehouse.py:509-518)
+    "j8_top_per_group" -> ((s, dir) => {
+      import s.implicits._
+      Relational.topPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"),
+        Seq($"o_totalprice".desc, $"o_orderkey".asc))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    }),
+
+    // J9a: left-semi join (data_lake.py:1029 isin form)
+    "j9_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    }),
+
+    // J9b: left-anti join (data_lake.py:1030 isna-after-merge form)
+    "j9_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    }),
+
+    // ---- §2.6 windows ------------------------------------------------------
+
+    // W1: lead() start/end pairing (all_financials.sql:124-143)
+    "w1_lead_pairing" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("next_totalprice", lead($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"next_totalprice")
+    }),
+
+    // W2: lag() daily delta (balancer_bpt_by_day.sql:15)
+    "w2_lag_delta" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_totalprice", lag($"o_totalprice", 1).over(w))
+        .withColumn("price_change", round($"o_totalprice" - $"prev_totalprice", 4))
+        .select($"o_custkey", $"o_orderkey", $"prev_totalprice", $"price_change")
+    }),
+
+    // W3: last_value ignore-nulls forward-fill, ROWS frame
+    // (market_config_by_hour.sql:27-30; SURVEY §7.4(5))
+    "w3_ffill_last_ignore_nulls" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("last_purchase_value",
+          last(when($"event_type" === "purchase", $"value"), ignoreNulls = true).over(w))
+        .select($"event_id", $"user_id", $"event_type", $"last_purchase_value")
+    }),
+
+    // ---- §2.7 sort / dedup / set ops ---------------------------------------
+
+    // O2: dedup keep-last after sort (data_warehouse.py:706,751)
+    "o2_dedup_keep_last" -> ((s, dir) => {
+      import s.implicits._
+      Relational.dedupKeepLast(
+        t(s, dir, "events").select($"user_id", $"event_type", $"event_id", $"value"),
+        keyCols = Seq("user_id", "event_type"),
+        orderCols = Seq("event_id"))
+    }),
+
+    // O3: distinct projection (aave_atokens.sql:4-7)
+    "o3_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select($"o_orderstatus", $"o_orderpriority").distinct()
+    }),
+
+    // O4: latest-only snapshot (treasury_totals_latest.sql:10; P10 scalar subquery)
+    "o4_latest_only" -> ((s, dir) => {
+      import s.implicits._
+      Relational.latestOnly(t(s, dir, "events"), "event_id")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+    }),
+
+    // O5: schema-aligned union-all with padded literals (all_financials.sql:17-82)
+    "o5_union_all_padded" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select($"c_custkey".as("entity_id"), lit("customer").as("kind"),
+                $"c_acctbal".as("balance"), $"c_nationkey".cast("long").as("nationkey"))
+      val sup = t(s, dir, "supplier")
+        .select($"s_suppkey".as("entity_id"), lit("supplier").as("kind"),
+                $"s_acctbal".as("balance"), $"s_nationkey".cast("long").as("nationkey"))
+      c.unionByName(sup)
+    }),
+
+    // O6: union then distinct (market_state_by_time.sql:58-60)
+    "o6_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .union(t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+        .distinct()
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "a1_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),4) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "a2_named_aggs" ->
+      """SELECT o_orderpriority,
+         round(sum(o_totalprice),4) AS sum_price,
+         round(avg(o_totalprice),4) AS avg_price,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+    "a3_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "a7_ratio_of_sums" ->
+      """SELECT l_linestatus,
+         round(sum(l_extendedprice*l_discount)/sum(l_extendedprice),6) AS effective_discount
+         FROM lineitem GROUP BY l_linestatus""",
+    "a8_conditional_agg" ->
+      """SELECT user_id,
+         round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),4) AS purchase_value,
+         count(CASE WHEN event_type='error' THEN 1 END) AS n_errors,
+         count(CASE WHEN event_type='click' THEN 1 END) AS n_clicks
+         FROM events GROUP BY user_id""",
+    "a10_bucket_histogram" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                     WHEN c_acctbal < 2500 THEN 'small'
+                     WHEN c_acctbal < 7500 THEN 'medium'
+                     ELSE 'large' END AS balance_bucket,
+         count(*) AS n_customers,
+         round(sum(c_acctbal),4) AS total_balance
+         FROM customer GROUP BY 1""",
+    "j1_left_join" ->
+      """SELECT c_custkey, c_name,
+         coalesce(o.cnt, 0) AS n_orders,
+         round(coalesce(o.spend, 0),4) AS total_spend
+         FROM customer
+         LEFT JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS spend
+                    FROM orders GROUP BY o_custkey) o
+         ON c_custkey = o.o_custkey""",
+    "j5_multiway_join" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "j8_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "j9_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j9_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "w1_lead_pairing" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_totalprice
+         FROM orders""",
+    "w2_lag_delta" ->
+      """SELECT o_custkey, o_orderkey, prev_totalprice,
+         round(o_totalprice - prev_totalprice, 4) AS price_change FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_totalprice
+           FROM orders)""",
+    "w3_ffill_last_ignore_nulls" ->
+      """SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+         FROM events""",
+    "o2_dedup_keep_last" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "o3_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "o4_latest_only" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id = (SELECT max(event_id) FROM events)""",
+    "o5_union_all_padded" ->
+      """SELECT c_custkey AS entity_id, 'customer' AS kind, c_acctbal AS balance,
+                CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         UNION ALL
+         SELECT s_suppkey, 'supplier', s_acctbal, CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "o6_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+           UNION ALL
+           SELECT CAST(s_nationkey AS BIGINT) FROM supplier)"""
+  )
 }

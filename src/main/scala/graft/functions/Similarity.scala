@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with codegen'd
+  * `zip_with`/`aggregate` dot products (no UDF), fine up to ~10⁷ vectors
+  * per query batch.
+  *
+  * Scale path: LSH bucketing via random-hyperplane signatures — candidates
+  * share a signature bucket, so a 100 TB corpus is probed by touching only
+  * matching buckets (partition pruning on the signature column when the
+  * corpus is written bucketed/partitioned by it).
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k neighbours for ONE query vector.
+    * Deterministic tie-break on id ascending. */
+  def topKBrute(corpus: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    corpus
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), qLit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Brute-force top-k for EVERY row of `queries` against `corpus` —
+    * broadcast the (small) query set, score in one pass over the corpus,
+    * rank per query with a window. The corpus side never shuffles its
+    * vectors: only (query_id, id, score) triples move.
+    */
+  def topKBatch(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, queryIdCol: String,
+                k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        round(cosine(asDouble(col(vecCol)), asDouble(col(s"q_$vecCol"))), 6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
+    * deterministic pseudo-random hyperplanes (seeded per bit+dim via
+    * xxhash64 — reproducible across runs, no RNG state to ship). */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val v = asDouble(vec)
+    val bitCols = (0 until bits).map { b =>
+      // hyperplane component h(b,i) in [-1,1): derived from xxhash64(b,i)
+      val proj = (0 until dim).map { i =>
+        val h = (xxhash64(lit(b * 131071 + i)).cast("double") / lit(Long.MaxValue.toDouble))
+        element_at(v, i + 1) * h
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), b).cast("long")).otherwise(lit(0L))
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** IVF-style bucketed ANN: assign every corpus row a signature bucket;
+    * probe = score only rows whose signature is within `hammingRadius` of
+    * the query signature. Returns the top-k of the probed subset.
+    */
+  def topKLsh(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, dim: Int, bits: Int = 16,
+              hammingRadius: Int = 4): DataFrame = {
+    val qDf = corpus.sparkSession.range(1)
+      .select(array(query.map(lit): _*).as("qv"))
+      .select(hyperplaneSignature(col("qv"), dim, bits).as("qsig"))
+    val qLit = array(query.map(lit): _*)
+    corpus
+      .withColumn("sig", hyperplaneSignature(col(vecCol), dim, bits))
+      .crossJoin(broadcast(qDf))
+      .filter(Dedup.hamming64(col("sig"), col("qsig")) <= hammingRadius)
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), qLit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

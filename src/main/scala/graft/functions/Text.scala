@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs on the hot path, so these run at
+  * 100 TB document scale without serialization overhead.
+  */
+object Text {
+
+  /** Canonical text form used by fingerprint/dedup: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + digits + punctuation marks counted
+    * separately (a cheap proxy for subword tokenizers — the regex splits the
+    * way GPT-style pre-tokenizers do at word/number/punct boundaries). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word list of the normalized text (the 1-gram shingle set). */
+  def wordSet(text: Column): Column =
+    array_distinct(split(normalize(text), " "))
+
+  /** Sliding word n-grams of the normalized text, as an array of strings.
+    * Built with sequence+transform (pure Catalyst, no UDF). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val words = split(normalize(text), " ")
+    val k = size(words) - (n - 1)
+    when(k <= 0, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), k - 1),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Punctuation ratio: chars outside [A-Za-z0-9 whitespace] / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Ratio of tokens that are common-English stopwords — a standard quality
+    * signal (natural prose ≈ 0.3–0.5; keyword spam ≈ 0). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val words = split(normalize(text), " ")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.isin(stopwords: _*))).cast("double") /
+        size(words).cast("double"))
+  }
+
+  /** Mean word length of normalized words. */
+  def meanWordLen(text: Column): Column = {
+    val words = split(normalize(text), " ")
+    when(size(words) === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(words).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: logistic mix of length, stopword
+    * ratio and punctuation ratio. Deterministic; weights documented here are
+    * the contract. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) / lit(0.4), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    round(lenScore * 0.4 + stopScore * 0.4 + punctPen * 0.2, 6)
+  }
+
+  /** Language ID by marker-stopword voting over a handful of languages.
+    * N-gram/stopword heuristic (fastText-style signal, pure SQL functions);
+    * returns the language code with the most marker hits, 'und' if none.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "como", "por", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这"))
+
+  def langId(text: Column): Column = {
+    val words = split(normalize(text), " ")
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(words, w => w.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the canonical text form — stable across
+    * engines (DuckDB md5 matches), used for exact dedup at scale. */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit polynomial rolling-hash fingerprint over normalized words
+    * (Rabin–Karp style; base 1000003). Pure Catalyst `aggregate` — no UDF. */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(split(normalize(text), " "), lit(0L),
+      (acc, w) => acc * lit(1000003L) + crc32(w).cast("long"))
+}

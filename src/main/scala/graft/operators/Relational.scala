@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators covering SURVEY.md §2.3–§2.8 patterns.
+  *
+  * Every operator is a declarative DataFrame transform — Catalyst handles
+  * pushdown/pruning/join-strategy; nothing here collects to the driver.
+  */
+object Relational {
+
+  /** Unpivot wide measure columns into long `(nameCol, valueCol)` rows.
+    * Reference: 37-column SQL UNPIVOT in the financials mart
+    * (aave_dbt/models/datamart/all_financials.sql:419-424).
+    * Uses the built-in `unpivot` (codegen'd Expand) — one pass, no shuffle.
+    */
+  def melt(df: DataFrame, idCols: Seq[String], measureCols: Seq[String],
+           nameCol: String = "measure", valueCol: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, measureCols.map(col).toArray, nameCol, valueCol)
+
+  /** Pivot with deterministic output column naming `<value>_<agg>` — the
+    * reference relies on BigQuery's `<agg>_<value>` names
+    * (streaming_payments_summary.sql:60-68); we normalize to snake_case.
+    * `values` must be supplied: a known pivot domain skips the extra
+    * distinct-collection job AND keeps the output schema stable at any scale.
+    */
+  def pivotAgg(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+               values: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {
+    val pivoted = df.groupBy(groupCols.map(col): _*)
+      .pivot(pivotCol, values)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    // Spark names multi-agg pivot columns `<value>_<aggAlias>` already; for a
+    // single agg it emits just `<value>` — normalize to `<value>_<aggAlias>`.
+    if (aggs.size == 1) {
+      values.foldLeft(pivoted) { (d, v) =>
+        d.withColumnRenamed(v, s"${v}_${aggs.head._1}")
+      }
+    } else pivoted
+  }
+
+  /** Forward-fill: last non-null value per partition, ordered.
+    * Reference: `last_value(x ignore nulls) over (... rows between unbounded
+    * preceding and current row)` (market_config_by_hour.sql:27-30,
+    * inv_defi_ref_rates_by_day.sql:27) and pandas ffill
+    * (protocol_data_warehouse.py:406-407). ROWS frame (not RANGE) is load-
+    * bearing when order keys tie — SURVEY §7.4(5).
+    */
+  def ffill(df: DataFrame, partitionCols: Seq[String], orderCols: Seq[String],
+            fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Dedup keep-last: one row per key, "last" by `orderCols` ascending —
+    * the pandas `sort_values(...).drop_duplicates(subset, keep='last')` idiom
+    * (aave_data/assets/financials/data_warehouse.py:706,751).
+    * Window row_number desc + filter — a single shuffle on the key, no self-join.
+    */
+  def dedupKeepLast(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Greatest-1-per-group: the reference's min-rank self-join
+    * (data_warehouse.py:509-518) re-expressed as a window — one shuffle
+    * instead of aggregate+join (wins at 100 TB: no second scan, no join).
+    */
+  def topPerGroup(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Union-by-name with missing columns padded by literals (default 0) —
+    * the datamart's schema-aligned UNION ALL idiom where absent measures are
+    * zero-filled (all_financials.sql:17-82; market_state_by_time.sql:4-56).
+    */
+  def unionPadded(dfs: Seq[DataFrame], pad: Column = lit(0.0)): DataFrame = {
+    val allCols: Seq[String] = dfs.flatMap(_.columns).distinct
+    dfs.map { d =>
+      val have = d.columns.toSet
+      d.select(allCols.map(c => if (have(c)) col(c) else pad.as(c)): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Guarded division — `safe_div` (protocol_data_warehouse.py:196-198). */
+  def safeDiv(x: Column, y: Column, default: Column = lit(0.0)): Column =
+    when(y =!= 0, x / y).otherwise(default)
+
+  /** Latest-snapshot filter: keep rows where `tsCol` equals the global max —
+    * the `where block_day = (select max(block_day) ...)` idiom
+    * (treasury_totals_latest.sql:10). Expressed as an empty-frame window max
+    * so it stays one pass (Spark plans a scalar subquery equivalently).
+    */
+  def latestOnly(df: DataFrame, tsCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.withColumn("__mx", max(col(tsCol)).over(w))
+      .filter(col(tsCol) === col("__mx"))
+      .drop("__mx")
+  }
+}

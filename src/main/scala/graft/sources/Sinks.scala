@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY.md §2.2 K1–K4).
+  *
+  * The reference's writer is delete-partition-then-append into BigQuery
+  * (bigquery_io_manager.py:115-167). The Spark-native equivalent is dynamic
+  * partition overwrite on partitioned Parquet: only partitions present in
+  * the incoming frame are replaced — idempotent re-materialization of any
+  * (date, market) slice without touching the rest of a 100 TB table.
+  */
+object Sinks {
+
+  /** K1 — idempotent partition overwrite. Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by GraftSession).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** K2 — append-only sink for non-idempotent snapshot feeds
+    * (append_only: True — __init__.py:103-112; liquidity-depth snapshots).
+    * Downstream dedups by min(fetch_time) per key, ported as
+    * Relational.dedupKeepLast / topPerGroup. */
+  def appendOnly(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** K3 — full-table overwrite (every dbt datamart model is
+    * materialized='table'). */
+  def replaceTable(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K4 — metadata emission: row count + head preview, the reference logs
+    * these per write (data_lake.py:134-139). Returns (count, previewLines).
+    */
+  def describe(df: DataFrame, previewRows: Int = 5): (Long, Array[String]) = {
+    val n = df.count()
+    val head = df.take(previewRows).map(_.toString)
+    (n, head)
+  }
+}

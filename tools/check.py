@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Reads <out>/oracle_sql.json + <out>/<name>/ parquet dirs (written by
+graft.Verify), runs each oracle SQL in DuckDB over the same sf tables,
+sorts columns by name and rows by all columns, and diffs.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        exp = con.execute(sql).df()
+        g_cols, e_cols = sorted(got.columns), sorted(exp.columns)
+        if g_cols != e_cols:
+            print(f"FAIL {name}: columns differ spark={g_cols} duckdb={e_cols}")
+            n_fail += 1
+            continue
+        got, exp = got[g_cols], exp[g_cols]
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}")
+            n_fail += 1
+            continue
+        got = got.sort_values(g_cols).reset_index(drop=True)
+        exp = exp.sort_values(g_cols).reset_index(drop=True)
+        # normalize dtypes for compare (duckdb may give int32/категory etc.)
+        mismatch = None
+        for c in g_cols:
+            a, b = got[c], exp[c]
+            try:
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    import numpy as np
+                    ok = ((a.isna() & b.isna()) | (a == b)).all()
+                else:
+                    ok = ((a.isna() & b.isna()) | (a.astype(object) == b.astype(object))).all()
+            except Exception as ex:
+                ok = False
+            if not ok:
+                diff = (~((a.isna() & b.isna()) | (a.astype(object) == b.astype(object)))).idxmax()
+                mismatch = f"col {c} first-diff row {diff}: spark={a[diff]!r} duckdb={b[diff]!r} (dtypes {a.dtype}/{b.dtype})"
+                break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    except Exception as e:
+        print(f"FAIL {name}: exception {type(e).__name__}: {e}")
+        n_fail += 1
+
+print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} total")
+sys.exit(1 if n_fail else 0)
