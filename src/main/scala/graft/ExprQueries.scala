@@ -1,0 +1,465 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Abi, Finance, Interp}
+import graft.operators.Relational
+
+/** SURVEY.md §2.3 (projection/filter), remaining §2.4 joins, §2.5 aggs,
+  * §2.6 windows, §2.7 sorts and the §2.8 scalar-expression families —
+  * each key has a DuckDB oracle twin in `oracleSql`.
+  */
+object ExprQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.3 projection / filter / predicates -----------------------------
+
+    // P1+P4+P6: column subset, boolean-mask filter, isin membership
+    // (helpers.py:215-224; data_warehouse.py:709; data_lake.py:1029)
+    "p1_project_filter_isin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_discount")
+        .filter($"l_discount" > 0.05 && $"l_returnflag".isin("A", "R"))
+    }),
+
+    // P7: null creation + na.fill (data_lake.py:978,1030; helpers.py:232)
+    "p7_null_handling" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .withColumn("pos_bal", when($"c_acctbal" >= 0, $"c_acctbal"))
+        .na.fill(Map("pos_bal" -> -1.0))
+        .withColumn("is_missing", $"pos_bal" === -1.0)
+        .select($"c_custkey", $"pos_bal", $"is_missing")
+    }),
+
+    // P8: conditional cell overwrite (data_lake.py:189,342 WETH patch)
+    "p8_conditional_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .withColumn("n_name",
+          when($"n_nationkey" === 0, lit("PATCHED_NATION")).otherwise($"n_name"))
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+    }),
+
+    // P10: scalar-subquery predicate — rows above global average
+    // (aave_atokens.sql:25 pattern generalized)
+    "p10_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val avgPrice = t(s, dir, "orders").agg(avg($"o_totalprice").as("__avg"))
+      t(s, dir, "orders")
+        .crossJoin(broadcast(avgPrice))
+        .filter($"o_totalprice" > $"__avg")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // ---- §2.4 remaining joins ----------------------------------------------
+
+    // J2: inner equi-join on composite key (data_lake.py:1045-1050)
+    "j2_composite_key_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(round(avg($"value"), 6).as("avg_value"))
+      t(s, dir, "events")
+        .join(dim, Seq("user_id", "event_type"), "inner")
+        .filter($"value" > $"avg_value" * 2)
+        .select($"event_id", $"user_id", $"event_type",
+                $"value", $"avg_value")
+    }),
+
+    // J3: positional (row-index) join (data_lake.py:2072-2073) — stable
+    // row_number over an explicit total order on both sides, then join.
+    "j3_positional_join" -> ((s, dir) => {
+      import s.implicits._
+      val wo = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val wc = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val topOrders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .withColumn("pos", row_number().over(wo)).filter($"pos" <= 50)
+      val topCust = t(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal")
+        .withColumn("pos", row_number().over(wc)).filter($"pos" <= 50)
+      topOrders.join(topCust, "pos")
+        .select($"pos", $"o_orderkey", $"o_totalprice", $"c_custkey", $"c_acctbal")
+    }),
+
+    // J4: cross join (protocol_data_warehouse.py:560 sweep grid)
+    "j4_cross_join" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select($"n_nationkey", $"n_name", $"r_regionkey", $"r_name")
+    }),
+
+    // J6: left join against filtered derived subquery (asset_tvl_by_day.sql:38-43)
+    "j6_join_derived_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val finished = t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"o_custkey")
+        .agg(round(sum($"o_totalprice"), 4).as("finished_spend"))
+      t(s, dir, "customer")
+        .join(finished, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey", coalesce($"finished_spend", lit(0.0)).as("finished_spend"))
+    }),
+
+    // J7: multi-candidate resolution — coalesce over repeated left joins
+    // (safety_module_totals_by_day.sql:24-46)
+    "j7_coalesce_multi_join" -> ((s, dir) => {
+      import s.implicits._
+      val custAvg = t(s, dir, "customer").filter($"c_acctbal" > 5000)
+        .groupBy($"c_nationkey".cast("long").as("nk"))
+        .agg(round(avg($"c_acctbal"), 4).as("cust_avg"))
+      val suppAvg = t(s, dir, "supplier")
+        .groupBy($"s_nationkey".cast("long").as("nk"))
+        .agg(round(avg($"s_acctbal"), 4).as("supp_avg"))
+      t(s, dir, "nation")
+        .join(custAvg, $"n_nationkey" === custAvg("nk"), "left")
+        .join(suppAvg, $"n_nationkey" === suppAvg("nk"), "left")
+        .select($"n_nationkey", $"n_name",
+                round(coalesce($"cust_avg", $"supp_avg", lit(0.0)), 4).as("resolved_balance"))
+    }),
+
+    // ---- §2.5 remaining aggregations ---------------------------------------
+
+    // A4: aggregate-to-list (protocol_data_warehouse.py:368-374) — sorted for
+    // determinism, emitted as CSV string for the cross-engine hash compare
+    "a4_collect_list" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_totalprice" > 400000)
+        .groupBy($"o_custkey")
+        .agg(concat_ws(",", sort_array(collect_list($"o_orderkey"))).as("order_keys"),
+             count(lit(1)).as("n"))
+    }),
+
+    // A6: global max/min scalar (data_warehouse.py:700; aave_atokens.sql:25)
+    "a6_global_minmax" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .agg(max($"l_shipdate").as("max_shipdate"),
+             min($"l_shipdate").as("min_shipdate"),
+             round(max($"l_extendedprice"), 4).as("max_price"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // A9: grouped sum of all numeric columns (protocol_data_warehouse.py:509)
+    "a9_sum_all_numerics" -> ((s, dir) => {
+      import s.implicits._
+      val numerics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(round(sum(numerics.head), 4).as(s"sum_${numerics.head}"),
+             numerics.tail.map(c => round(sum(c), 4).as(s"sum_$c")): _*)
+    }),
+
+    // ---- §2.6 remaining windows --------------------------------------------
+
+    // W4: last_value ignore nulls, RANGE frame (inv_defi_ref_rates_by_day.sql:27)
+    "w4_range_ffill" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ref_rate",
+          last(when($"event_type" === "signup", $"value"), ignoreNulls = true).over(w))
+        .select($"event_id", $"user_id", $"ref_rate")
+    }),
+
+    // W5: shift+diff monotonic filter (protocol_data_warehouse.py:529-534)
+    "w5_monotonic_filter" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .filter($"prev_price".isNull || $"o_totalprice" >= $"prev_price")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    }),
+
+    // ---- §2.7 sorted top-k -------------------------------------------------
+
+    // O1: multi-key sort + limit (data_warehouse.py:706; all_financials.sql:447)
+    "o1_topk_sorted" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // ---- §2.8 scalar expression families -----------------------------------
+
+    // E1: date/time family — trunc, add days/months, datediff, extract, epoch
+    "e1_datetime_ops" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("order_month"),
+          date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd").as("due_date"),
+          date_format(add_months($"o_orderdate".cast("date"), -6), "yyyy-MM-dd").as("six_months_back"),
+          datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date")).as("days_to_eoy"),
+          year($"o_orderdate").cast("long").as("order_year"),
+          month($"o_orderdate").cast("long").as("order_month_num"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+    }),
+
+    // E2: string family — concat, substring, right, lower/upper, regexp,
+    // startswith, replace (SURVEY §2.8 strings)
+    "e2_string_ops" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          concat($"p_brand", lit("|"), $"p_type").as("brand_type"),
+          substring($"p_name", 1, 8).as("name_prefix"),
+          substring($"p_type", -4, 4).as("type_suffix"),
+          lower($"p_name").as("name_lower"),
+          upper($"p_brand").as("brand_upper"),
+          regexp_replace($"p_type", "[aeiou]", "").as("type_novowel"),
+          $"p_name".startsWith("a").as("starts_a"),
+          length($"p_name").cast("long").as("name_len"))
+    }),
+
+    // E3: math/conditional family — APY compounding, safe div, clamp,
+    // case ladder, round, price impact (SURVEY §2.8 math)
+    "e3_math_conditional" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      li.select(
+        $"l_orderkey", $"l_linenumber",
+        round(Finance.apyCompounded($"l_discount", lit(365.0)), 8).as("apy"),
+        // floor(x·1e4+0.5)/1e4 instead of round(): identical double math in
+        // both engines — round() tie-handling differs at .xxxx5 boundaries
+        (floor(Relational.safeDiv($"l_extendedprice", $"l_quantity") * 1e4 + 0.5) / 1e4).as("unit_price"),
+        round(greatest(least($"l_quantity", lit(40.0)) - lit(10.0), lit(0.0)), 4).as("clamped"),
+        when($"l_quantity" < 10, "low").when($"l_quantity" < 30, "mid").otherwise("high").as("qty_band"),
+        round(lit(1.0) - (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("price_impact"))
+    }),
+
+    // E4: unpivot/melt — 37-column UNPIVOT pattern (all_financials.sql:419-424)
+    "e4_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Relational.melt(
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        measureCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // E5: pivot with multiple aggregations + deterministic names
+    // (streaming_payments_summary.sql:60-68)
+    "e5_pivot_multi_agg" -> ((s, dir) => {
+      import s.implicits._
+      Relational.pivotAgg(
+        t(s, dir, "events"),
+        groupCols = Seq("user_id"),
+        pivotCol = "event_type",
+        values = Seq("click", "purchase", "view"),
+        aggs = Seq(
+          "total" -> round(sum(coalesce($"value", lit(0.0))), 4),
+          "n" -> count(lit(1))))
+    }),
+
+    // E6: grid generation — sequence + explode sweep amounts
+    // (protocol_data_lake.py:893-896 `[10**i for i in range(3,10)]`)
+    "e6_explode_grid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "region")
+        .select($"r_regionkey", $"r_name", explode(sequence(lit(3), lit(9))).as("exp"))
+        .select($"r_regionkey", $"r_name", $"exp".cast("long").as("exp"),
+                pow(lit(10.0), $"exp").as("amount"))
+    }),
+
+    // E7: ABI hex decode roundtrip — build a 32-byte word from an integer,
+    // decode uint256 + address back (data_lake.py:979-984,1031-1034)
+    "e7_abi_decode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        .withColumn("blob", concat(lit("0x"), lpad(lower(hex($"o_orderkey")), 64, "0")))
+        .select(
+          $"o_orderkey",
+          $"blob",
+          Abi.decodeUint256($"blob").as("decoded_uint"),
+          Abi.decodeAddress($"blob").as("decoded_address"))
+    }),
+
+    // E8: JSON extraction (helpers.py:326 json_normalize; Snowflake
+    // decoded_log:amount::int — data_lake.py:1323)
+    "e8_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+    }),
+
+    // A5: aggregate-to-model — natural cubic spline per group, evaluated on
+    // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
+    // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
+    // is not SQL-expressible).
+    "a5_spline_eval" -> ((s, dir) => {
+      import s.implicits._
+      val knots = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity".cast("int").as("x"))
+        .agg(avg($"l_extendedprice").as("y"))
+        .groupBy($"l_returnflag")
+        .agg(sort_array(collect_list(struct($"x".cast("double").as("x"), $"y"))).as("pts"))
+        .select($"l_returnflag",
+          $"pts.x".as("xs"), $"pts.y".as("ys"),
+          transform(sequence(lit(5), lit(45), lit(5)), i => i.cast("double") + 0.5).as("qs"))
+      knots
+        .withColumn("fitted", Interp.splineUdf($"xs", $"ys", $"qs"))
+        .select($"l_returnflag", explode(arrays_zip($"qs", $"fitted")).as("z"))
+        .select($"l_returnflag", $"z.qs".as("q"), round($"z.fitted", 4).as("yhat"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_project_filter_isin" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+         FROM lineitem WHERE l_discount > 0.05 AND l_returnflag IN ('A','R')""",
+    "p7_null_handling" ->
+      """SELECT c_custkey,
+         CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE -1.0 END AS pos_bal,
+         (CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE -1.0 END) = -1.0 AS is_missing
+         FROM customer""",
+    "p8_conditional_overwrite" ->
+      """SELECT n_nationkey,
+         CASE WHEN n_nationkey = 0 THEN 'PATCHED_NATION' ELSE n_name END AS n_name,
+         n_regionkey FROM nation""",
+    "p10_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+    "j2_composite_key_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value, d.avg_value
+         FROM events e
+         JOIN (SELECT user_id, event_type, round(avg(value),6) AS avg_value
+               FROM events GROUP BY user_id, event_type) d
+         USING (user_id, event_type)
+         WHERE e.value > d.avg_value * 2""",
+    "j3_positional_join" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS pos
+                    FROM orders QUALIFY pos <= 50),
+             c AS (SELECT c_custkey, c_acctbal,
+                    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS pos
+                    FROM customer QUALIFY pos <= 50)
+         SELECT pos, o_orderkey, o_totalprice, c_custkey, c_acctbal
+         FROM o JOIN c USING (pos)""",
+    "j4_cross_join" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name FROM nation CROSS JOIN region""",
+    "j6_join_derived_subquery" ->
+      """SELECT c_custkey, coalesce(f.finished_spend, 0) AS finished_spend
+         FROM customer
+         LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice),4) AS finished_spend
+                    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+         ON c_custkey = f.o_custkey""",
+    "j7_coalesce_multi_join" ->
+      """SELECT n_nationkey, n_name,
+         round(coalesce(ca.cust_avg, sa.supp_avg, 0), 4) AS resolved_balance
+         FROM nation
+         LEFT JOIN (SELECT CAST(c_nationkey AS BIGINT) AS nk, round(avg(c_acctbal),4) AS cust_avg
+                    FROM customer WHERE c_acctbal > 5000 GROUP BY 1) ca ON n_nationkey = ca.nk
+         LEFT JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, round(avg(s_acctbal),4) AS supp_avg
+                    FROM supplier GROUP BY 1) sa ON n_nationkey = sa.nk""",
+    "a4_collect_list" ->
+      """SELECT o_custkey,
+         array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+         count(*) AS n
+         FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey""",
+    "a6_global_minmax" ->
+      """SELECT max(l_shipdate) AS max_shipdate, min(l_shipdate) AS min_shipdate,
+         round(max(l_extendedprice),4) AS max_price, count(*) AS n_rows
+         FROM lineitem""",
+    "a9_sum_all_numerics" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity),4) AS sum_l_quantity,
+         round(sum(l_extendedprice),4) AS sum_l_extendedprice,
+         round(sum(l_discount),4) AS sum_l_discount,
+         round(sum(l_tax),4) AS sum_l_tax
+         FROM lineitem GROUP BY l_returnflag""",
+    "w4_range_ffill" ->
+      """SELECT event_id, user_id,
+         last_value(CASE WHEN event_type='signup' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ref_rate
+         FROM events""",
+    "w5_monotonic_filter" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_price
+           FROM orders)
+         WHERE prev_price IS NULL OR o_totalprice >= prev_price""",
+    "o1_topk_sorted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "e1_datetime_ops" ->
+      """SELECT o_orderkey,
+         strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS order_month,
+         strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+         strftime(CAST(CAST(o_orderdate AS DATE) - INTERVAL 6 MONTH AS DATE), '%Y-%m-%d') AS six_months_back,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(month(o_orderdate) AS BIGINT) AS order_month_num,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders""",
+    "e2_string_ops" ->
+      """SELECT p_partkey,
+         p_brand || '|' || p_type AS brand_type,
+         substring(p_name, 1, 8) AS name_prefix,
+         right(p_type, 4) AS type_suffix,
+         lower(p_name) AS name_lower,
+         upper(p_brand) AS brand_upper,
+         regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+         starts_with(p_name, 'a') AS starts_a,
+         CAST(length(p_name) AS BIGINT) AS name_len
+         FROM part""",
+    "e3_math_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(pow(1 + l_discount/365.0, 365.0) - 1, 8) AS apy,
+         floor((CASE WHEN l_quantity <> 0 THEN l_extendedprice/l_quantity ELSE 0 END) * 1e4 + 0.5) / 1e4 AS unit_price,
+         round(greatest(least(l_quantity, 40.0) - 10.0, 0.0), 4) AS clamped,
+         CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+              ELSE 'high' END AS qty_band,
+         round(1.0 - (1.0 - l_discount) * (1.0 + l_tax), 6) AS price_impact
+         FROM lineitem""",
+    "e4_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)""",
+    "e5_pivot_multi_agg" ->
+      """SELECT user_id,
+         round(sum(CASE WHEN event_type='click' THEN coalesce(value,0) ELSE 0 END),4) AS click_total,
+         count(CASE WHEN event_type='click' THEN 1 END) AS click_n,
+         round(sum(CASE WHEN event_type='purchase' THEN coalesce(value,0) ELSE 0 END),4) AS purchase_total,
+         count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase_n,
+         round(sum(CASE WHEN event_type='view' THEN coalesce(value,0) ELSE 0 END),4) AS view_total,
+         count(CASE WHEN event_type='view' THEN 1 END) AS view_n
+         FROM events GROUP BY user_id""",
+    "e6_explode_grid" ->
+      """SELECT r_regionkey, r_name, CAST(exp AS BIGINT) AS exp, pow(10.0, exp) AS amount
+         FROM region CROSS JOIN (SELECT unnest(generate_series(3, 9)) AS exp)""",
+    "e7_abi_decode" ->
+      """SELECT o_orderkey,
+         '0x' || lpad(lower(to_hex(o_orderkey)), 64, '0') AS blob,
+         CAST(o_orderkey AS DOUBLE) AS decoded_uint,
+         '0x' || right(lpad(lower(to_hex(o_orderkey)), 64, '0'), 40) AS decoded_address
+         FROM orders WHERE o_orderkey < 2000""",
+    "e8_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events"""
+  )
+}

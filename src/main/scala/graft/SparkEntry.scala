@@ -49,8 +49,16 @@ object SparkEntry {
       measureCols = Seq("o_totalprice", "next_totalprice", "price_delta"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (this object holds
+    * the §2.4-§2.7 core; ExprQueries adds §2.3/§2.8 + remaining joins/aggs/
+    * windows; TrainingQueries adds dedup/text/similarity/multimodal). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExprQueries.queries ++ TrainingQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExprQueries.oracleSql ++ TrainingQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.5 aggregations -------------------------------------------------
 
@@ -261,7 +269,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "a1_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, Text}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * corpus tables: deduplication, text analysis, similarity search, and
+  * multimodal-column plumbing. Oracle-expressible ops carry DuckDB twins;
+  * signature-based ops (MinHash/SimHash/LSH — engine-specific hashes) are
+  * rows-only checked and verified by ScalaTest invariants instead.
+  */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication -----------------------------------------------------
+
+    // D1: exact dedup by content fingerprint (hash-groupBy, one shuffle)
+    "d1_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select($"doc_id", $"dup_count")
+    }),
+
+    // D2: MinHash+LSH near-dup candidates, exact-Jaccard verified.
+    // Signature math is engine-specific → rows-only check + ScalaTest.
+    "d2_minhash_lsh_neardup" -> ((s, dir) => {
+      Dedup.nearDupMinhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        n = 2, k = 64, bands = 16, threshold = 0.4)
+    }),
+
+    // D3: SimHash signatures + within-language Hamming≤8 near-dup pairs.
+    // Rows-only check (xxhash64 signatures are engine-specific).
+    "d3_simhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", Dedup.simHash($"text").as("sig"))
+      val a = sigs.as("a"); val b = sigs.as("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", Dedup.hamming64(col("a.sig"), col("b.sig")))
+        .filter(col("hamming") <= 8)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+    }),
+
+    // D4: blocked exhaustive n-gram(1) Jaccard near-dup pairs — the
+    // quadratic baseline bounded by the (lang, source) blocking key;
+    // fully oracle-expressible with DuckDB list functions.
+    "d4_jaccard_blocked" -> ((s, dir) => {
+      Dedup.nearDupJaccardBlocked(t(s, dir, "documents"), "text", "doc_id",
+        blockCols = Seq("lang"), threshold = 0.8)
+    }),
+
+    // ---- text analysis -----------------------------------------------------
+
+    // T1: token counting + quality metrics (whitespace + BPE-ish counts,
+    // punct/stopword ratios, mean word length, composite quality score)
+    "t1_text_metrics" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          Text.tokenCountWs($"text").cast("long").as("n_tokens_ws"),
+          Text.tokenCountBpe($"text").cast("long").as("n_tokens_bpe"),
+          round(Text.punctRatio($"text"), 6).as("punct_ratio"),
+          round(Text.stopwordRatio($"text"), 6).as("stopword_ratio"),
+          round(Text.meanWordLen($"text"), 6).as("mean_word_len"),
+          Text.qualityScore($"text").as("quality"))
+    }),
+
+    // T2: document fingerprinting (md5 of normalized text — rolling-hash
+    // class; dedup key of D1)
+    "t2_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", Text.fingerprintMd5($"text").as("fingerprint"))
+    }),
+
+    // T3: language ID by marker-stopword voting, deterministic priority
+    // tie-break (en > fr > es > de > zh)
+    "t3_langid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang".as("true_lang"), Text.langId($"text").as("pred_lang"))
+    }),
+
+    // ---- similarity search -------------------------------------------------
+
+    // S1: brute-force cosine top-10 for a batch of query vectors (the first
+    // 3 embeddings by vec_id), ranked on round-6 cosine for cross-engine
+    // rank stability.
+    "s1_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+      Similarity.topKBatch(emb, queries, "vec_id", "embedding", "query_id", k = 10)
+    }),
+
+    // S2: LSH-bucketed ANN probe (hyperplane signatures) — scale path for
+    // S1; engine-specific signatures → rows-only + ScalaTest recall check.
+    "s2_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      emb.select($"vec_id",
+          Similarity.hyperplaneSignature($"embedding", dim = 64, bits = 16).as("sig"),
+          $"label")
+        .groupBy($"sig")
+        .agg(count(lit(1)).as("bucket_size"),
+             min($"vec_id").as("min_vec_id"))
+    }),
+
+    // S3: embedding stats — norm + per-label centroid distance (zip_with /
+    // aggregate arithmetic over array<float> at scale, no UDF)
+    "s3_embedding_norms" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          round(Similarity.norm($"embedding".cast("array<double>")), 6).as("l2_norm"),
+          round(element_at($"embedding", 1).cast("double"), 6).as("first_dim"))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------------
+
+    // M1: opaque binary payload column + typed metadata — the image/audio
+    // pattern: binary blob, byte length, content hash, head-bytes sample.
+    // (Real decode is stubbed — see functions/Multimodal.scala; the schema,
+    // batching and fingerprint plumbing are real and oracle-checked.)
+    "m1_binary_metadata" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("payload", $"text".cast("binary"))
+        .select(
+          $"doc_id",
+          length($"payload").cast("long").as("n_bytes"),
+          sha2($"payload", 256).as("content_sha256"),
+          lower(hex(substring($"text", 1, 8).cast("binary"))).as("head_bytes_hex"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+         GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))""",
+    "d4_jaccard_blocked" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                      (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
+         FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+               (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
+    "t1_text_metrics" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         w AS (SELECT *, string_split(norm, ' ') AS words FROM n)
+         SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(words, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE) / len(words) END, 6) AS stopword_ratio,
+           round(CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) END, 6) AS mean_word_len,
+           round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+               + least((CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(words, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE) / len(words) END) / 0.4, 1.0) * 0.4
+               + greatest(1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 0.0) * 0.2, 6) AS quality
+         FROM w""",
+    "t2_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents""",
+    "t3_langid" ->
+      """WITH w AS (
+           SELECT doc_id, lang AS true_lang,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         s AS (SELECT doc_id, true_lang,
+           len(list_filter(words, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+           len(list_filter(words, x -> list_contains(['le','la','les','des','est','une','dans','pour','que'], x))) AS s_fr,
+           len(list_filter(words, x -> list_contains(['el','los','las','es','una','para','como','por','del'], x))) AS s_es,
+           len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für'], x))) AS s_de,
+           len(list_filter(words, x -> list_contains(['的','是','了','在','我','有','他','这'], x))) AS s_zh
+           FROM w)
+         SELECT doc_id, true_lang,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang
+         FROM s""",
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q)
+         SELECT query_id, vec_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+         FROM scored
+         QUALIFY rank <= 10""",
+    "s3_embedding_norms" ->
+      """SELECT vec_id,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+         FROM embeddings""",
+    "m1_binary_metadata" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_sha256,
+         lower(to_hex(encode(substring(text, 1, 8)))) AS head_bytes_hex
+         FROM documents"""
+  )
+}
