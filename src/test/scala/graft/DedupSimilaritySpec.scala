@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),          // near dup of 1
+    (4L, "completely different content about spark and scala"),
+    (5L, "THE  quick   brown fox jumps over the lazy dog!!")      // normalized dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // 1,2,5 collapse; 3 and 4 stay
+    assert(got.length == 3)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 3L)
+  }
+
+  test("minhash signatures are equal for identical text, close for near-dups") {
+    val sigs = docs.select($"doc_id", Dedup.minHashSignature($"text", n = 2, k = 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 64.0
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } / 64.0
+    assert(agree13 > 0.5, s"near-dup signature agreement $agree13")
+    assert(agree14 < 0.3, s"unrelated signature agreement $agree14")
+  }
+
+  test("nearDupMinhashLsh finds planted near-duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupMinhashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simHash: identical text -> hamming 0; unrelated -> large hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(5L)) == 0)   // normalization-invariant
+    assert(ham(sigs(1L), sigs(3L)) <= 16)  // near dup: close
+    assert(ham(sigs(1L), sigs(4L)) > 16)   // unrelated: far
+  }
+
+  test("jaccardWords exact values") {
+    val got = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y").select(Dedup.jaccardWords($"x", $"y")).head.getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(2.0, 4.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 3.0)),
+      (Seq(1.0, 1.0), Seq(-1.0, -1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("topKBrute returns self as rank-1 on the corpus") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val top = Similarity.topKBrute(emb, "vec_id", "embedding", q, k = 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    // scores non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("topKBatch agrees with topKBrute per query") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val batch = Similarity.topKBatch(emb, queries, "vec_id", "embedding", "query_id", k = 5)
+      .collect().groupBy(_.getLong(0))
+    (0L to 1L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+      val brute = Similarity.topKBrute(emb, "vec_id", "embedding", q, k = 5)
+        .collect().map(_.getLong(0)).toSeq
+      val got = batch(qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(got == brute, s"query $qid: $got vs $brute")
+    }
+  }
+
+  test("LSH probe recall: top-1 (self) survives bucketing") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 7)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val got = Similarity.topKLsh(emb, "vec_id", "embedding", q, k = 3,
+      dim = 64, bits = 16, hammingRadius = 4).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(0) == 7L, "self must be in its own bucket at radius 0")
+  }
+}

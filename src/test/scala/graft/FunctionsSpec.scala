@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Abi, Finance, Interp, Text}
+
+/** Golden-value tests for the scalar function families — the ScalaTest twin
+  * of the reference's helper unit tests (tests/test_helpers.py idiom).
+  */
+class AbiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeUint256 roundtrips small and large values") {
+    // 1 ETH = 10^18 wei and a uint128-scale value — both beyond exact Long
+    // path would overflow naive conv(); reference stores uint256 as float64
+    // (helpers.py:228-229) so Double equality semantics match.
+    val blobs = Seq(
+      "0x" + "0" * 63 + "1",                                    // 1
+      "0x" + "0" * 49 + "de0b6b3a7640000",                      // 1e18
+      "0x" + "0" * 32 + "ffffffffffffffffffffffffffffffff")     // 2^128-1
+    val df = blobs.toDF("blob").select(Abi.decodeUint256($"blob").as("v"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 1e18)
+    assert(math.abs(got(2) - math.pow(2, 128)) / math.pow(2, 128) < 1e-12)
+  }
+
+  test("decodeAddress extracts low 20 bytes lowercase") {
+    val blob = "0x" + "0" * 24 + "C02AAA39B223FE8D0A0E5C4F27EAD9083C756CC2"
+    val got = Seq(blob).toDF("blob")
+      .select(Abi.decodeAddress(lower($"blob"))).head.getString(0)
+    assert(got == "0xc02aaa39b223fe8d0a0e5c4f27ead9083c756cc2")
+  }
+
+  test("decodeScaled divides by 10^decimals") {
+    val blob = "0x" + "0" * 49 + "de0b6b3a7640000" // 1e18
+    val got = Seq(blob).toDF("blob")
+      .select(Abi.decodeScaled($"blob", 0, lit(18))).head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+}
+
+class FinanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("apyCompounded matches (1+r/n)^n - 1") {
+    val got = Seq(0.05).toDF("r")
+      .select(Finance.apyCompounded($"r", lit(365.0))).head.getDouble(0)
+    assert(math.abs(got - (math.pow(1 + 0.05 / 365, 365) - 1)) < 1e-15)
+  }
+
+  test("vestedAmount clamps to [0, deposit]") {
+    val df = Seq((0.0, 10.0, 20.0, 100.0), (15.0, 10.0, 20.0, 100.0),
+                 (25.0, 10.0, 20.0, 100.0)).toDF("t", "start", "stop", "dep")
+    val got = df.select(Finance.vestedAmount($"t", $"start", $"stop", $"dep"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(0.0, 50.0, 100.0))
+  }
+}
+
+class InterpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splineEval passes through all knots exactly") {
+    val xs = Array(0.0, 1.0, 2.5, 4.0, 7.0)
+    val ys = Array(1.0, 3.0, 2.0, 5.0, 4.0)
+    val got = Interp.splineEval(xs, ys, xs)
+    xs.indices.foreach(i => assert(math.abs(got(i) - ys(i)) < 1e-12,
+      s"knot $i: ${got(i)} vs ${ys(i)}"))
+  }
+
+  test("splineEval on linear data reproduces the line") {
+    val xs = Array(0.0, 1.0, 2.0, 3.0)
+    val ys = xs.map(2.0 * _ + 1.0)
+    val qs = Array(0.5, 1.5, 2.7)
+    val got = Interp.splineEval(xs, ys, qs)
+    qs.indices.foreach(i => assert(math.abs(got(i) - (2.0 * qs(i) + 1.0)) < 1e-10))
+  }
+
+  test("splineEval natural boundary: second derivative ~0 at ends") {
+    val xs = (0 to 10).map(_.toDouble).toArray
+    val ys = xs.map(x => math.sin(x))
+    val h = 1e-4
+    val ends = Seq(xs.head + h, xs.last - h)
+    val d2 = ends.map { x =>
+      val Array(a, b, c) = Interp.splineEval(xs, ys, Array(x - h, x, x + h))
+      (a - 2 * b + c) / (h * h)
+    }
+    d2.foreach(v => assert(math.abs(v) < 1e-2, s"d2=$v"))
+  }
+
+  test("linearInterp matches np.interp semantics incl. clamping") {
+    val df = Seq(1).toDF("i").select(
+      Interp.linearInterp(
+        array(lit(-1.0), lit(0.5), lit(1.5), lit(3.0), lit(99.0)),
+        array(lit(0.0), lit(1.0), lit(2.0)),
+        array(lit(10.0), lit(20.0), lit(40.0))).as("v"))
+    val got = df.head.getSeq[Double](0)
+    assert(got == Seq(10.0, 15.0, 30.0, 40.0, 40.0))
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts") {
+    val df = Seq("Hello, world! 42 times").toDF("t")
+    val r = df.select(
+      Text.tokenCountWs($"t"), Text.tokenCountBpe($"t")).head
+    assert(r.getInt(0) == 4)
+    // Hello , world ! 42 times -> 6 BPE-ish pieces
+    assert(r.getInt(1) == 6)
+  }
+
+  test("normalize strips punctuation and collapses whitespace") {
+    val got = Seq("  The QUICK—brown,   fox!! ").toDF("t")
+      .select(Text.normalize($"t")).head.getString(0)
+    assert(got == "the quick brown fox")
+  }
+
+  test("stopwordRatio and punctRatio on known string") {
+    val r = Seq("the cat is on a mat").toDF("t")
+      .select(Text.stopwordRatio($"t"), Text.punctRatio($"t")).head
+    // stopwords: the, is, on, a -> 4/6
+    assert(math.abs(r.getDouble(0) - 4.0 / 6.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("langId votes markers with deterministic priority") {
+    val df = Seq(
+      "the cat and the dog is that for with",
+      "le chat est dans la maison pour que",
+      "el gato es una para como por del",
+      "xyzzy qwerty").toDF("t")
+    val got = df.select(Text.langId($"t")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "fr", "es", "und"))
+  }
+
+  test("fingerprintMd5 is stable under formatting noise") {
+    val df = Seq(("a", "Hello,  World!"), ("b", "hello world")).toDF("id", "t")
+    val fps = df.select(Text.fingerprintMd5($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wide = Seq(
+    ("m1", 1L, 10.0, 100.0),
+    ("m2", 2L, 20.0, 200.0)).toDF("market", "day", "balance", "price")
+
+  test("melt: row count = measures × wide rows, values preserved") {
+    val long = Relational.melt(wide, Seq("market", "day"), Seq("balance", "price"))
+    assert(long.count() == 4)
+    val m1 = long.filter($"market" === "m1").orderBy("measure")
+      .select($"measure", $"value").as[(String, Double)].collect().toSeq
+    assert(m1 == Seq(("balance", 10.0), ("price", 100.0)))
+  }
+
+  test("pivotAgg: deterministic <value>_<agg> names, multi-agg") {
+    val long = Seq(("u1", "AAVE", 5.0), ("u1", "AAVE", 7.0), ("u1", "USDC", 1.0))
+      .toDF("user", "sym", "amt")
+    val got = Relational.pivotAgg(long, Seq("user"), "sym", Seq("AAVE", "USDC"),
+      Seq("sum" -> sum($"amt"), "avg" -> avg($"amt")))
+    assert(got.columns.toSet == Set("user", "AAVE_sum", "AAVE_avg", "USDC_sum", "USDC_avg"))
+    val r = got.head
+    assert(r.getDouble(r.fieldIndex("AAVE_sum")) == 12.0)
+    assert(r.getDouble(r.fieldIndex("AAVE_avg")) == 6.0)
+  }
+
+  test("pivotAgg: single agg also gets suffixed names") {
+    val long = Seq(("u1", "AAVE", 5.0)).toDF("user", "sym", "amt")
+    val got = Relational.pivotAgg(long, Seq("user"), "sym", Seq("AAVE", "USDC"),
+      Seq("sum" -> sum($"amt")))
+    assert(got.columns.toSet == Set("user", "AAVE_sum", "USDC_sum"))
+  }
+
+  test("ffill carries last non-null forward within partition only") {
+    val df = Seq(
+      ("a", 1, Some(10.0)), ("a", 2, None), ("a", 3, None),
+      ("b", 1, None), ("b", 2, Some(5.0))).toDF("k", "t", "v")
+    val got = Relational.ffill(df, Seq("k"), Seq("t"), Seq("v"))
+      .orderBy("k", "t").select($"v").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(5.0)))
+  }
+
+  test("dedupKeepLast keeps the row with max order key per group") {
+    val df = Seq(("k1", 1, "old"), ("k1", 3, "new"), ("k1", 2, "mid"), ("k2", 1, "only"))
+      .toDF("k", "seq", "tag")
+    val got = Relational.dedupKeepLast(df, Seq("k"), Seq("seq"))
+      .orderBy("k").select($"tag").as[String].collect().toSeq
+    assert(got == Seq("new", "only"))
+  }
+
+  test("unionPadded pads missing columns with the literal") {
+    val a = Seq((1L, 2.0)).toDF("id", "x")
+    val b = Seq((2L, 3.0)).toDF("id", "y")
+    val got = Relational.unionPadded(Seq(a, b))
+    assert(got.columns.toSeq == Seq("id", "x", "y"))
+    val rows = got.orderBy("id").collect()
+    assert(rows(0).getDouble(2) == 0.0 && rows(1).getDouble(1) == 0.0)
+  }
+
+  test("latestOnly keeps all rows tied at the max") {
+    val df = Seq((1, "a"), (3, "b"), (3, "c")).toDF("ts", "v")
+    val got = Relational.latestOnly(df, "ts").select($"v").as[String].collect().toSet
+    assert(got == Set("b", "c"))
+  }
+
+  test("safeDiv guards division by zero") {
+    val got = Seq((1.0, 0.0), (6.0, 2.0)).toDF("x", "y")
+      .select(Relational.safeDiv($"x", $"y")).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(0.0, 3.0))
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.Sinks
+
+  test("K1 dynamic partition overwrite only replaces incoming partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val day1 = Seq(("2024-01-01", "ethereum", 1.0), ("2024-01-01", "polygon", 2.0))
+      .toDF("date", "market", "v")
+    Sinks.overwritePartitions(day1, dir, Seq("date", "market"))
+    // re-materialize ONLY the ethereum partition with a new value
+    val patch = Seq(("2024-01-01", "ethereum", 9.0)).toDF("date", "market", "v")
+    Sinks.overwritePartitions(patch, dir, Seq("date", "market"))
+    val got = spark.read.parquet(dir).select($"market", $"v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("ethereum" -> 9.0, "polygon" -> 2.0))
+  }
+
+  test("K2 append-only accumulates (dedup is downstream's job)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val snap = Seq((1, 10.0)).toDF("fetch", "v")
+    Sinks.appendOnly(snap, dir)
+    Sinks.appendOnly(snap, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}

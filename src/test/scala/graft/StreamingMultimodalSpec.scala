@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Multimodal
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow file stream drains events into windowed counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // land a batch of files (the cron-partition analogue)
+    val events = Tables.t(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    events.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = Streams.parquetStream(spark, src, schema)
+    Streams.runAvailableNow(
+      Streams.windowedCounts(stream, "ts"), out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0)
+    assert(got.columns.toSet ==
+      Set("window_start", "window_end", "event_type", "n_events", "total_value"))
+    // batch equivalence: append mode only emits windows sealed by the final
+    // watermark (= max event time - 2h delay) — compare against exactly
+    // those; the still-open tail windows are correctly held back.
+    val maxTs = events.agg(max($"ts")).head.getTimestamp(0)
+    val sealedBefore = new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000L)
+    val batchTotal = events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .filter($"window.end" <= sealedBefore)
+      .agg(sum("n_events")).head.getLong(0)
+    val streamTotal = got.agg(sum("n_events")).head.getLong(0)
+    assert(streamTotal == batchTotal,
+      s"stream=$streamTotal batch(sealed)=$batchTotal")
+  }
+
+  test("second AvailableNow run is incremental (checkpoint, no reprocess)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val e1 = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    e1.write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = Streams.runAvailableNow(
+      Streams.windowedCounts(Streams.parquetStream(spark, src, schema), "ts"), out, ckpt)
+    run()
+    // no new files → second drain emits nothing new
+    val n1 = spark.read.parquet(out).count()
+    run()
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == n2)
+    // new file lands → only it is processed (append semantics: new window rows)
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "click", 2.0))
+      .toDF("event_id", "ts", "event_type", "value").write.mode("append").parquet(src)
+    run()
+    assert(spark.read.parquet(out).count() > n2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val docs = Tables.t(spark, sfDir, "documents").limit(20)
+    docs.select(
+      $"doc_id".as("media_id"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        lit("image").as("media_type"), lit("png").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(0L).as("duration_ms"),
+        length($"text".cast("binary")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  test("decodeAndFeaturize: schema, determinism, partition-local") {
+    val out = Multimodal.decodeAndFeaturize(mediaDf, "media_id", dim = 16)
+    assert(out.columns.toSeq == Seq("media_id", "width", "height", "mean_luma", "features"))
+    val a = out.orderBy("media_id").collect()
+    val b = Multimodal.decodeAndFeaturize(mediaDf, "media_id", dim = 16)
+      .orderBy("media_id").collect()
+    assert(a.sameElements(b), "stubbed decode must be deterministic")
+    assert(a.forall(_.getSeq[Float](4).length == 16))
+    assert(a.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("resizeStub emits per-target content-addressed hash") {
+    val r1 = Multimodal.resizeStub(mediaDf, "media_id", 256, 256)
+    val r2 = Multimodal.resizeStub(mediaDf, "media_id", 512, 512)
+    val h1 = r1.orderBy("media_id").select("resized_sha256").as[String].collect()
+    val h2 = r2.orderBy("media_id").select("resized_sha256").as[String].collect()
+    assert(h1.zip(h2).forall { case (a, b) => a != b }, "different targets → different hashes")
+  }
+
+  test("sampleFrames explodes n offsets per video") {
+    val vids = mediaDf.withColumn("meta",
+      struct(lit("video").as("media_type"), lit("mp4").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        lit(10000L).as("duration_ms"), $"meta.n_bytes".as("n_bytes")))
+    val got = Multimodal.sampleFrames(vids, "media_id", n = 4)
+    assert(got.count() == 20 * 4)
+    val offs = got.filter($"media_id" === got.select(min("media_id")).head.getLong(0))
+      .select("frame_ms").as[Long].collect().sorted.toSeq
+    assert(offs == Seq(0L, 2500L, 5000L, 7500L))
+  }
+}
