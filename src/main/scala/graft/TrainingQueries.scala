@@ -53,7 +53,7 @@ object TrainingQueries {
     // fully oracle-expressible with DuckDB list functions.
     "d4_jaccard_blocked" -> ((s, dir) => {
       Dedup.nearDupJaccardBlocked(t(s, dir, "documents"), "text", "doc_id",
-        blockCols = Seq("lang"), threshold = 0.8)
+        blockCols = Seq("lang", "source"), threshold = 0.8)
     }),
 
     // ---- text analysis -----------------------------------------------------
@@ -149,13 +149,13 @@ object TrainingQueries {
          GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))""",
     "d4_jaccard_blocked" ->
       """WITH w AS (
-           SELECT doc_id, lang,
+           SELECT doc_id, lang, source,
                   list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
            FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                       (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
-         FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
     "t1_text_metrics" ->

@@ -1,0 +1,111 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-layer transforms: pure DataFrame jobs with the semantics of the
+  * reference's pandas warehouse assets
+  * (aave_data/assets/financials/data_warehouse.py). No network, no state —
+  * inputs are lake DataFrames, output is one joined measure table per asset.
+  */
+object Warehouse {
+
+  /** Join all atoken-level measures into one row per (collector, token, day) —
+    * the port of `atoken_measures_by_day` (data_warehouse.py:84-227).
+    *
+    * Semantics preserved from the reference:
+    *   - transfers get classified internal/external by matching the
+    *     counterparty (from_address for IN, to_address for OUT) against the
+    *     internal-address dim; unmatched → external (fillna 'aave_external',
+    *     data_warehouse.py:168);
+    *   - the four transfer quadrants become columns via conditional sums
+    *     (np.where ×4 + groupby().sum(), data_warehouse.py:171-179);
+    *   - ethereum_v1 'ETH' symbol is patched to 'WETH'
+    *     (data_warehouse.py:205);
+    *   - all missing measures fill 0 (data_warehouse.py:208).
+    *
+    * Scale: transfers aggregate map-side before the join; the measure joins
+    * are on (market, token, block_day) so everything co-partitions on one
+    * shuffle key family; `marketChains` and `internalAddresses` are tiny
+    * dims → broadcast.
+    */
+  def atokenMeasuresByDay(
+      balances: DataFrame,          // market, collector, token, symbol, block_height, block_day, balance, scaled_balance
+      transfers: DataFrame,         // transfers_* prefixed: collector, transfer_type IN|OUT, from_address, to_address, contract_address, contract_symbol, block_day, amount_transferred, market
+      accruedFees: DataFrame,       // market, atoken, atoken_symbol, block_height, block_day, accrued_fees
+      mintedToTreasury: DataFrame,  // market, atoken, block_day, minted_to_treasury_amount, minted_amount
+      internalAddresses: DataFrame, // chain, contract_address, internal_external
+      marketChains: DataFrame       // market, chain
+  ): DataFrame = {
+    val mc = broadcast(marketChains)
+    val base = balances.join(mc, Seq("market"), "left")
+
+    val fees = accruedFees
+      .select(col("market"), col("atoken").as("token"),
+        col("atoken_symbol").as("symbol"), col("block_height"),
+        col("block_day"), col("accrued_fees"))
+
+    // strip the reference's 'transfers_' column prefix (schema op)
+    val t0 = transfers.columns.foldLeft(transfers) { (d, c) =>
+      if (c.startsWith("transfers_")) d.withColumnRenamed(c, c.stripPrefix("transfers_")) else d
+    }
+    val classDim = broadcast(
+      internalAddresses.select(col("chain"), col("contract_address"), col("internal_external")))
+    val tWithChain = t0.join(mc, Seq("market"), "left")
+      .select(col("market"), col("chain"), col("collector"), col("transfer_type"),
+        col("from_address"), col("to_address"),
+        col("contract_address").as("token"), col("contract_symbol").as("symbol"),
+        col("block_day"), col("amount_transferred"))
+    // counterparty lookup: IN matches from_address, OUT matches to_address
+    val counterparty = when(col("transfer_type") === "IN", col("from_address"))
+      .otherwise(col("to_address"))
+    val classified = tWithChain
+      .withColumn("__cp", counterparty)
+      .join(classDim.withColumnRenamed("contract_address", "__cp"), Seq("chain", "__cp"), "left")
+      .withColumn("internal_external", coalesce(col("internal_external"), lit("aave_external")))
+    def quadrant(cls: String, dir: String) =
+      sum(when(col("internal_external") === cls && col("transfer_type") === dir,
+        col("amount_transferred")).otherwise(0.0))
+    val transferAgg = classified
+      .groupBy(col("market"), col("chain"), col("collector"), col("token"),
+               col("symbol"), col("block_day"))
+      .agg(
+        quadrant("aave_external", "IN").as("tokens_in_external"),
+        quadrant("aave_internal", "IN").as("tokens_in_internal"),
+        quadrant("aave_external", "OUT").as("tokens_out_external"),
+        quadrant("aave_internal", "OUT").as("tokens_out_internal"))
+
+    val mint = mintedToTreasury
+      .select(col("market"), col("atoken").as("token"), col("block_day"),
+        col("minted_to_treasury_amount"), col("minted_amount"))
+
+    val joined = base
+      .join(fees, Seq("market", "token", "symbol", "block_height", "block_day"), "left")
+      .join(transferAgg,
+        Seq("market", "chain", "collector", "token", "symbol", "block_day"), "left")
+      .join(mint, Seq("market", "token", "block_day"), "left")
+      .withColumn("symbol",
+        when(col("market") === "ethereum_v1" && col("symbol") === "ETH", "WETH")
+          .otherwise(col("symbol")))
+
+    val measureCols = Seq("accrued_fees", "tokens_in_external", "tokens_in_internal",
+      "tokens_out_external", "tokens_out_internal",
+      "minted_to_treasury_amount", "minted_amount")
+    joined.na.fill(0.0, measureCols)
+  }
+
+  /** Latest-day atoken dim — the port of `aave_atokens.sql`: one row per
+    * atoken from the newest market_tokens_by_day partition, chain attached
+    * from the block-numbers dim. */
+  def aaveAtokens(marketTokens: DataFrame, blockNumbers: DataFrame): DataFrame = {
+    val chains = blockNumbers.select(col("market"), col("chain")).distinct()
+    val latest = graft.operators.Relational.latestOnly(marketTokens, "block_day")
+    latest
+      .join(broadcast(chains), Seq("market"), "left")
+      .select(
+        col("atoken"), col("atoken_symbol"), col("atoken_decimals"),
+        col("reserve"), col("symbol").as("reserve_symbol"),
+        col("decimals").as("reserve_decimals"), col("name").as("reserve_name"),
+        col("market"), col("chain"), col("pool").as("lending_pool"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, designed for the
@@ -29,14 +30,31 @@ object Dedup {
   }
 
   /** MinHash signature: array of `k` 32-bit min-hashes over word n-gram
-    * shingles. Uses `hash(shingle, seed)` (murmur3) per permutation. */
-  def minHashSignature(text: Column, n: Int = 2, k: Int = 64): Column = {
-    val shingles = Text.wordNgrams(text, n)
-    val sig = (0 until k).map { i =>
-      array_min(transform(shingles, s => hash(s, lit(i))))
-    }
-    array(sig: _*)
-  }
+    * shingles (murmur3 with seed = permutation index).
+    *
+    * Implemented as a one-pass UDF over the materialized shingle array:
+    * the pure-expression form (`k × array_min(transform(shingles, hash))`)
+    * inlines the shingle derivation k times — k redundant normalize/split/
+    * ngram passes per row, which dominates at corpus scale. The UDF sees
+    * the shingles once and runs k tight hash loops (k·|shingles| murmur
+    * calls), the optimal work for this signature.
+    */
+  def minHashSignature(text: Column, n: Int = 2, k: Int = 64): Column =
+    minhashUdf(k)(Text.wordNgrams(text, n))
+
+  private def minhashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((shingles: Seq[String]) => {
+      val sig = Array.fill(k)(Int.MaxValue)
+      shingles.foreach { s =>
+        var i = 0
+        while (i < k) {
+          val h = scala.util.hashing.MurmurHash3.stringHash(s, i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig.toSeq
+    })
 
   /** LSH band keys from a minhash signature: `bands` hashes, each over
     * `k/bands` consecutive signature slots. Explode the result and
@@ -57,24 +75,41 @@ object Dedup {
     */
   def nearDupMinhashLsh(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, k: Int = 64, bands: Int = 16,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = 128): DataFrame = {
     val withSig = df.select(
       col(idCol).as("id"),
       Text.wordSet(col(textCol)).as("words"),
       minHashSignature(col(textCol), n, k).as("sig"))
+    // Bucket join carries ONLY (id, band, band_hash): candidate pairs are
+    // narrow ints during the widest part of the plan; the word arrays are
+    // re-attached AFTER pair-dedup, so each doc's array is shuffled once per
+    // surviving pair side, never once per bucket collision. At 100 TB this
+    // is the difference between shuffling ids and shuffling documents.
+    // Drop over-full buckets: a band hash shared by > maxBucketSize docs
+    // carries no discriminative signal and would make the candidate join
+    // quadratic in the bucket size (the classic LSH hot-bucket blowup —
+    // on low-entropy corpora a single bucket can hold the whole corpus).
+    // The window shares the join's (band, band_hash) shuffle key.
+    val wB = Window.partitionBy(col("band"), col("band_hash"))
     val buckets = withSig
-      .select(col("id"), col("words"), explode(lshBands(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("words"), col("bk.band"), col("bk.band_hash"))
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+      .withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
     val a = buckets.as("a")
     val b = buckets.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.words").as("words_a"), col("b.words").as("words_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val words = withSig.select(col("id"), col("words"))
     cand
+      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
+      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
       .withColumn("jaccard", jaccardWords(col("words_a"), col("words_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -91,17 +126,27 @@ object Dedup {
     * hashes. Expressed with aggregate over 64 bit positions.
     * Near-dup detection = hamming distance on signatures ≤ radius.
     */
-  def simHash(text: Column): Column = {
-    val words = Text.wordSet(text)
-    val hashes = transform(words, w => xxhash64(w))
-    // for each bit i: count of words with bit set vs total -> majority vote
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column = simhashUdf(Text.wordSet(text))
+
+  /** One 64-bit hash per word, 64 per-bit majority votes — single pass
+    * (the expression form would rebuild the word array per bit). */
+  private val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((words: Seq[String]) => {
+      val votes = new Array[Int](64)
+      words.foreach { w =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(w, 0x5bd1e995).toLong & 0xffffffffL)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
+      sig
+    })
 
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -61,19 +61,33 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes (seeded per bit+dim via
-    * xxhash64 — reproducible across runs, no RNG state to ship). */
+    * deterministic pseudo-random hyperplanes (components derived from a
+    * seeded murmur3 of (bit, dim) — reproducible across runs, no RNG state
+    * to ship). The hyperplane matrix is built once on the driver and
+    * closure-shipped; the UDF does bits×dim multiply-adds per row in one
+    * pass (the expression form is a bits×dim-term tree that blows past
+    * codegen limits).
+    */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
-    val v = asDouble(vec)
-    val bitCols = (0 until bits).map { b =>
-      // hyperplane component h(b,i) in [-1,1): derived from xxhash64(b,i)
-      val proj = (0 until dim).map { i =>
-        val h = (xxhash64(lit(b * 131071 + i)).cast("double") / lit(Long.MaxValue.toDouble))
-        element_at(v, i + 1) * h
-      }.reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1L), b).cast("long")).otherwise(lit(0L))
+    val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (b, i) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+      h.toDouble / Int.MaxValue.toDouble // in [-1, 1]
     }
-    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val f = udf((v: Seq[Double]) => {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var proj = 0.0
+        val p = planes(b)
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { proj += v(i) * p(i); i += 1 }
+        if (proj >= 0) sig |= 1L << b
+        b += 1
+      }
+      sig
+    })
+    f(asDouble(vec))
   }
 
   /** IVF-style bucketed ANN: assign every corpus row a signature bucket;
