@@ -1,0 +1,191 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.domain.{Datamart, Schemas, Warehouse}
+
+/** Golden-fixture tests for the domain slice — the ScalaTest port of the
+  * reference's warehouse test idiom (tests/test_data_warehouse.py:78-347:
+  * hand fixtures incl. the four IN/OUT×internal/external transfer classes,
+  * exact expected frames).
+  */
+class DomainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
+
+  private val INTERNAL = "0x00000000000000000000000000000000000000aa"
+  private val EXTERNAL = "0x00000000000000000000000000000000000000bb"
+  private val COLLECTOR = "0x0000000000000000000000000000000000000c01"
+  private val ATOKEN = "0x000000000000000000000000000000000000ae01"
+
+  private lazy val marketChains = Seq(("ethereum_v3", "ethereum")).toDF("market", "chain")
+
+  private lazy val balances = Seq(
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 1000L, day(1), 100.0, 100.0),
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 2000L, day(2), 110.0, 105.0),
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 3000L, day(3), 125.0, 118.0)
+  ).toDF("market", "collector", "token", "symbol", "block_height", "block_day",
+    "balance", "scaled_balance")
+
+  // the four transfer quadrants on day 2 (test_data_warehouse.py fixture shape)
+  private lazy val transfers = Seq(
+    ("ethereum_v3", COLLECTOR, "IN", EXTERNAL, COLLECTOR, ATOKEN, "aUSDC", day(2), 5.0),
+    ("ethereum_v3", COLLECTOR, "IN", INTERNAL, COLLECTOR, ATOKEN, "aUSDC", day(2), 2.0),
+    ("ethereum_v3", COLLECTOR, "OUT", COLLECTOR, EXTERNAL, ATOKEN, "aUSDC", day(2), 1.0),
+    ("ethereum_v3", COLLECTOR, "OUT", COLLECTOR, INTERNAL, ATOKEN, "aUSDC", day(2), 3.0)
+  ).toDF("market", "transfers_collector", "transfers_transfer_type",
+    "transfers_from_address", "transfers_to_address", "transfers_contract_address",
+    "transfers_contract_symbol", "transfers_block_day", "transfers_amount_transferred")
+
+  private lazy val fees = Seq(
+    ("ethereum_v3", ATOKEN, "aUSDC", 1000L, day(1), 10.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", 2000L, day(2), 12.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", 3000L, day(3), 15.0)
+  ).toDF("market", "atoken", "atoken_symbol", "block_height", "block_day", "accrued_fees")
+
+  private lazy val mints = Seq(
+    ("ethereum_v3", ATOKEN, day(2), 1.0, 0.5)
+  ).toDF("market", "atoken", "block_day", "minted_to_treasury_amount", "minted_amount")
+
+  private lazy val internalAddresses = Seq(
+    ("ethereum", INTERNAL, "aave_internal", "Some Internal Contract"),
+    ("ethereum", COLLECTOR, "aave_internal", "Collector V3")
+  ).toDF("chain", "contract_address", "internal_external", "label")
+
+  private lazy val measures = Warehouse.atokenMeasuresByDay(
+    balances, transfers, fees, mints, internalAddresses, marketChains)
+
+  test("atokenMeasuresByDay: transfer quadrants, fee join, zero-fill") {
+    val rows = measures.orderBy("block_day").collect()
+    assert(rows.length == 3)
+    val d2 = measures.filter($"block_day" === day(2)).head()
+    assert(d2.getAs[Double]("tokens_in_external") == 5.0)
+    assert(d2.getAs[Double]("tokens_in_internal") == 2.0)
+    assert(d2.getAs[Double]("tokens_out_external") == 1.0)
+    assert(d2.getAs[Double]("tokens_out_internal") == 3.0)
+    assert(d2.getAs[Double]("accrued_fees") == 12.0)
+    assert(d2.getAs[Double]("minted_to_treasury_amount") == 1.0)
+    assert(d2.getAs[Double]("minted_amount") == 0.5)
+    assert(d2.getAs[String]("chain") == "ethereum")
+    // day 1: no transfers/mints → zero-filled, fees joined
+    val d1 = measures.filter($"block_day" === day(1)).head()
+    assert(d1.getAs[Double]("tokens_in_external") == 0.0)
+    assert(d1.getAs[Double]("minted_amount") == 0.0)
+    assert(d1.getAs[Double]("accrued_fees") == 10.0)
+  }
+
+  test("atokenMeasuresByDay: ethereum_v1 ETH symbol patched to WETH") {
+    val v1bal = Seq(("ethereum_v1", COLLECTOR, ATOKEN, "ETH", 1000L, day(1), 1.0, 1.0))
+      .toDF("market", "collector", "token", "symbol", "block_height", "block_day",
+        "balance", "scaled_balance")
+    val mc = Seq(("ethereum_v1", "ethereum")).toDF("market", "chain")
+    val got = Warehouse.atokenMeasuresByDay(
+      v1bal, Schemas.empty(spark, Schemas.atokenTransfers),
+      Schemas.empty(spark, Schemas.accruedFees),
+      Schemas.empty(spark, Schemas.mintedToTreasury),
+      internalAddresses, mc)
+    assert(got.head().getAs[String]("symbol") == "WETH")
+  }
+
+  private lazy val oraclePrices = Seq(
+    ("ethereum_v3", ATOKEN, "aUSDC", day(1), 2.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", day(2), 2.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", day(3), 3.0)
+  ).toDF("market", "reserve", "symbol", "block_day", "usd_price")
+
+  private lazy val financials = Datamart.allFinancials(
+    Datamart.FinancialsInputs.withDefaults(spark,
+      atokenMeasures = measures,
+      oraclePrices = Some(oraclePrices),
+      internalAddresses = Some(internalAddresses)))
+
+  test("allFinancials: lead pairing drops the newest day, 37-measure unpivot") {
+    // 3 input days → 2 surviving (day3 has no next day: all_financials.sql:191)
+    val days = financials.select("block_day").distinct()
+      .as[Timestamp].collect().toSet
+    assert(days == Set(day(1), day(2)))
+    // 37 measures per surviving entity-day
+    val perDay = financials.groupBy("block_day").count()
+      .as[(Timestamp, Long)].collect().toMap
+    assert(perDay(day(1)) == 37L && perDay(day(2)) == 37L)
+  }
+
+  test("allFinancials: derived measure golden values (day2→day3 pair)") {
+    def m(day2: Timestamp, name: String): Double =
+      financials.filter($"block_day" === day2 && $"measure" === name)
+        .head().getAs[Double]("value")
+    // atoken_interest d2 = end - (in_ext + in_int - liq_adj - minted + mintedTT)
+    //                      + out_ext + out_int - start
+    //                    = 125 - (5 + 2 - 0 - 0.5 + 1) + 1 + 3 - 110 = 11.5
+    assert(math.abs(m(day(2), "atoken_interest") - 11.5) < 1e-9)
+    // protocol_fees_accrued d2 = 15 - 12 + 1 = 4
+    assert(math.abs(m(day(2), "protocol_fees_accrued") - 4.0) < 1e-9)
+    // protocol_fees_received d2 = in_ext - liq_adj - minted = 5 - 0 - 0.5 = 4.5
+    assert(math.abs(m(day(2), "protocol_fees_received") - 4.5) < 1e-9)
+    // end_balance_usd d2 = 125 * 3.0 (end price)
+    assert(math.abs(m(day(2), "end_balance_usd") - 375.0) < 1e-9)
+    // price_change_usd d2 = (125 + 15) * (3 - 2) = 140
+    assert(math.abs(m(day(2), "price_change_usd") - 140.0) < 1e-9)
+    // ethereum_v3 is not a liq-adjust market → treasury spend = out_ext
+    assert(math.abs(m(day(2), "treasury_spend") - 1.0) < 1e-9)
+  }
+
+  test("allFinancials: liq_adjust applies per era rule table") {
+    val mc = Seq(("polygon_v3", "polygon")).toDF("market", "chain")
+    val bal = Seq(
+      ("polygon_v3", COLLECTOR, ATOKEN, "aUSDC", 1L, day(1), 100.0, 80.0),
+      ("polygon_v3", COLLECTOR, ATOKEN, "aUSDC", 2L, day(2), 110.0, 85.0)
+    ).toDF("market", "collector", "token", "symbol", "block_height", "block_day",
+      "balance", "scaled_balance")
+    val tr = Seq(
+      ("polygon_v3", COLLECTOR, "IN", EXTERNAL, COLLECTOR, ATOKEN, "aUSDC", day(1), 9.0)
+    ).toDF("market", "transfers_collector", "transfers_transfer_type",
+      "transfers_from_address", "transfers_to_address", "transfers_contract_address",
+      "transfers_contract_symbol", "transfers_block_day", "transfers_amount_transferred")
+    val meas = Warehouse.atokenMeasuresByDay(bal, tr,
+      Schemas.empty(spark, Schemas.accruedFees),
+      Schemas.empty(spark, Schemas.mintedToTreasury), internalAddresses, mc)
+    val fin = Datamart.allFinancials(
+      Datamart.FinancialsInputs.withDefaults(spark, atokenMeasures = meas))
+    // polygon_v3 day1 (<= 2023-05-06? no — 2024 > fix date) → NO adjust:
+    // protocol_fees_received = in_ext - 0 - 0 = 9
+    val got = fin.filter($"measure" === "protocol_fees_received").head().getAs[Double]("value")
+    assert(math.abs(got - 9.0) < 1e-9)
+  }
+
+  test("treasury chain: balances, by-chain rollup, totals") {
+    val withNames = Datamart.allFinancials(
+      Datamart.FinancialsInputs.withDefaults(spark,
+        atokenMeasures = measures,
+        oraclePrices = Some(oraclePrices),
+        internalAddresses = Some(internalAddresses),
+        displayNames = Some(Seq(
+          ("ethereum", "ethereum_v3", COLLECTOR, "Ethereum", "Ethereum V3")
+        ).toDF("chain", "market", "collector", "display_chain", "display_name")),
+        balanceGroups = Some(Seq(
+          ("ethereum_v3", ATOKEN, ATOKEN, "aUSDC", "Stablecoin", "stablecoin")
+        ).toDF("market", "atoken", "reserve", "atoken_symbol", "balance_group", "stable_class"))))
+    val balancesOut = Datamart.allTreasuryBalances(withNames)
+    // 3 balance measures × 2 surviving days, usd+native side by side
+    assert(balancesOut.count() == 6)
+    val d2end = balancesOut
+      .filter($"block_day" === day(2) && $"measure" === "end_balance").head()
+    assert(math.abs(d2end.getAs[Double]("value_usd") - 375.0) < 1e-9)
+    assert(math.abs(d2end.getAs[Double]("value_native") - 125.0) < 1e-9)
+
+    val byChain = Datamart.treasuryValueByChain(balancesOut)
+    // day shifted +1: day2 balances appear as day3 start-of-day
+    val d3 = byChain.filter($"block_day" === lit("2024-01-03").cast("date")).head()
+    // end_balance_usd 375 + end_accrued_fees_usd 15*3=45 = 420 (all stablecoin)
+    assert(math.abs(d3.getAs[Double]("value_usd") - 420.0) < 1e-9)
+    assert(math.abs(d3.getAs[Double]("stablecoin_value_usd") - 420.0) < 1e-9)
+
+    val totals = Datamart.treasuryTotals(balancesOut)
+    assert(totals.filter($"measure" === "total_treasury_value").count() == 2)
+
+    val revenue = Datamart.allRevenue(withNames)
+    // income measures: fees received/accrued + interest, usd + native, 2 days
+    assert(revenue.count() == 4)
+  }
+}
