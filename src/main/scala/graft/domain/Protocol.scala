@@ -1,0 +1,259 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Finance, Interp}
+import graft.operators.Relational
+
+/** Protocol-side warehouse + datamart ports: market state/config marts,
+  * token price resolution, reserve-factor income, the safety-module
+  * shortfall simulation, and streaming-payments summaries.
+  */
+object Protocol {
+
+  private val SecondsPerYear = 60L * 60 * 24 * 365
+
+  /** Port of `token_prices_by_day` (data_warehouse.py:500-524): multiple
+    * markets can price the same (chain, reserve, symbol, day); keep the one
+    * whose market has the lowest configured price_rank.
+    *
+    * The reference aggregates min(rank) then self-joins; here a single
+    * window min on the group key does it in one shuffle (SURVEY §2.4 J8).
+    */
+  def tokenPricesByDay(prices: DataFrame, marketChainRank: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chain"), col("reserve"), col("symbol"), col("block_day"))
+    prices
+      .join(broadcast(marketChainRank), Seq("market"), "left")
+      .withColumn("__min_rank", min(col("price_rank")).over(w))
+      .filter(col("price_rank") === col("__min_rank"))
+      .select(col("block_day"), col("chain"), col("reserve"), col("symbol"),
+        col("usd_price"), col("pricing_source"))
+      .distinct()
+  }
+
+  private def withApys(df: DataFrame): DataFrame = {
+    val n = lit(SecondsPerYear.toDouble)
+    df
+      .withColumn("deposit_apy", Finance.apyCompounded(col("liquidity_rate"), n))
+      .withColumn("variable_borrow_apy", Finance.apyCompounded(col("variable_borrow_rate"), n))
+      .withColumn("stable_borrow_apy", Finance.apyCompounded(col("stable_borrow_rate"), n))
+      .withColumn("av_stable_borrow_apy", Finance.apyCompounded(col("average_stable_rate"), n))
+  }
+
+  /** Port of `market_state_by_hour.sql` / `market_state_by_day.sql`: pass
+    * through the reserve state snapshot and derive the four APY columns
+    * from per-second rates (docs.aave.com compounding formula,
+    * market_state_by_hour.sql:21-24). `timeCol` is block_hour or block_day.
+    */
+  def marketState(protocolData: DataFrame, timeCol: String): DataFrame =
+    withApys(protocolData.withColumnRenamed("symbol", "atoken_symbol"))
+
+  /** Port of `market_config_by_hour.sql`: config snapshot per hour with the
+    * daily emode config carried onto hourly rows by a forward-fill window
+    * (`last_value ignore nulls`, ROWS frame — SURVEY §7.4(5)). */
+  def marketConfigByHour(protocolData: DataFrame, emodeConfig: DataFrame): DataFrame = {
+    val emode = emodeConfig.select(
+      col("block_day").as("e_day"), col("market").as("e_market"),
+      col("reserve_emode_category").as("e_cat"),
+      col("emode_category_name"), col("emode_ltv"),
+      col("emode_liquidation_bonus"), col("emode_liquidation_threshold"))
+    val joined = protocolData
+      .withColumn("block_day", date_trunc("day", col("block_hour")))
+      .join(broadcast(emode),
+        date_trunc("day", col("block_hour")) === col("e_day") &&
+          col("market") === col("e_market") &&
+          col("reserve_emode_category") === col("e_cat"), "left")
+      .drop("e_day", "e_market", "e_cat")
+      .withColumnRenamed("symbol", "atoken_symbol")
+    Relational.ffill(joined,
+      partitionCols = Seq("market", "atoken_symbol"),
+      orderCols = Seq("block_hour"),
+      fillCols = Seq("emode_category_name", "emode_ltv",
+        "emode_liquidation_bonus", "emode_liquidation_threshold"))
+  }
+
+  /** Port of `market_state_by_time.sql`: union the hourly and daily grains
+    * into one time axis, dedup exact overlaps, attach chain/reserve dims
+    * and day-grain USD prices. */
+  def marketStateByTime(stateByHour: DataFrame, stateByDay: DataFrame,
+                        chainsMarkets: DataFrame, atokens: DataFrame,
+                        oraclePrices: DataFrame): DataFrame = {
+    val hourly = stateByHour.withColumnRenamed("block_hour", "block_time")
+    val daily = stateByDay.withColumnRenamed("block_day", "block_time")
+    val unioned = hourly.unionByName(daily, allowMissingColumns = true).distinct()
+    val cm = broadcast(chainsMarkets
+      .select(col("market").as("c_market"), col("chain"), col("display_chain"),
+        col("display_market")))
+    val at = broadcast(atokens
+      .select(col("market").as("a_market"), col("reserve").as("a_reserve"),
+        col("reserve_symbol")))
+    val p = oraclePrices.select(col("market").as("p_market"),
+      col("reserve").as("p_reserve"), col("block_day").as("p_day"), col("usd_price"))
+    unioned
+      .join(cm, col("market") === col("c_market"), "left").drop("c_market")
+      .join(at, col("market") === col("a_market") &&
+        col("reserve") === col("a_reserve"), "left").drop("a_market", "a_reserve")
+      .join(p, date_trunc("day", col("block_time")) === col("p_day") &&
+        col("reserve") === col("p_reserve") && col("market") === col("p_market"), "left")
+      .drop("p_market", "p_reserve", "p_day")
+      .withColumn("deposits_usd", col("atoken_supply") * col("usd_price"))
+      .withColumn("stable_debt_usd", col("stable_debt") * col("usd_price"))
+      .withColumn("variable_debt_usd", col("variable_debt") * col("usd_price"))
+  }
+
+  /** Port of `reserve_factor_income_by_day.sql`: daily protocol income from
+    * borrow interest × reserve factor. */
+  def reserveFactorIncomeByDay(configByDay: DataFrame, stateByDay: DataFrame,
+                               chainsMarkets: DataFrame, oraclePrices: DataFrame): DataFrame = {
+    val state = stateByDay.select(
+      col("block_day").as("s_day"), col("market").as("s_market"),
+      col("atoken_symbol").as("s_symbol"),
+      col("variable_borrow_rate"), col("variable_debt"),
+      col("stable_borrow_rate"), col("stable_debt"))
+    val cm = broadcast(chainsMarkets
+      .select(col("market").as("c_market"), col("chain"), col("display_chain"),
+        col("display_market")))
+    val p = oraclePrices.select(col("market").as("p_market"),
+      col("reserve").as("p_reserve"), col("block_day").as("p_day"), col("usd_price"))
+    configByDay
+      .join(state, col("block_day") === col("s_day") &&
+        col("market") === col("s_market") &&
+        col("atoken_symbol") === col("s_symbol"), "inner")
+      .drop("s_day", "s_market", "s_symbol")
+      .join(cm, col("market") === col("c_market"), "left").drop("c_market")
+      .join(p, col("market") === col("p_market") && col("reserve") === col("p_reserve") &&
+        col("block_day") === col("p_day"), "left")
+      .drop("p_market", "p_reserve", "p_day")
+      .withColumn("variable_debt_protocol_income",
+        col("variable_debt") * col("variable_borrow_rate") / 365 * col("reserve_factor"))
+      .withColumn("stable_debt_protocol_income",
+        col("stable_debt") * col("stable_borrow_rate") / 365 * col("reserve_factor"))
+      .withColumn("total_income_usd",
+        (col("variable_debt_protocol_income") + col("stable_debt_protocol_income")) *
+          col("usd_price"))
+  }
+
+  /** Port of `shortfall_simulation` (protocol_data_warehouse.py:484-571):
+    * the one aggregate-to-model asset. Per day:
+    *   1. dedup the append-only liquidity-depth feed to its first fetch
+    *      (min fetch_time per day — the K2 append-sink's downstream half);
+    *   2. keep only rows where the implied to-amount is monotonically
+    *      increasing (lag + diff filter);
+    *   3. fit natural cubic splines (from→to, to→from, from→impact) on the
+    *      collected curve;
+    *   4. cross-join a bad-debt sweep grid and evaluate the splines.
+    *
+    * Spline fitting runs on `collect_list`-per-day arrays — group sizes are
+    * bounded by the sweep grid (~100 points) regardless of corpus size, so
+    * this stays distributed-safe at any scale (SURVEY §7.4(7)).
+    */
+  def shortfallSimulation(liquidityDepth: DataFrame, smStakedValue: DataFrame,
+                          badDebtGrid: Seq[Double] =
+                            (1 to 99).map(_ * 1e6) ++ (1 to 5).map(_ * 1e8)): DataFrame = {
+    val spark = liquidityDepth.sparkSession
+    import spark.implicits._
+
+    val smTotals = smStakedValue
+      .groupBy(col("block_day"))
+      .agg(sum(col("staked_value_usd")).as("staked_value_usd"))
+      .withColumn("sm_coverage", col("staked_value_usd") * 0.3)
+
+    // 1. first-fetch dedup (protocol_data_warehouse.py:514-518)
+    val byDay = liquidityDepth.withColumn("block_day", date_trunc("day", col("fetch_time")))
+    val wDay = Window.partitionBy(col("block_day"))
+    val firstFetch = byDay
+      .withColumn("__min_fetch", min(col("fetch_time")).over(wDay))
+      .filter(col("fetch_time") === col("__min_fetch"))
+      .select(col("block_day"), col("from_amount_usd"), col("to_amount_usd"),
+        col("price_impact"))
+      .withColumn("to_amount_aaveweth",
+        col("from_amount_usd") * (lit(1.0) - col("price_impact")) * 0.9 +
+          col("from_amount_usd") * 0.1)
+
+    // 2. monotonic filter (protocol_data_warehouse.py:529-534)
+    val wCurve = Window.partitionBy(col("block_day")).orderBy(col("from_amount_usd"))
+    val monotonic = firstFetch
+      .withColumn("__prev", coalesce(lag(col("to_amount_aaveweth"), 1).over(wCurve), lit(0.0)))
+      .filter(col("to_amount_aaveweth") - col("__prev") >= 0)
+      .drop("__prev")
+
+    // 3. collect the curve per day (sorted by x), fit splines lazily at eval
+    val curves = monotonic
+      .groupBy(col("block_day"))
+      .agg(sort_array(collect_list(struct(
+        col("from_amount_usd"), col("to_amount_aaveweth"), col("price_impact")))).as("pts"))
+      .select(col("block_day"),
+        col("pts.from_amount_usd").as("xs_from"),
+        col("pts.to_amount_aaveweth").as("ys_to"),
+        col("pts.price_impact").as("ys_impact"))
+
+    // 4. sweep grid cross join + spline evaluation
+    val grid = badDebtGrid.toDF("bad_debt")
+    val evalOne = udf((xs: Seq[Double], ys: Seq[Double], q: Double) =>
+      Interp.splineEval(xs.toArray, ys.toArray, Array(q))(0))
+
+    curves
+      .join(smTotals, Seq("block_day"), "left")
+      .withColumn("max_cap", evalOne(col("xs_from"), col("ys_to"), col("sm_coverage")))
+      .crossJoin(broadcast(grid))
+      .withColumn("naive_sales", evalOne(col("xs_from"), col("ys_to"), col("bad_debt")))
+      .withColumn("sale_required_for_bad_debt",
+        evalOne(col("ys_to"), col("xs_from"), col("bad_debt")))
+      .withColumn("aave_sold_usd", col("bad_debt") * 0.9)
+      .withColumn("aave_price_impact",
+        evalOne(col("xs_from"), col("ys_impact"), col("aave_sold_usd")))
+      .withColumn("overhang",
+        when(col("bad_debt") < col("max_cap"), lit(0.0))
+          .otherwise(col("bad_debt") - col("max_cap")))
+      .select(col("block_day"), col("staked_value_usd"), col("sm_coverage"),
+        col("max_cap"), col("bad_debt"), col("naive_sales"),
+        col("sale_required_for_bad_debt"), col("aave_sold_usd"),
+        col("aave_price_impact"), col("overhang"))
+  }
+
+  /** Port of `streaming_payments_summary.sql`'s PIVOT block: per-stream
+    * rollup pivoted by symbol with five aggregations and deterministic
+    * `<symbol>_<agg>` column names (SURVEY §7.4(4) naming fix). */
+  def streamingPaymentsSummary(detail: DataFrame,
+                               symbols: Seq[String] = Seq("AAVE", "aDAI", "aUSDC", "aUSDT")): DataFrame = {
+    val keys = Seq("vendor_label", "stream_label", "term", "proposal_id",
+      "proposal_url", "stream_create_date", "stream_start_time", "stream_stop_time")
+    val rolled = detail.groupBy((keys :+ "symbol").map(col): _*)
+      .agg(
+        sum(col("total_payment_native")).as("stream_amount"),
+        sum(col("unvested_native")).as("remaining_amount"),
+        sum(col("upfront_native")).as("upfront_native"),
+        sum(col("bonus_native")).as("bonus_native"),
+        avg(col("usd_price")).as("usd_price"))
+    val pivoted = Relational.pivotAgg(rolled, keys, "symbol", symbols,
+      Seq(
+        "stream_amount" -> sum(col("stream_amount")),
+        "remaining_amount" -> sum(col("remaining_amount")),
+        "upfront_native" -> sum(col("upfront_native")),
+        "bonus_native" -> sum(col("bonus_native")),
+        "usd_price" -> avg(col("usd_price"))))
+    symbols.foldLeft(pivoted) { (d, s) =>
+      d.na.fill(0.0, Seq(s"${s}_stream_amount", s"${s}_remaining_amount",
+          s"${s}_upfront_native", s"${s}_bonus_native", s"${s}_usd_price"))
+        .withColumn(s"${s}_total_contract_amount",
+          col(s"${s}_stream_amount") + col(s"${s}_upfront_native") + col(s"${s}_bonus_native"))
+    }
+  }
+
+  /** Port of the `sm_token_holder_distro.sql` bucket histogram: holders
+    * bucketed into balance bands, count + sum per band (SURVEY §2.5 A10). */
+  def tokenHolderDistro(holders: DataFrame,
+                        bands: Seq[(String, Double)] = Seq(
+                          "0_to_1" -> 1.0, "1_to_10" -> 10.0, "10_to_100" -> 100.0,
+                          "100_to_1k" -> 1000.0, "1k_to_10k" -> 10000.0)): DataFrame = {
+    val bucket = bands.foldRight(lit("over_" + bands.last._2.toLong): org.apache.spark.sql.Column) {
+      case ((name, ub), acc) => when(col("balance") < ub, name).otherwise(acc)
+    }
+    holders
+      .withColumn("balance_band", bucket)
+      .groupBy(col("block_day"), col("balance_band"))
+      .agg(count(lit(1)).as("n_holders"), sum(col("balance")).as("total_balance"))
+  }
+}

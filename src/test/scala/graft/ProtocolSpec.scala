@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.domain.Protocol
+
+class ProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
+  private def hour(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-0$d%d $h%02d:00:00")
+
+  test("tokenPricesByDay keeps the lowest-rank market per (chain,reserve,day)") {
+    val prices = Seq(
+      ("ethereum_v2", "0xres1", "USDC", day(1), 1.00, "chainlink"),
+      ("ethereum_v3", "0xres1", "USDC", day(1), 1.01, "chainlink"),
+      ("polygon_v3", "0xres2", "WMATIC", day(1), 0.80, "chainlink")
+    ).toDF("market", "reserve", "symbol", "block_day", "usd_price", "pricing_source")
+    val ranks = Seq(
+      ("ethereum_v2", "ethereum", 2L), ("ethereum_v3", "ethereum", 1L),
+      ("polygon_v3", "polygon", 1L)
+    ).toDF("market", "chain", "price_rank")
+    val got = Protocol.tokenPricesByDay(prices, ranks)
+    assert(got.count() == 2)
+    val usdc = got.filter($"symbol" === "USDC").head()
+    assert(usdc.getAs[Double]("usd_price") == 1.01) // v3 has rank 1 < v2's 2
+  }
+
+  test("marketState derives the four APYs from per-second rates") {
+    val n = 60.0 * 60 * 24 * 365
+    val state = Seq(("ethereum_v3", "0xr", "aWETH", day(1), 0.05, 0.07, 0.09, 0.08))
+      .toDF("market", "reserve", "symbol", "block_day",
+        "liquidity_rate", "variable_borrow_rate", "stable_borrow_rate", "average_stable_rate")
+    val got = Protocol.marketState(state, "block_day").head()
+    assert(math.abs(got.getAs[Double]("deposit_apy") -
+      (math.pow(1 + 0.05 / n, n) - 1)) < 1e-12)
+    assert(math.abs(got.getAs[Double]("variable_borrow_apy") -
+      (math.pow(1 + 0.07 / n, n) - 1)) < 1e-12)
+  }
+
+  test("marketConfigByHour forward-fills daily emode config onto hourly rows") {
+    val pd = Seq(
+      ("ethereum_v3", "aWETH", hour(1, 0), 1L),
+      ("ethereum_v3", "aWETH", hour(1, 1), 1L),
+      ("ethereum_v3", "aWETH", hour(2, 0), 1L)
+    ).toDF("market", "symbol", "block_hour", "reserve_emode_category")
+    // emode config exists only for day 1 → hours on day 2 carry it forward
+    val emode = Seq((day(1), "ethereum_v3", 1L, "ETH correlated", 0.93, 1.01, 0.95))
+      .toDF("block_day", "market", "reserve_emode_category",
+        "emode_category_name", "emode_ltv", "emode_liquidation_bonus",
+        "emode_liquidation_threshold")
+    val got = Protocol.marketConfigByHour(pd, emode).orderBy("block_hour")
+      .select($"block_hour", $"emode_category_name").collect()
+    assert(got.forall(_.getString(1) == "ETH correlated"),
+      got.map(r => s"${r.get(0)}=${r.get(1)}").mkString(", "))
+  }
+
+  test("shortfallSimulation: dedup to first fetch, monotonic filter, spline sweep") {
+    // two fetches on day1; only the 10:00 one must survive
+    def depth(ts: Timestamp, scale: Double) = Seq(
+      (ts, 1e6 * scale, 0.99e6 * scale, 0.01),
+      (ts, 2e6 * scale, 1.90e6 * scale, 0.05),
+      (ts, 4e6 * scale, 3.40e6 * scale, 0.15),
+      (ts, 8e6 * scale, 5.60e6 * scale, 0.30)
+    )
+    val liq = (depth(Timestamp.valueOf("2024-01-01 10:00:00"), 1.0) ++
+      depth(Timestamp.valueOf("2024-01-01 22:00:00"), 999.0))
+      .toDF("fetch_time", "from_amount_usd", "to_amount_usd", "price_impact")
+    val sm = Seq((day(1), 2e6)).toDF("block_day", "staked_value_usd")
+    val got = Protocol.shortfallSimulation(liq, sm, badDebtGrid = Seq(1e6, 3e6))
+    val rows = got.orderBy("bad_debt").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[Double]("sm_coverage") == 6e5)
+    // spline(from→to) at 1e6 must hit the knot exactly: to = 0.9*0.99e6*... no:
+    // to_amount_aaveweth = 1e6*(1-0.01)*0.9 + 1e6*0.1 = 0.991e6
+    assert(math.abs(r.getAs[Double]("naive_sales") - 0.991e6) < 1e-6,
+      s"naive_sales=${r.getAs[Double]("naive_sales")}")
+    // the 22:00 fetch (scale 999) must not leak in: values stay ~1e6-scale
+    assert(r.getAs[Double]("naive_sales") < 1e8)
+    assert(r.getAs[Double]("overhang") >= 0.0)
+  }
+
+  test("streamingPaymentsSummary pivots with deterministic names + totals") {
+    val detail = Seq(
+      ("V1", "s1", "12m", 1L, "url", day(1), day(1), day(3), "AAVE", 100.0, 40.0, 10.0, 5.0, 90.0),
+      ("V1", "s1", "12m", 1L, "url", day(1), day(1), day(3), "aUSDC", 200.0, 80.0, 0.0, 0.0, 1.0)
+    ).toDF("vendor_label", "stream_label", "term", "proposal_id", "proposal_url",
+      "stream_create_date", "stream_start_time", "stream_stop_time", "symbol",
+      "total_payment_native", "unvested_native", "upfront_native", "bonus_native", "usd_price")
+    val got = Protocol.streamingPaymentsSummary(detail)
+    assert(got.count() == 1)
+    val r = got.head()
+    assert(r.getAs[Double]("AAVE_stream_amount") == 100.0)
+    assert(r.getAs[Double]("AAVE_total_contract_amount") == 115.0)
+    assert(r.getAs[Double]("aUSDC_total_contract_amount") == 200.0)
+    assert(r.getAs[Double]("aUSDT_stream_amount") == 0.0) // absent symbol zero-filled
+  }
+
+  test("tokenHolderDistro buckets balances into bands") {
+    val holders = Seq(
+      (day(1), "0xa", 0.5), (day(1), "0xb", 5.0), (day(1), "0xc", 50.0),
+      (day(1), "0xd", 20000.0)
+    ).toDF("block_day", "holder", "balance")
+    val got = Protocol.tokenHolderDistro(holders)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("0_to_1" -> 1L, "1_to_10" -> 1L, "10_to_100" -> 1L,
+      "over_10000" -> 1L))
+  }
+}
