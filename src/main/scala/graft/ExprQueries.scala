@@ -29,6 +29,33 @@ object ExprQueries {
         .filter($"l_discount" > 0.05 && $"l_returnflag".isin("A", "R"))
     }),
 
+    // P2+P3: column rename + drop (helpers.py:68-77; data_lake.py:1055)
+    "p2_rename_drop" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .withColumnRenamed("n_name", "nation_name")
+        .drop("n_comment")
+        .select($"n_nationkey", $"nation_name", $"n_regionkey")
+    }),
+
+    // P5: string-expression predicate (protocol_data_lake.py:649 query())
+    "p5_expr_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter(expr("l_quantity > 45 AND l_discount <= 0.02"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+    }),
+
+    // P9: date-range + IN-list WHERE (sm_covered_markets_tvl_by_day.sql:8-64)
+    "p9_range_inlist" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderdate".between(lit("1996-01-01").cast("timestamp"),
+                                       lit("1996-12-31").cast("timestamp")) &&
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    }),
+
     // P7: null creation + na.fill (data_lake.py:978,1030; helpers.py:232)
     "p7_null_handling" -> ((s, dir) => {
       import s.implicits._
@@ -300,6 +327,18 @@ object ExprQueries {
           get_json_object($"props", "$.k").cast("long").as("k"))
     }),
 
+    // E9: inline constant table + join (sm_token_holder_distro.sql:56-69
+    // unnest-of-structs → Seq.toDF / stack)
+    "e9_inline_table" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("AMERICA", 1.1), ("ASIA", 1.25), ("EUROPE", 1.0),
+        ("AFRICA", 1.3), ("MIDDLE EAST", 1.2)).toDF("r_name", "weight")
+      t(s, dir, "region")
+        .join(broadcast(bands), Seq("r_name"), "left")
+        .select($"r_regionkey", $"r_name", coalesce($"weight", lit(1.0)).as("weight"))
+    }),
+
     // A5: aggregate-to-model — natural cubic spline per group, evaluated on
     // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
     // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
@@ -325,6 +364,21 @@ object ExprQueries {
     "p1_project_filter_isin" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
          FROM lineitem WHERE l_discount > 0.05 AND l_returnflag IN ('A','R')""",
+    "p2_rename_drop" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation""",
+    "p5_expr_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity > 45 AND l_discount <= 0.02""",
+    "p9_range_inlist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    "e9_inline_table" ->
+      """SELECT r_regionkey, r_name, coalesce(b.weight, 1.0) AS weight
+         FROM region
+         LEFT JOIN (VALUES ('AMERICA', 1.1), ('ASIA', 1.25), ('EUROPE', 1.0),
+                           ('AFRICA', 1.3), ('MIDDLE EAST', 1.2)) b(r_name, weight)
+         USING (r_name)""",
     "p7_null_handling" ->
       """SELECT c_custkey,
          CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE -1.0 END AS pos_bal,
