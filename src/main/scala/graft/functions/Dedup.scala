@@ -40,18 +40,33 @@ object Dedup {
     * calls), the optimal work for this signature.
     */
   def minHashSignature(text: Column, n: Int = 2, k: Int = 64): Column =
-    minhashUdf(k)(Text.wordNgrams(text, n))
+    minhashUdf(n, k)(split(Text.normalize(text), " "))
 
-  private def minhashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((shingles: Seq[String]) => {
+  /** Builds shingles AND the signature in one row pass: the Catalyst
+    * ngram form (sequence+transform+slice+concat_ws) costs more than the
+    * whole rest of the near-dup pipeline at corpus scale. */
+  private def minhashUdf(n: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((words: Seq[String]) => {
       val sig = Array.fill(k)(Int.MaxValue)
-      shingles.foreach { s =>
+      val w = words.toArray
+      val m = math.max(w.length - (n - 1), 1)
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var t = 0
+        while (t < n && j + t < w.length) {
+          if (t > 0) sb.append(' ')
+          sb.append(w(j + t)); t += 1
+        }
+        val s = sb.toString
         var i = 0
         while (i < k) {
           val h = scala.util.hashing.MurmurHash3.stringHash(s, i)
           if (h < sig(i)) sig(i) = h
           i += 1
         }
+        j += 1
       }
       sig.toSeq
     })
