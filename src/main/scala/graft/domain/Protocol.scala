@@ -242,6 +242,45 @@ object Protocol {
     }
   }
 
+  /** Port of `inv_lst_performance_base.sql`: liquid-staking-token treasury
+    * performance — balances joined to liquidity rates and prices (own +
+    * ETH numeraire), lead-paired per (market, symbol), daily earnings in
+    * native/USD/ETH units. */
+  def lstPerformanceBase(balances: DataFrame, rates: DataFrame,
+                         prices: DataFrame, ethPrices: DataFrame): DataFrame = {
+    val r = rates.select(col("block_day").as("r_day"), col("market").as("r_market"),
+      col("symbol").as("r_symbol"), col("liquidity_rate"))
+    val p = prices.select(col("block_day").as("p_day"), col("market").as("p_market"),
+      col("reserve").as("p_reserve"), col("usd_price"))
+    val e = broadcast(ethPrices.select(col("block_day").as("e_day"),
+      col("usd_price").as("eth_usd")))
+    val w = Window.partitionBy(col("market"), col("symbol")).orderBy(col("block_day"))
+    balances
+      .join(r, col("block_day") === col("r_day") && col("market") === col("r_market") &&
+        col("symbol") === col("r_symbol"), "left")
+      .join(p, col("block_day") === col("p_day") && col("market") === col("p_market") &&
+        col("reserve") === col("p_reserve"), "left")
+      .join(e, col("block_day") === col("e_day"), "left")
+      .drop("r_day", "r_market", "r_symbol", "p_day", "p_market", "p_reserve", "e_day")
+      .withColumn("liquidity_rate", coalesce(col("liquidity_rate"), lit(0.0)))
+      .withColumn("end_balance_native", lead(col("balance"), 1).over(w))
+      .withColumn("end_usd_price", lead(col("usd_price"), 1).over(w))
+      .withColumn("end_eth_usd", lead(col("eth_usd"), 1).over(w))
+      .withColumn("balance_usd", col("balance") * col("usd_price"))
+      .withColumn("balance_eth", col("balance") * col("usd_price") / col("eth_usd"))
+      .withColumn("earnings_native", col("balance") * col("liquidity_rate") / 365)
+      .withColumn("earnings_usd", col("earnings_native") * col("usd_price"))
+      .withColumn("earnings_eth", col("earnings_usd") / col("eth_usd"))
+      .withColumnRenamed("balance", "balance_native")
+  }
+
+  /** Port of `sm_cost_of_cover_by_day.sql`: annualized emission cost over
+    * total cover, a ratio-of-sums aggregate (SURVEY §2.5 A7). */
+  def smCostOfCoverByDay(smTotals: DataFrame): DataFrame =
+    smTotals.groupBy(col("block_day"))
+      .agg((sum(col("emission_usd_per_day")) * 365 / sum(col("safety_module_cover")))
+        .as("annual_cost_of_cover_percent"))
+
   /** Port of the `sm_token_holder_distro.sql` bucket histogram: holders
     * bucketed into balance bands, count + sum per band (SURVEY §2.5 A10). */
   def tokenHolderDistro(holders: DataFrame,

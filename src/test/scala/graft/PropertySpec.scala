@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Finance, Interp}
+import graft.operators.Relational
+
+/** Property tests for invariants the reference encodes implicitly
+  * (SURVEY §5 port strategy). Driver-side generators; Spark evaluates.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic seeded generator loop (the offline cache has no
+  // scalatest+scalacheck bridge; plain FunSuite + seeded Random keeps the
+  // property idiom reproducible)
+  private val rnd = new scala.util.Random(42)
+  private def trials(n: Int)(body: => Unit): Unit = (1 to n).foreach(_ => body)
+
+  test("melt row count = measures × wide rows; values survive the unpivot") {
+    trials(8) {
+      val nMeasures = 1 + rnd.nextInt(8)
+      val nRows = 1 + rnd.nextInt(20)
+      val measures = (1 to nMeasures).map(i => s"m$i")
+      val df = (1 to nRows).map(i => (i.toLong, i * 1.5)).toDF("id", "m1")
+        .select(col("id") +: measures.map(m => (col("m1") * 1.0).as(m)): _*)
+      val long = Relational.melt(df, Seq("id"), measures)
+      assert(long.count() == nMeasures.toLong * nRows)
+    }
+  }
+
+  test("vested + unvested = deposit for any stream point (data_lake.py:1709-1712)") {
+    trials(10) {
+      val t = rnd.nextDouble() * 100.0
+      val dur = 1.0 + rnd.nextDouble() * 49.0
+      val dep = 0.1 + rnd.nextDouble() * 1e6
+      val start = 10.0; val stop = start + dur
+      val r = Seq((t, start, stop, dep)).toDF("t", "start", "stop", "dep")
+        .select(
+          Finance.vestedAmount($"t", $"start", $"stop", $"dep").as("vested"),
+          ($"dep" - Finance.vestedAmount($"t", $"start", $"stop", $"dep")).as("unvested"))
+        .head()
+      val vested = r.getDouble(0)
+      assert(vested >= -1e-9 && vested <= dep + 1e-9)
+      assert(math.abs(vested + r.getDouble(1) - dep) < 1e-6)
+    }
+  }
+
+  test("dedupKeepLast is idempotent (O2)") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 2, 3.0), ("b", 1, 4.0))
+      .toDF("k", "seq", "v")
+    val once = Relational.dedupKeepLast(df, Seq("k"), Seq("seq"))
+    val twice = Relational.dedupKeepLast(once, Seq("k"), Seq("seq"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("jaccard is symmetric, bounded [0,1], and 1 iff equal sets") {
+    val alphabet = Seq("a", "b", "c", "d", "e", "f")
+    trials(10) {
+      val xs = List.fill(8)(alphabet(rnd.nextInt(alphabet.length)))
+      val ys = List.fill(8)(alphabet(rnd.nextInt(alphabet.length)))
+      val df = Seq((xs.distinct, ys.distinct)).toDF("x", "y")
+      val r = df.select(
+        Dedup.jaccardWords($"x", $"y"), Dedup.jaccardWords($"y", $"x")).head()
+      val (j1, j2) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(j1 - j2) < 1e-12)
+      assert(j1 >= 0.0 && j1 <= 1.0)
+      if (xs.distinct.toSet == ys.distinct.toSet && xs.nonEmpty)
+        assert(math.abs(j1 - 1.0) < 1e-12)
+    }
+  }
+
+  test("spline interpolates exactly at knots for random curves") {
+    trials(20) {
+      val ys = Array.fill(6)(rnd.nextDouble() * 200.0 - 100.0)
+      val xs = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+      val got = Interp.splineEval(xs, ys, xs)
+      xs.indices.foreach(i => assert(math.abs(got(i) - ys(i)) < 1e-9))
+    }
+  }
+
+  test("unionPadded output column set = union of inputs; row count = sum") {
+    val a = Seq((1L, 1.0)).toDF("id", "x")
+    val b = Seq((2L, 2.0), (3L, 3.0)).toDF("id", "y")
+    val c = Seq((4L, 4.0)).toDF("id", "z")
+    val got = Relational.unionPadded(Seq(a, b, c))
+    assert(got.columns.toSet == Set("id", "x", "y", "z"))
+    assert(got.count() == 4)
+  }
+}
+
+class RunnerSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.runner.Runner
+
+  test("idempotent partition re-run replaces only its own partition") {
+    val out = java.nio.file.Files.createTempDirectory("graft_runner").toString
+    val job = Runner.Job("balances", out)((s, p) => {
+      import s.implicits._
+      val mult = p.asInstanceOf[Runner.DailyByMarket].market.length.toDouble
+      Seq(("0xtok", 100.0 * mult)).toDF("token", "balance")
+    })
+    Runner.backfill(spark, job, Seq(
+      Runner.DailyByMarket("2024-01-01", "ethereum_v3"),
+      Runner.DailyByMarket("2024-01-01", "polygon_v3"),
+      Runner.DailyByMarket("2024-01-02", "ethereum_v3")))
+    assert(spark.read.parquet(out).count() == 3)
+    // re-run one partition; others untouched, no duplicates
+    Runner.run(spark, job, Runner.DailyByMarket("2024-01-01", "ethereum_v3"))
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3)
+    assert(got.select("date").distinct().count() == 2)
+  }
+
+  test("append-only job accumulates snapshots") {
+    val out = java.nio.file.Files.createTempDirectory("graft_runner2").toString
+    val job = Runner.Job("liquidity_depth", out, appendOnly = true)((s, _) => {
+      import s.implicits._
+      Seq((1e6, 0.99e6)).toDF("from_usd", "to_usd")
+    })
+    Runner.run(spark, job, Runner.Daily("2024-01-01"))
+    Runner.run(spark, job, Runner.Daily("2024-01-01"))
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}

@@ -97,6 +97,36 @@ class ProtocolSpec extends SparkSpec {
     assert(r.getAs[Double]("aUSDT_stream_amount") == 0.0) // absent symbol zero-filled
   }
 
+  test("lstPerformanceBase: earnings math + lead pairing") {
+    val bal = Seq((day(1), "ethereum_v2", "0xwsteth", "wstETH", 100.0),
+                  (day(2), "ethereum_v2", "0xwsteth", "wstETH", 101.0))
+      .toDF("block_day", "market", "reserve", "symbol", "balance")
+    val rates = Seq((day(1), "ethereum_v2", "wstETH", 0.0365))
+      .toDF("block_day", "market", "symbol", "liquidity_rate")
+    val prices = Seq((day(1), "ethereum_v2", "0xwsteth", 2000.0),
+                     (day(2), "ethereum_v2", "0xwsteth", 2100.0))
+      .toDF("block_day", "market", "reserve", "usd_price")
+    val eth = Seq((day(1), 1800.0), (day(2), 1850.0)).toDF("block_day", "usd_price")
+    val got = Protocol.lstPerformanceBase(bal, rates, prices, eth)
+      .filter($"block_day" === day(1)).head()
+    assert(math.abs(got.getAs[Double]("earnings_native") - 100.0 * 0.0365 / 365) < 1e-12)
+    assert(got.getAs[Double]("end_balance_native") == 101.0)
+    assert(got.getAs[Double]("end_usd_price") == 2100.0)
+    assert(math.abs(got.getAs[Double]("balance_eth") - 100.0 * 2000.0 / 1800.0) < 1e-9)
+    // day2 has no rate row → coalesced to 0
+    val d2 = Protocol.lstPerformanceBase(bal, rates, prices, eth)
+      .filter($"block_day" === day(2)).head()
+    assert(d2.getAs[Double]("earnings_native") == 0.0)
+  }
+
+  test("smCostOfCoverByDay: ratio of sums") {
+    val totals = Seq((day(1), 100.0, 365000.0), (day(1), 50.0, 365000.0))
+      .toDF("block_day", "emission_usd_per_day", "safety_module_cover")
+    val got = Protocol.smCostOfCoverByDay(totals).head()
+    assert(math.abs(got.getAs[Double]("annual_cost_of_cover_percent") -
+      150.0 * 365 / 730000.0) < 1e-12)
+  }
+
   test("tokenHolderDistro buckets balances into bands") {
     val holders = Seq(
       (day(1), "0xa", 0.5), (day(1), "0xb", 5.0), (day(1), "0xc", 50.0),
