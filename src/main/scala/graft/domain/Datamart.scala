@@ -415,6 +415,14 @@ object Datamart {
       .select(col("block_day"), col("measure"), col("value_usd"))
   }
 
+  /** Port of `stablecoin_totals.sql`: stablecoin treasury value per
+    * balance group per day. */
+  def stablecoinTotals(balances: DataFrame): DataFrame =
+    balances
+      .filter(col("stable_class") === "stablecoin")
+      .groupBy(col("block_day"), col("balance_group").as("stablecoin_group"))
+      .agg(sum(col("value_usd")).as("value_usd"))
+
   /** Port of `all_revenue.sql`: income measures rolled up per token/day. */
   def allRevenue(financials: DataFrame): DataFrame =
     financials

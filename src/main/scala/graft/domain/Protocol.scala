@@ -242,6 +242,39 @@ object Protocol {
     }
   }
 
+  /** Port of `asset_tvl_by_day.sql`: per-reserve deposits/loans/TVL with
+    * USD conversion — a filtered-subquery price join (SURVEY §2.4 J6: gas
+    * pseudo-tokens are excluded from the price feed before joining) over
+    * the market-state mart. */
+  def assetTvlByDay(stateByDay: DataFrame, displayNames: DataFrame,
+                    tokenPrices: DataFrame,
+                    excludedSymbols: Seq[String] = Seq("ETH", "MATIC", "AVAX", "ONE", "FTM"),
+                    excludedDisplayNames: Seq[String] = Seq(
+                      "Ecosystem Reserve", "Incentives Controller V2", "Paraswap Fee Claimer")
+                   ): DataFrame = {
+    val names = broadcast(displayNames
+      .filter(!col("display_name").isin(excludedDisplayNames: _*))
+      .select(col("market").as("n_market"), col("chain"), col("display_name"),
+        col("display_chain")).distinct())
+    val p = tokenPrices
+      .filter(!col("symbol").isin(excludedSymbols: _*))
+      .select(col("chain").as("p_chain"), col("reserve").as("p_reserve"),
+        col("block_day").as("p_day"), col("symbol").as("reserve_symbol"), col("usd_price"))
+    stateByDay
+      .join(names, col("market") === col("n_market"), "left").drop("n_market")
+      .join(p, col("chain") === col("p_chain") && col("reserve") === col("p_reserve") &&
+        col("block_day") === col("p_day"), "left")
+      .drop("p_chain", "p_reserve", "p_day")
+      .withColumn("loans", col("stable_debt") + col("variable_debt"))
+      .withColumn("deposits_usd", col("atoken_supply") * col("usd_price"))
+      .withColumn("stable_loans_usd", col("stable_debt") * col("usd_price"))
+      .withColumn("variable_loans_usd", col("variable_debt") * col("usd_price"))
+      .withColumn("loans_usd", col("loans") * col("usd_price"))
+      .withColumn("tvl_usd", col("available_liquidity") * col("usd_price"))
+      .withColumnRenamed("atoken_supply", "deposits")
+      .withColumnRenamed("available_liquidity", "tvl")
+  }
+
   /** Port of `inv_lst_performance_base.sql`: liquid-staking-token treasury
     * performance — balances joined to liquidity rates and prices (own +
     * ETH numeraire), lead-paired per (market, symbol), daily earnings in

@@ -91,11 +91,22 @@ object Dedup {
   def nearDupMinhashLsh(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.5,
-                        maxBucketSize: Int = 128): DataFrame = {
-    val withSig = df.select(
+                        maxBucketSize: Int = 128,
+                        reuseSignatures: Boolean = false): DataFrame = {
+    // The plan references the signature relation four times (both join
+    // sides + two word re-attaches); declaratively each reference re-scans
+    // and re-hashes. `reuseSignatures` persists the signature table so the
+    // corpus is tokenized/hashed ONCE — the right call on a cluster when
+    // the token arrays fit the aggregate cache+disk; leave false to trade
+    // recompute for zero storage (small corpora, memory-tight executors).
+    val withSig0 = df.select(
       col(idCol).as("id"),
       Text.wordSet(col(textCol)).as("words"),
       minHashSignature(col(textCol), n, k).as("sig"))
+    val withSig =
+      if (reuseSignatures)
+        withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withSig0
     // Bucket join carries ONLY (id, band, band_hash): candidate pairs are
     // narrow ints during the widest part of the plan; the word arrays are
     // re-attached AFTER pair-dedup, so each doc's array is shuffled once per

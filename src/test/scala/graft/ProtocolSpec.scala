@@ -119,6 +119,35 @@ class ProtocolSpec extends SparkSpec {
     assert(d2.getAs[Double]("earnings_native") == 0.0)
   }
 
+  test("assetTvlByDay: USD conversion + gas-symbol price exclusion") {
+    val state = Seq((day(1), "ethereum_v3", "0xres", "aWETH", 1000.0, 100.0, 400.0, 500.0))
+      .toDF("block_day", "market", "reserve", "atoken_symbol",
+        "atoken_supply", "stable_debt", "variable_debt", "available_liquidity")
+    val names = Seq(("ethereum_v3", "ethereum", "Ethereum V3", "Ethereum"))
+      .toDF("market", "chain", "display_name", "display_chain")
+    val prices = Seq(
+      ("ethereum", "0xres", day(1), "WETH", 2000.0),
+      ("ethereum", "0xres", day(1), "ETH", 9999.0)) // gas symbol — excluded
+      .toDF("chain", "reserve", "block_day", "symbol", "usd_price")
+    val got = Protocol.assetTvlByDay(state, names, prices)
+    assert(got.count() == 1) // excluded gas-price row must not fan out the join
+    val r = got.head()
+    assert(r.getAs[Double]("loans") == 500.0)
+    assert(r.getAs[Double]("tvl_usd") == 1000000.0)
+    assert(r.getAs[String]("reserve_symbol") == "WETH")
+  }
+
+  test("stablecoinTotals rolls up stable-class balances per group") {
+    val bal = Seq(
+      (day(1), "Stablecoin", "stablecoin", 100.0),
+      (day(1), "Stablecoin", "stablecoin", 50.0),
+      (day(1), "Other Token", "unstablecoin", 999.0))
+      .toDF("block_day", "balance_group", "stable_class", "value_usd")
+    val got = graft.domain.Datamart.stablecoinTotals(bal).head()
+    assert(got.getAs[Double]("value_usd") == 150.0)
+    assert(got.getAs[String]("stablecoin_group") == "Stablecoin")
+  }
+
   test("smCostOfCoverByDay: ratio of sums") {
     val totals = Seq((day(1), 100.0, 365000.0), (day(1), 50.0, 365000.0))
       .toDF("block_day", "emission_usd_per_day", "safety_module_cover")
