@@ -339,6 +339,19 @@ object ExprQueries {
         .select($"r_regionkey", $"r_name", coalesce($"weight", lit(1.0)).as("weight"))
     }),
 
+    // E10: typed-struct JSON roundtrip — to_json(struct)/from_json(schema)
+    // (helpers.py:326 json_normalize → from_json + select("a.*"))
+    "e10_json_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("key", LongType), StructField("status", StringType)))
+      t(s, dir, "orders")
+        .withColumn("j", to_json(struct($"o_orderkey".as("key"), $"o_orderstatus".as("status"))))
+        .withColumn("parsed", from_json($"j", schema))
+        .select($"o_orderkey", $"parsed.key".as("rt_key"), $"parsed.status".as("rt_status"))
+    }),
+
     // A5: aggregate-to-model — natural cubic spline per group, evaluated on
     // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
     // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
@@ -514,6 +527,8 @@ object ExprQueries {
          FROM orders WHERE o_orderkey < 2000""",
     "e8_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events"""
+         FROM events""",
+    "e10_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderkey AS rt_key, o_orderstatus AS rt_status FROM orders"""
   )
 }

@@ -242,6 +242,54 @@ object Protocol {
     }
   }
 
+  /** Port of `chains_markets.sql`: the (chain, market, display) dim. */
+  def chainsMarkets(displayNames: DataFrame,
+                    excludedDisplayNames: Seq[String] = Seq(
+                      "Ecosystem Reserve", "Incentives Controller V2", "Paraswap Fee Claimer")
+                   ): DataFrame =
+    displayNames
+      .filter(!col("display_name").isin(excludedDisplayNames: _*))
+      .select(col("chain"), col("market"), col("display_chain"),
+        col("display_name").as("display_market"))
+      .distinct()
+
+  /** Port of `safety_module_totals_by_day.sql`: staking totals with the
+    * multi-candidate price resolution (coalesce over three left joins to
+    * the price table + a coingecko fallback — SURVEY §2.4 J7), emission
+    * APR, and the 0.3x shortfall-cover measures. */
+  def safetyModuleTotalsByDay(smRpc: DataFrame, tokenPrices: DataFrame,
+                              coingecko: DataFrame): DataFrame = {
+    def priceAs(alias: String) = tokenPrices.select(
+      col("block_day").as(s"${alias}_day"), col("reserve").as(s"${alias}_reserve"),
+      col("usd_price").as(s"${alias}_price"))
+    val cg = coingecko.select(col("block_day").as("cg_day"),
+      col("address").as("cg_address"), col("price_usd").as("cg_price"))
+    val resolvedPrice = coalesce(col("ps_price"), col("pu_price"), col("cg_price"))
+    val stakedUsd = col("stk_token_supply") * resolvedPrice
+    val emissionUsd = col("emission_per_day") * col("pr_price")
+    smRpc
+      .join(priceAs("pr"), col("block_day") === col("pr_day") &&
+        col("reward_token_address") === col("pr_reserve"), "left")
+      .join(priceAs("ps"), col("block_day") === col("ps_day") &&
+        col("stk_token_address") === col("ps_reserve"), "left")
+      .join(priceAs("pu"), col("block_day") === col("pu_day") &&
+        col("unstaked_token_address") === col("pu_reserve"), "left")
+      .join(cg, col("block_day") === col("cg_day") &&
+        col("stk_token_address") === col("cg_address"), "left")
+      .select(
+        col("block_day"), col("stk_token_address"), col("stk_token_symbol"),
+        resolvedPrice.as("stk_token_price"),
+        col("stk_token_supply"), col("unstaked_token_supply"),
+        (col("stk_token_supply") / col("unstaked_token_supply")).as("staked_proportion"),
+        col("emission_per_day"), col("reward_token_address"), col("reward_token_symbol"),
+        col("pr_price").as("reward_token_price"),
+        stakedUsd.as("staked_amt_usd"),
+        emissionUsd.as("emission_usd_per_day"),
+        (emissionUsd * 365 / stakedUsd).as("emission_apr"),
+        (stakedUsd * 0.3).as("safety_module_cover"),
+        (emissionUsd * 365 / (stakedUsd * 0.3)).as("cost_of_cover_apr"))
+  }
+
   /** Port of `asset_tvl_by_day.sql`: per-reserve deposits/loans/TVL with
     * USD conversion — a filtered-subquery price join (SURVEY §2.4 J6: gas
     * pseudo-tokens are excluded from the price feed before joining) over

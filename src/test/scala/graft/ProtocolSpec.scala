@@ -119,6 +119,28 @@ class ProtocolSpec extends SparkSpec {
     assert(d2.getAs[Double]("earnings_native") == 0.0)
   }
 
+  test("safetyModuleTotalsByDay: J7 price coalesce chain + APR math") {
+    val rpc = Seq((day(1), "0xstk", "stkAAVE", "0xaave", "0xaave", 3e6, 16e6, 1000.0, "AAVE"))
+      .toDF("block_day", "stk_token_address", "stk_token_symbol",
+        "unstaked_token_address", "reward_token_address",
+        "stk_token_supply", "unstaked_token_supply", "emission_per_day",
+        "reward_token_symbol")
+    // no direct stk price; unstaked token priced at 100 → pu fallback wins
+    val prices = Seq((day(1), "0xaave", 100.0)).toDF("block_day", "reserve", "usd_price")
+    val cg = Seq((day(1), "0xstk", 95.0)).toDF("block_day", "address", "price_usd")
+    val got = Protocol.safetyModuleTotalsByDay(rpc, prices, cg).head()
+    assert(got.getAs[Double]("stk_token_price") == 100.0) // pu beats coingecko
+    assert(got.getAs[Double]("staked_amt_usd") == 3e8)
+    assert(got.getAs[Double]("emission_usd_per_day") == 1e5)
+    assert(math.abs(got.getAs[Double]("emission_apr") - 1e5 * 365 / 3e8) < 1e-12)
+    assert(got.getAs[Double]("safety_module_cover") == 9e7)
+    // chains to the cost-of-cover rollup (A7)
+    val cover = Protocol.smCostOfCoverByDay(
+      Protocol.safetyModuleTotalsByDay(rpc, prices, cg)).head()
+    assert(math.abs(cover.getAs[Double]("annual_cost_of_cover_percent") -
+      1e5 * 365 / 9e7) < 1e-12)
+  }
+
   test("assetTvlByDay: USD conversion + gas-symbol price exclusion") {
     val state = Seq((day(1), "ethereum_v3", "0xres", "aWETH", 1000.0, 100.0, 400.0, 500.0))
       .toDF("block_day", "market", "reserve", "atoken_symbol",

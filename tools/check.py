@@ -45,7 +45,7 @@ for name in sorted(oracle):
             continue
         got = got.sort_values(g_cols).reset_index(drop=True)
         exp = exp.sort_values(g_cols).reset_index(drop=True)
-        # normalize dtypes for compare (duckdb may give int32/категory etc.)
+        # normalize dtypes for compare (duckdb may give int32/category etc.)
         mismatch = None
         for c in g_cols:
             a, b = got[c], exp[c]
