@@ -242,6 +242,60 @@ object Protocol {
     }
   }
 
+  /** Port of `inv_defi_ref_stable_rate_base.sql`: cross-protocol stablecoin
+    * deposit comparison — Aave + Compound v2/v3 day/hour grains unioned and
+    * averaged to daily, priced, lead-paired for price change, per-day
+    * earnings. `sources` is any number of (block_time, market, symbol,
+    * deposits_native, deposit_apy) feeds (the reference unions 5). */
+  def defiRefStableRateBase(sources: Seq[DataFrame], prices: DataFrame,
+                            stableSymbols: Seq[String] = Seq("USDT", "USDC", "DAI")): DataFrame = {
+    val combined = sources
+      .map(_.select(col("block_time"), col("market"), col("symbol"),
+        col("deposits_native"), col("deposit_apy")))
+      .reduce(_.unionByName(_))
+      .filter(col("symbol").isin(stableSymbols: _*))
+      .groupBy(date_trunc("day", col("block_time")).as("block_day"),
+        col("market"), col("symbol"))
+      .agg(avg(col("deposits_native")).as("deposits_native"),
+        avg(col("deposit_apy")).as("deposit_apy"))
+    val p = broadcast(prices.select(col("block_day").as("p_day"),
+      col("symbol").as("p_symbol"), col("usd_price").as("price_usd")))
+    val w = Window.partitionBy(col("market"), col("symbol")).orderBy(col("block_day"))
+    combined
+      .join(p, col("block_day") === col("p_day") && col("symbol") === col("p_symbol"), "left")
+      .drop("p_day", "p_symbol")
+      .withColumn("end_price_usd",
+        coalesce(lead(col("price_usd"), 1).over(w), col("price_usd")))
+      .withColumn("deposits_usd", col("deposits_native") * col("price_usd"))
+      .withColumn("earnings_native", col("deposits_native") * col("deposit_apy") / 365)
+      .withColumn("earnings_usd", col("earnings_native") * col("price_usd"))
+      .withColumn("price_change_usd",
+        col("deposits_native") * (lit(1.0) + col("deposit_apy") / 365) *
+          (col("end_price_usd") - col("price_usd")))
+  }
+
+  /** Port of `inv_defi_ref_rates_by_day.sql`: daily stable reference rate
+    * (deposit-weighted yield across protocols) with the ETH staking rate
+    * forward-filled over gaps (W4 RANGE-frame last_value ignore nulls). */
+  def defiRefRatesByDay(stableRateBase: DataFrame, ethStakingRates: DataFrame): DataFrame = {
+    val stables = stableRateBase
+      .groupBy(col("block_day"))
+      .agg(
+        (sum(col("earnings_usd")) / sum(col("deposits_usd")) * 365)
+          .as("stable_reference_rate_ex_price"),
+        (sum(col("earnings_usd") + col("price_change_usd")) / sum(col("deposits_usd")) * 365)
+          .as("stable_reference_rate"))
+    val eth = ethStakingRates.select(col("partition_date").as("e_day"),
+      col("apr").as("eth_rate_raw"))
+    val w = Window.orderBy(col("block_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stables
+      .join(eth, col("block_day") === col("e_day"), "left").drop("e_day")
+      .withColumn("eth_reference_rate",
+        last(col("eth_rate_raw"), ignoreNulls = true).over(w))
+      .drop("eth_rate_raw")
+  }
+
   /** Port of `chains_markets.sql`: the (chain, market, display) dim. */
   def chainsMarkets(displayNames: DataFrame,
                     excludedDisplayNames: Seq[String] = Seq(

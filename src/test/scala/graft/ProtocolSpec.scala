@@ -119,6 +119,33 @@ class ProtocolSpec extends SparkSpec {
     assert(d2.getAs[Double]("earnings_native") == 0.0)
   }
 
+  test("defiRefStableRateBase + defiRefRatesByDay: multi-source union, weighted rate, eth ffill") {
+    val aave = Seq((day(1), "aave_v3", "USDC", 1000.0, 0.0365),
+                   (day(2), "aave_v3", "USDC", 1000.0, 0.0365))
+      .toDF("block_time", "market", "symbol", "deposits_native", "deposit_apy")
+    val compound = Seq((day(1), "compound_v3", "USDC", 3000.0, 0.073),
+                       (day(2), "compound_v3", "USDC", 3000.0, 0.073),
+                       (day(1), "compound_v3", "WETH", 999.0, 0.01)) // non-stable dropped
+      .toDF("block_time", "market", "symbol", "deposits_native", "deposit_apy")
+    val prices = Seq((day(1), "USDC", 1.0), (day(2), "USDC", 1.0))
+      .toDF("block_day", "symbol", "usd_price")
+    val base = Protocol.defiRefStableRateBase(Seq(aave, compound), prices)
+    assert(base.count() == 4) // 2 markets × 2 days, WETH excluded
+    val d1 = base.filter($"market" === "aave_v3" && $"block_day" === day(1)).head()
+    assert(math.abs(d1.getAs[Double]("earnings_usd") - 1000.0 * 0.0365 / 365) < 1e-12)
+
+    // eth rate only on day1 → day2 forward-filled
+    val eth = Seq((day(1), 0.04)).toDF("partition_date", "apr")
+    val rates = Protocol.defiRefRatesByDay(base, eth).orderBy("block_day").collect()
+    assert(rates.length == 2)
+    // weighted: (1000*.0365 + 3000*.073)/365 per day over 4000 deposits * 365
+    val expected = (1000.0 * 0.0365 / 365 + 3000.0 * 0.073 / 365) / 4000.0 * 365
+    rates.foreach { r =>
+      assert(math.abs(r.getAs[Double]("stable_reference_rate_ex_price") - expected) < 1e-12)
+      assert(r.getAs[Double]("eth_reference_rate") == 0.04)
+    }
+  }
+
   test("safetyModuleTotalsByDay: J7 price coalesce chain + APR math") {
     val rpc = Seq((day(1), "0xstk", "stkAAVE", "0xaave", "0xaave", 3e6, 16e6, 1000.0, "AAVE"))
       .toDF("block_day", "stk_token_address", "stk_token_symbol",
