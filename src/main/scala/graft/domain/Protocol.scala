@@ -242,6 +242,60 @@ object Protocol {
     }
   }
 
+  /** Port of `incentives_by_day` (protocol_data_warehouse.py:200-320):
+    * per-reserve liquidity-mining rewards — emission scaled by reward
+    * decimals and zeroed after the emission end date, split into supply/
+    * variable/stable quadrants by token_type (the reference's 9-way
+    * np.where row lambda becomes 9 conditional columns), APRs via guarded
+    * division, then the 9-sum rollup per reserve × reward token (A2). */
+  def incentivesByDay(rawIncentives: DataFrame, protocolData: DataFrame,
+                      oraclePrices: DataFrame): DataFrame = {
+    val SecondsInDay = 86400.0
+    val emission = rawIncentives
+      .withColumn("end_date", timestamp_seconds(col("emission_end_timestamp")))
+      .withColumn("emission_per_day",
+        when(col("block_day") > col("end_date"), lit(0.0)).otherwise(
+          col("emission_per_second") * SecondsInDay /
+            pow(lit(10.0), col("reward_token_decimals"))))
+      .withColumn("emission_per_day_usd",
+        col("emission_per_day") * col("reward_price_feed") /
+          pow(lit(10.0), col("price_feed_decimals")))
+      .withColumnRenamed("underlying_asset", "reserve")
+      .filter(col("emission_per_day_usd") > 0)
+    val pd = protocolData.select(col("block_day"), col("block_height"), col("market"),
+      col("reserve"), col("atoken_supply"), col("stable_debt"), col("variable_debt"))
+    val joined = emission
+      .join(pd, Seq("block_day", "block_height", "market", "reserve"), "left")
+      .join(oraclePrices.select(col("block_day"), col("market"), col("reserve"),
+        col("usd_price")), Seq("block_day", "market", "reserve"), "left")
+    def quadrant(tt: String, value: org.apache.spark.sql.Column) =
+      when(col("token_type") === tt, value).otherwise(lit(0.0))
+    val apr = Relational.safeDiv(col("emission_per_day_usd"),
+      col("atoken_supply") * col("usd_price")) * 365
+    joined
+      .withColumn("supply_rewards_apr", quadrant("atoken", apr))
+      .withColumn("variable_borrow_rewards_apr", quadrant("vtoken", apr))
+      .withColumn("stable_borrow_rewards_apr", quadrant("stoken", apr))
+      .withColumn("supply_rewards", quadrant("atoken", col("emission_per_day")))
+      .withColumn("variable_debt_rewards", quadrant("vtoken", col("emission_per_day")))
+      .withColumn("stable_debt_rewards", quadrant("stoken", col("emission_per_day")))
+      .withColumn("supply_rewards_usd", quadrant("atoken", col("emission_per_day_usd")))
+      .withColumn("variable_debt_rewards_usd", quadrant("vtoken", col("emission_per_day_usd")))
+      .withColumn("stable_debt_rewards_usd", quadrant("stoken", col("emission_per_day_usd")))
+      .groupBy(col("block_day"), col("block_height"), col("market"), col("reserve"),
+        col("symbol"), col("reward_token_symbol"), col("reward_token_address"))
+      .agg(
+        sum(col("supply_rewards_apr")).as("supply_rewards_apr"),
+        sum(col("variable_borrow_rewards_apr")).as("variable_borrow_rewards_apr"),
+        sum(col("stable_borrow_rewards_apr")).as("stable_borrow_rewards_apr"),
+        sum(col("supply_rewards")).as("supply_rewards"),
+        sum(col("variable_debt_rewards")).as("variable_debt_rewards"),
+        sum(col("stable_debt_rewards")).as("stable_debt_rewards"),
+        sum(col("supply_rewards_usd")).as("supply_rewards_usd"),
+        sum(col("variable_debt_rewards_usd")).as("variable_debt_rewards_usd"),
+        sum(col("stable_debt_rewards_usd")).as("stable_debt_rewards_usd"))
+  }
+
   /** Port of `inv_defi_ref_stable_rate_base.sql`: cross-protocol stablecoin
     * deposit comparison — Aave + Compound v2/v3 day/hour grains unioned and
     * averaged to daily, priced, lead-paired for price change, per-day

@@ -119,6 +119,39 @@ class ProtocolSpec extends SparkSpec {
     assert(d2.getAs[Double]("earnings_native") == 0.0)
   }
 
+  test("incentivesByDay: emission scaling, end-date zeroing, quadrant split, 9-sum rollup") {
+    val raw = Seq(
+      // atoken incentive, active: 0.01/s, 18 decimals
+      (day(1), 100L, "polygon_v3", "0xres", "aUSDC", "atoken", "0xrw", "MATIC",
+        18L, 1e16, 4102444800L, 8e7, 8L),
+      // vtoken incentive on same reserve
+      (day(1), 100L, "polygon_v3", "0xres", "aUSDC", "vtoken", "0xrw", "MATIC",
+        18L, 2e16, 4102444800L, 8e7, 8L),
+      // expired incentive → dropped (emission 0 fails the >0 filter)
+      (day(1), 100L, "polygon_v3", "0xres", "aUSDC", "atoken", "0xrw2", "OLD",
+        18L, 1e16, 100L, 8e7, 8L))
+      .toDF("block_day", "block_height", "market", "underlying_asset", "symbol",
+        "token_type", "reward_token_address", "reward_token_symbol",
+        "reward_token_decimals", "emission_per_second", "emission_end_timestamp",
+        "reward_price_feed", "price_feed_decimals")
+    val pd = Seq((day(1), 100L, "polygon_v3", "0xres", 1e6, 1e5, 4e5))
+      .toDF("block_day", "block_height", "market", "reserve",
+        "atoken_supply", "stable_debt", "variable_debt")
+    val prices = Seq((day(1), "polygon_v3", "0xres", 1.0))
+      .toDF("block_day", "market", "reserve", "usd_price")
+    val got = Protocol.incentivesByDay(raw, pd, prices)
+    assert(got.count() == 1) // rolled to one (reserve, reward token) row
+    val r = got.head()
+    val emissionA = 1e16 * 86400 / 1e18            // 864 MATIC/day
+    val priceUsd = 8e7 / 1e8                       // 0.8 USD
+    assert(math.abs(r.getAs[Double]("supply_rewards") - emissionA) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variable_debt_rewards") - 2 * emissionA) < 1e-9)
+    assert(r.getAs[Double]("stable_debt_rewards") == 0.0)
+    assert(math.abs(r.getAs[Double]("supply_rewards_usd") - emissionA * priceUsd) < 1e-9)
+    assert(math.abs(r.getAs[Double]("supply_rewards_apr") -
+      emissionA * priceUsd / 1e6 * 365) < 1e-9)
+  }
+
   test("defiRefStableRateBase + defiRefRatesByDay: multi-source union, weighted rate, eth ffill") {
     val aave = Seq((day(1), "aave_v3", "USDC", 1000.0, 0.0365),
                    (day(2), "aave_v3", "USDC", 1000.0, 0.0365))
