@@ -415,6 +415,51 @@ object Datamart {
       .select(col("block_day"), col("measure"), col("value_usd"))
   }
 
+  /** Port of `treasury_value_by_asset.sql`: per-held-token treasury value
+    * (end-of-day balances shifted to start-of-day). */
+  def treasuryValueByAsset(balances: DataFrame): DataFrame =
+    balances
+      .groupBy(
+        date_add(col("block_day").cast("date"), 1).as("block_day"),
+        col("display_chain"), col("display_market"), col("collector_label"),
+        col("token").as("token_held_address"), col("symbol").as("token_held_symbol"),
+        col("underlying_reserve"), col("underlying_reserve_symbol"))
+      .agg(sum(col("value_usd")).as("value_usd"),
+        sum(col("value_native")).as("value_native"))
+
+  /** Port of the `impact_proposal_*` report family, generalized (the
+    * reference hardcodes collector/token/window per proposal — e.g.
+    * impact_proposal_87.sql): sum purchases over the proposal window,
+    * average purchase price as a ratio of sums, mark to the latest price.
+    */
+  def proposalImpact(measures: DataFrame, tokenPrices: DataFrame,
+                     collector: String, token: String, chain: String,
+                     windowStart: String, windowEnd: String): DataFrame = {
+    val priced = measures
+      .filter(col("contract_address") === collector && col("token") === token &&
+        col("tokens_in_external") > 0 &&
+        col("block_day").between(lit(windowStart).cast("timestamp"),
+          lit(windowEnd).cast("timestamp")))
+      .join(tokenPrices.filter(col("chain") === chain)
+        .select(col("block_day"), col("reserve").as("token"), col("usd_price")),
+        Seq("block_day", "token"), "inner")
+      .withColumn("purchase_amount_usd", col("tokens_in_external") * col("usd_price"))
+    val purchase = priced
+      .groupBy(col("token").as("token_address"), col("symbol"))
+      .agg(sum(col("tokens_in_external")).as("purchase_amount"),
+        sum(col("purchase_amount_usd")).as("purchase_amount_usd"))
+      .withColumn("av_purchase_price",
+        col("purchase_amount_usd") / col("purchase_amount"))
+    val current = Relational.latestOnly(
+        tokenPrices.filter(col("reserve") === token && col("chain") === chain), "block_day")
+      .select(col("block_day"), col("reserve"), col("usd_price").as("current_price"))
+    purchase
+      .join(broadcast(current), col("token_address") === col("reserve"), "left")
+      .drop("reserve")
+      .withColumn("current_value", col("purchase_amount") * col("current_price"))
+      .withColumn("net_value_change", col("current_value") - col("purchase_amount_usd"))
+  }
+
   /** Port of `stablecoin_totals.sql`: stablecoin treasury value per
     * balance group per day. */
   def stablecoinTotals(balances: DataFrame): DataFrame =

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.domain.Datamart
+
+class DatamartExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = Timestamp.valueOf(f"2022-07-$d%02d 00:00:00")
+
+  test("treasuryValueByAsset: per-token rollup with start-of-day shift") {
+    val bal = Seq(
+      (day(18), "Ethereum", "Ethereum V2", "Collector", "0xtok", "BAL", "0xtok", "BAL", 100.0, 10.0),
+      (day(18), "Ethereum", "Ethereum V2", "Collector", "0xtok", "BAL", "0xtok", "BAL", 50.0, 5.0))
+      .toDF("block_day", "display_chain", "display_market", "collector_label",
+        "token", "symbol", "underlying_reserve", "underlying_reserve_symbol",
+        "value_usd", "value_native")
+    val got = Datamart.treasuryValueByAsset(bal)
+    assert(got.count() == 1)
+    val r = got.head()
+    assert(r.getAs[java.sql.Date]("block_day").toString == "2022-07-19")
+    assert(r.getAs[Double]("value_usd") == 150.0)
+    assert(r.getAs[Double]("value_native") == 15.0)
+  }
+
+  test("proposalImpact: windowed purchases, avg price, mark-to-latest") {
+    val COLLECTOR = "0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c"
+    val BAL = "0xba100000625a3754423978a60c9317c58a424e3d"
+    val measures = Seq(
+      (day(18), COLLECTOR, BAL, "BAL", 100.0),
+      (day(19), COLLECTOR, BAL, "BAL", 200.0),
+      (day(25), COLLECTOR, BAL, "BAL", 999.0),   // outside window
+      (day(19), "0xother", BAL, "BAL", 999.0))   // other collector
+      .toDF("block_day", "contract_address", "token", "symbol", "tokens_in_external")
+    val prices = Seq(
+      (day(18), "ethereum", BAL, 5.0),
+      (day(19), "ethereum", BAL, 6.0),
+      (day(30), "ethereum", BAL, 8.0)) // latest → current price
+      .toDF("block_day", "chain", "reserve", "usd_price")
+    val got = Datamart.proposalImpact(measures, prices,
+      COLLECTOR, BAL, "ethereum", "2022-07-18", "2022-07-20").head()
+    assert(got.getAs[Double]("purchase_amount") == 300.0)
+    assert(got.getAs[Double]("purchase_amount_usd") == 100.0 * 5 + 200.0 * 6)
+    assert(math.abs(got.getAs[Double]("av_purchase_price") - 1700.0 / 300.0) < 1e-12)
+    assert(got.getAs[Double]("current_price") == 8.0)
+    assert(math.abs(got.getAs[Double]("net_value_change") - (300.0 * 8 - 1700.0)) < 1e-9)
+  }
+}
