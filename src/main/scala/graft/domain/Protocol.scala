@@ -350,6 +350,50 @@ object Protocol {
       .drop("eth_rate_raw")
   }
 
+  /** Port of `balancer_bpt_by_day.sql`: BPT pool snapshot with daily APR
+    * from the rate ratio vs the previous day (SURVEY §2.6 W2 lag). */
+  def balancerBptByDay(bpt: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("chain"), col("pool")).orderBy(col("block_day"))
+    bpt
+      .withColumnRenamed("denom", "bpt_underlying_asset")
+      .withColumnRenamed("bpt_usd_price", "bpt_price_usd")
+      .withColumn("daily_apr",
+        (col("rate") / coalesce(lag(col("rate"), 1).over(w), col("rate")) - 1) * 365)
+  }
+
+  /** The safety-module coverage epochs (sm_covered_markets_tvl_by_day.sql:
+    * 8-64). The reference hardcodes four UNION branches of market-list ×
+    * date-range; encoded as one rule table (SURVEY §7.4(3)) — null bounds
+    * are open-ended, both bounds inclusive. */
+  val smCoverageEras: Seq[(String, Option[String], Option[String])] = Seq(
+    ("ethereum_v1", None, None),
+    ("ethereum_v2", None, None),
+    ("aave_arc",    Some("2022-08-01"), None),
+    ("avax_v2",     Some("2022-08-01"), None),
+    ("polygon_v2",  Some("2022-08-01"), None),
+    ("ethereum_v3", Some("2023-02-18"), None),
+    ("polygon_v3",  Some("2023-03-16"), None))
+
+  /** Port of `sm_covered_markets_tvl_by_day.sql`: TVL of the markets the
+    * safety module covered on each day — the epoch logic is a broadcast
+    * era-table range join instead of a 4-branch union re-scan. */
+  def smCoveredMarketsTvlByDay(assetTvl: DataFrame,
+                               eras: Seq[(String, Option[String], Option[String])] = smCoverageEras
+                              ): DataFrame = {
+    val spark = assetTvl.sparkSession
+    import spark.implicits._
+    val eraDf = broadcast(eras.toDF("era_market", "covered_from", "covered_to")
+      .withColumn("covered_from", col("covered_from").cast("timestamp"))
+      .withColumn("covered_to", col("covered_to").cast("timestamp")))
+    assetTvl
+      .join(eraDf, col("market") === col("era_market") &&
+        (col("covered_from").isNull || col("block_day") >= col("covered_from")) &&
+        (col("covered_to").isNull || col("block_day") <= col("covered_to")), "inner")
+      .select(col("block_day"),
+        concat(col("display_name"), lit(" "), col("display_chain")).as("aave_market"),
+        col("tvl_usd"))
+  }
+
   /** Port of `chains_markets.sql`: the (chain, market, display) dim. */
   def chainsMarkets(displayNames: DataFrame,
                     excludedDisplayNames: Seq[String] = Seq(

@@ -119,6 +119,32 @@ class ProtocolSpec extends SparkSpec {
     assert(d2.getAs[Double]("earnings_native") == 0.0)
   }
 
+  test("balancerBptByDay: lag-based daily APR, first day zero") {
+    val bpt = Seq(
+      (day(1), "ethereum", "B-80AAVE-20WETH", "pool1", 1.000),
+      (day(2), "ethereum", "B-80AAVE-20WETH", "pool1", 1.001))
+      .toDF("block_day", "chain", "symbol", "pool", "rate")
+      .withColumn("denom", lit("AAVE")).withColumn("bpt_usd_price", lit(100.0))
+    val got = Protocol.balancerBptByDay(bpt).orderBy("block_day").collect()
+    assert(got(0).getAs[Double]("daily_apr") == 0.0) // lag null → rate/rate - 1
+    assert(math.abs(got(1).getAs[Double]("daily_apr") - (1.001 / 1.000 - 1) * 365) < 1e-9)
+  }
+
+  test("smCoveredMarketsTvlByDay: era rule table reproduces the epoch branches") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val tvl = Seq(
+      (ts("2022-07-01"), "ethereum_v2", "Ethereum V2", "Ethereum", 10.0),
+      (ts("2022-07-01"), "avax_v2", "Avalanche V2", "Avalanche", 20.0),    // pre-epoch → out
+      (ts("2022-08-01"), "avax_v2", "Avalanche V2", "Avalanche", 30.0),    // epoch start → in
+      (ts("2023-03-15"), "polygon_v3", "Polygon V3", "Polygon", 40.0),     // day before → out
+      (ts("2023-03-16"), "polygon_v3", "Polygon V3", "Polygon", 50.0),     // in
+      (ts("2023-03-16"), "fantom_v3", "Fantom V3", "Fantom", 60.0))        // never covered
+      .toDF("block_day", "market", "display_name", "display_chain", "tvl_usd")
+    val got = Protocol.smCoveredMarketsTvlByDay(tvl)
+      .select($"tvl_usd").as[Double].collect().toSet
+    assert(got == Set(10.0, 30.0, 50.0))
+  }
+
   test("incentivesByDay: emission scaling, end-date zeroing, quadrant split, 9-sum rollup") {
     val raw = Seq(
       // atoken incentive, active: 0.01/s, 18 decimals
