@@ -90,6 +90,54 @@ object Similarity {
     f(asDouble(vec))
   }
 
+  /** IVF (inverted-file) ANN index: partition the corpus into `nLists`
+    * clusters around deterministic seed centroids (the first `nLists`
+    * vectors by id — reproducible without RNG state), assign each vector
+    * to its nearest centroid in ONE scan (broadcast centroids, window-min
+    * assignment). At scale, write the result partitioned/bucketed by
+    * `list_id` so probes touch only matching files (partition pruning).
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nLists: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__dist").asc, col("centroid_id").asc)
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol)).limit(nLists)
+        .select(row_number().over(Window.orderBy(col(idCol))).as("centroid_id"),
+          asDouble(col(vecCol)).as("centroid")))
+    corpus
+      .join(centroids)
+      .withColumn("__dist", lit(1.0) - cosine(asDouble(col(vecCol)), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
+  }
+
+  /** IVF probe: score only the vectors whose list belongs to the `nProbe`
+    * centroids nearest the query — the scan touches len(probed lists) of
+    * the corpus instead of all of it. */
+  def topKIvf(index: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nLists: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    // representative per list = its lowest-id member (deterministic; the
+    // seed centroid itself when ivfIndex built the list)
+    val probeLists = index
+      .select(col("list_id"), col(idCol).as("__id"), asDouble(col(vecCol)).as("v"))
+      .groupBy(col("list_id"))
+      .agg(min_by(col("v"), col("__id")).as("v"))
+    val probed = probeLists
+      .withColumn("qdist", lit(1.0) - cosine(col("v"), qLit))
+      .orderBy(col("qdist").asc, col("list_id").asc)
+      .limit(nProbe)
+      .select(col("list_id"))
+    index
+      .join(broadcast(probed), Seq("list_id"))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), qLit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF-style bucketed ANN: assign every corpus row a signature bucket;
     * probe = score only rows whose signature is within `hammingRadius` of
     * the query signature. Returns the top-k of the probed subset.

@@ -99,6 +99,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index partitions the corpus; probe finds self as top-1") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
+    // every vector lands in exactly one list
+    assert(index.count() == emb.count())
+    assert(index.select("list_id").distinct().count() <= 8)
+    val q = emb.filter($"vec_id" === 11)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val got = Similarity.topKIvf(index, "vec_id", "embedding", q, k = 3, nProbe = 4)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(0) == 11L, s"self must rank first, got ${got.head}")
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("LSH probe recall: top-1 (self) survives bucketing") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val q = emb.filter($"vec_id" === 7)
