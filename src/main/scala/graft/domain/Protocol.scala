@@ -213,6 +213,54 @@ object Protocol {
         col("aave_price_impact"), col("overhang"))
   }
 
+  /** Port of `streaming_payments_detail.sql`: vesting-stream metadata
+    * joined to on-chain stream state (deposit/vested/unvested/claims from
+    * the lake's vesting arithmetic — `Finance.vestedAmount`), priced at the
+    * latest day with an atoken→reserve fallback (coalesce over two left
+    * joins). Missing streams coalesce to zeros/epoch like the reference. */
+  def streamingPaymentsDetail(streamsMetadata: DataFrame, paymentsState: DataFrame,
+                              tokenPrices: DataFrame, atokens: DataFrame): DataFrame = {
+    val latestPrices = Relational.latestOnly(
+      tokenPrices.filter(col("chain") === "ethereum"), "block_day")
+    val atokenPrices = broadcast(latestPrices.as("p")
+      .join(atokens.filter(col("chain") === "ethereum")
+        .select(col("atoken"), col("reserve").as("a_reserve")).as("a"),
+        col("p.reserve") === col("a.a_reserve"), "inner")
+      .select(col("atoken").as("pa_token"), col("usd_price").as("pa_price"))
+      .distinct())
+    val reservePrices = broadcast(latestPrices
+      .select(col("reserve").as("pr_token"), col("usd_price").as("pr_price"))
+      .distinct())
+    val state = paymentsState.select(
+      col("contract_address").as("s_contract"), col("token_address").as("s_token"),
+      col("stream_id").as("s_stream_id"), col("deposit_day"), col("start_time"),
+      col("stop_time"), col("deposit"), col("vested"), col("unvested"),
+      col("claims"), col("unclaimed"))
+    val epoch = lit("1970-01-01").cast("timestamp")
+    streamsMetadata
+      .join(state, col("stream_contract") === col("s_contract") &&
+        col("token") === col("s_token") && col("stream_id") === col("s_stream_id"), "left")
+      .join(atokenPrices, col("token") === col("pa_token"), "left")
+      .join(reservePrices, col("token") === col("pr_token"), "left")
+      .withColumn("usd_price", coalesce(col("pa_price"), col("pr_price")))
+      .select(
+        col("vendor_label"), col("stream_label"), col("proposal_id"),
+        col("stream_contract"), col("token"), col("stream_id"), col("symbol"), col("term"),
+        concat(lit("https://app.aave.com/governance/proposal/?proposalId="),
+          col("proposal_id")).as("proposal_url"),
+        coalesce(col("deposit_day"), epoch).as("stream_create_date"),
+        coalesce(col("start_time"), epoch).as("stream_start_time"),
+        coalesce(col("stop_time"), epoch).as("stream_stop_time"),
+        coalesce(col("deposit"), lit(0.0)).as("total_payment_native"),
+        coalesce(col("vested"), lit(0.0)).as("vested_native"),
+        coalesce(col("unvested"), lit(0.0)).as("unvested_native"),
+        coalesce(col("claims"), lit(0.0)).as("claimed_native"),
+        coalesce(col("unclaimed"), lit(0.0)).as("unclaimed_native"),
+        col("upfront_native"),
+        (col("bonus_usd") / col("usd_price")).as("bonus_native"),
+        col("usd_price"))
+  }
+
   /** Port of `streaming_payments_summary.sql`'s PIVOT block: per-stream
     * rollup pivoted by symbol with five aggregations and deterministic
     * `<symbol>_<agg>` column names (SURVEY §7.4(4) naming fix). */

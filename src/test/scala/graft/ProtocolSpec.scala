@@ -81,6 +81,34 @@ class ProtocolSpec extends SparkSpec {
     assert(r.getAs[Double]("overhang") >= 0.0)
   }
 
+  test("streamingPaymentsDetail: state join, atoken->reserve price fallback, zero coalesce") {
+    val meta = Seq(
+      ("V1", "s1", 1L, "0xsablier", "0xadai", 7L, "aDAI", "12m", 10.0, 50.0),
+      ("V2", "s2", 2L, "0xsablier", "0xaave", 8L, "AAVE", "6m", 0.0, 90.0)) // no state row
+      .toDF("vendor_label", "stream_label", "proposal_id", "stream_contract",
+        "token", "stream_id", "symbol", "term", "upfront_native", "bonus_usd")
+    val state = Seq(
+      ("0xsablier", "0xadai", 7L, day(1), day(1), day(3), 1000.0, 400.0, 600.0, 300.0, 100.0))
+      .toDF("contract_address", "token_address", "stream_id", "deposit_day",
+        "start_time", "stop_time", "deposit", "vested", "unvested", "claims", "unclaimed")
+    val prices = Seq(
+      (day(2), "ethereum", "0xdai", 1.0),   // reserve price for aDAI via atokens dim
+      (day(2), "ethereum", "0xaave", 90.0)) // direct reserve price for AAVE
+      .toDF("block_day", "chain", "reserve", "usd_price")
+    val atokens = Seq(("ethereum", "0xadai", "0xdai")).toDF("chain", "atoken", "reserve")
+    val got = Protocol.streamingPaymentsDetail(meta, state, prices, atokens)
+    assert(got.count() == 2)
+    val s1 = got.filter($"stream_label" === "s1").head()
+    assert(s1.getAs[Double]("usd_price") == 1.0)   // atoken price path
+    assert(s1.getAs[Double]("vested_native") == 400.0)
+    assert(s1.getAs[Double]("bonus_native") == 50.0)
+    val s2 = got.filter($"stream_label" === "s2").head()
+    assert(s2.getAs[Double]("usd_price") == 90.0)  // reserve fallback
+    assert(s2.getAs[Double]("total_payment_native") == 0.0) // missing state → 0
+    assert(s2.getAs[Timestamp]("stream_start_time").toString.startsWith("1970-01-01"))
+    assert(math.abs(s2.getAs[Double]("bonus_native") - 1.0) < 1e-12)
+  }
+
   test("streamingPaymentsSummary pivots with deterministic names + totals") {
     val detail = Seq(
       ("V1", "s1", "12m", 1L, "url", day(1), day(1), day(3), "AAVE", 100.0, 40.0, 10.0, 5.0, 90.0),
