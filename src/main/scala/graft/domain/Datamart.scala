@@ -468,6 +468,32 @@ object Datamart {
       .groupBy(col("block_day"), col("balance_group").as("stablecoin_group"))
       .agg(sum(col("value_usd")).as("value_usd"))
 
+  private def shiftedRollup(balances: DataFrame, extraKeys: Seq[String]): DataFrame =
+    balances.groupBy(
+        (date_add(col("block_day").cast("date"), 1).as("block_day") +:
+          extraKeys.map(col)): _*)
+      .agg(sum(col("value_usd")).as("value_usd"),
+        sum(col("value_native")).as("value_native"))
+
+  /** Port of `treasury_value_by_balance_group.sql`. */
+  def treasuryValueByBalanceGroup(balances: DataFrame): DataFrame =
+    shiftedRollup(balances,
+      Seq("display_chain", "display_market", "collector_label", "balance_group"))
+
+  /** Port of `treasury_value_by_market.sql`. */
+  def treasuryValueByMarket(balances: DataFrame): DataFrame =
+    shiftedRollup(balances, Seq("display_chain", "display_market"))
+
+  /** Port of `treasury_value_by_chain_ex_reserve.sql`: by-chain totals
+    * excluding the Ecosystem Reserve collector. */
+  def treasuryValueByChainExReserve(balances: DataFrame): DataFrame =
+    treasuryValueByChain(balances.filter(
+      col("collector_label").isNull || col("collector_label") =!= "Ecosystem Reserve"))
+
+  /** Port of `treasury_totals_latest.sql` (O4 latest-snapshot filter). */
+  def treasuryTotalsLatest(totals: DataFrame): DataFrame =
+    Relational.latestOnly(totals, "block_day")
+
   /** Port of `all_revenue.sql`: income measures rolled up per token/day. */
   def allRevenue(financials: DataFrame): DataFrame =
     financials

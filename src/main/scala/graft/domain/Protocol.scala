@@ -562,6 +562,35 @@ object Protocol {
       .agg((sum(col("emission_usd_per_day")) * 365 / sum(col("safety_module_cover")))
         .as("annual_cost_of_cover_percent"))
 
+  /** Ports of the small safety-module rollup models over
+    * `safetyModuleTotalsByDay` output:
+    * sm_staked_value_by_day, sm_emissions_usd_by_day,
+    * sm_protocol_cover_by_day, sm_staking_apr_by_day. */
+  def smStakedValueByDay(smTotals: DataFrame): DataFrame =
+    smTotals.select(col("block_day"), col("stk_token_symbol"),
+      col("staked_amt_usd").as("staked_value_usd"))
+
+  def smEmissionsUsdByDay(smTotals: DataFrame): DataFrame =
+    smTotals.select(col("block_day"), col("stk_token_symbol"),
+      col("emission_usd_per_day"))
+
+  def smProtocolCoverByDay(smTotals: DataFrame): DataFrame =
+    smTotals.groupBy(col("block_day"))
+      .agg(sum(col("safety_module_cover")).as("protocol_cover"))
+
+  def smStakingAprByDay(smTotals: DataFrame): DataFrame =
+    smTotals.select(col("block_day"), col("stk_token_symbol"),
+      col("emission_apr").as("staking_apr"))
+
+  /** Port of `sm_percentage_tvl_coverage_by_day.sql`: protocol cover over
+    * covered-markets TVL. */
+  def smPercentageTvlCoverageByDay(coveredTvl: DataFrame, protocolCover: DataFrame): DataFrame = {
+    val tvl = coveredTvl.groupBy(col("block_day")).agg(sum(col("tvl_usd")).as("tvl"))
+    tvl.join(protocolCover, Seq("block_day"), "left")
+      .filter(col("tvl").isNotNull && col("protocol_cover").isNotNull)
+      .select(col("block_day"), (col("protocol_cover") / col("tvl")).as("percentage_covered"))
+  }
+
   /** Port of the `sm_token_holder_distro.sql` bucket histogram: holders
     * bucketed into balance bands, count + sum per band (SURVEY §2.5 A10). */
   def tokenHolderDistro(holders: DataFrame,

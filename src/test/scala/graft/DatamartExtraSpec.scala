@@ -24,6 +24,38 @@ class DatamartExtraSpec extends SparkSpec {
     assert(r.getAs[Double]("value_native") == 15.0)
   }
 
+  test("treasury rollup variants + SM coverage chain") {
+    import graft.domain.Protocol
+    val bal = Seq(
+      (day(18), "Ethereum", "Ethereum V2", "Collector", "Stablecoin", "stablecoin", "0xa", "aDAI", "0xd", "DAI", 100.0, 100.0),
+      (day(18), "Ethereum", "Ethereum V2", "Ecosystem Reserve", "Other Token", "unstablecoin", "0xb", "AAVE", "0xv", "AAVE", 900.0, 10.0))
+      .toDF("block_day", "display_chain", "display_market", "collector_label",
+        "balance_group", "stable_class", "token", "symbol", "underlying_reserve",
+        "underlying_reserve_symbol", "value_usd", "value_native")
+    assert(Datamart.treasuryValueByBalanceGroup(bal).count() == 2)
+    assert(Datamart.treasuryValueByMarket(bal).count() == 1)
+    val exRes = Datamart.treasuryValueByChainExReserve(bal).head()
+    assert(exRes.getAs[Double]("value_usd") == 100.0)
+
+    val totals = Seq((day(1), "total_treasury_value", 10.0),
+                     (day(2), "total_treasury_value", 20.0))
+      .toDF("block_day", "measure", "value_usd")
+    val latest = Datamart.treasuryTotalsLatest(totals).collect()
+    assert(latest.length == 1 && latest.head.getAs[Double]("value_usd") == 20.0)
+
+    // SM chain: totals → cover rollup → percentage of covered TVL
+    val smTotals = Seq((day(1), "stkAAVE", 3e8, 1e5, 0.12, 9e7))
+      .toDF("block_day", "stk_token_symbol", "staked_amt_usd",
+        "emission_usd_per_day", "emission_apr", "safety_module_cover")
+    assert(Protocol.smStakedValueByDay(smTotals).head()
+      .getAs[Double]("staked_value_usd") == 3e8)
+    val cover = Protocol.smProtocolCoverByDay(smTotals)
+    val coveredTvl = Seq((day(1), "Ethereum V2 Ethereum", 4.5e8))
+      .toDF("block_day", "aave_market", "tvl_usd")
+    val pct = Protocol.smPercentageTvlCoverageByDay(coveredTvl, cover).head()
+    assert(math.abs(pct.getAs[Double]("percentage_covered") - 0.2) < 1e-12)
+  }
+
   test("proposalImpact: windowed purchases, avg price, mark-to-latest") {
     val COLLECTOR = "0x464c71f6c2f760dda6093dcb91c24c39e5d6e18c"
     val BAL = "0xba100000625a3754423978a60c9317c58a424e3d"
