@@ -153,6 +153,36 @@ object ExprQueries {
                 round(coalesce($"cust_avg", $"supp_avg", lit(0.0)), 4).as("resolved_balance"))
     }),
 
+    // J10a: backward as-of join (union+ffill composition — operators.Temporal;
+    // oracle = DuckDB's native ASOF LEFT JOIN)
+    "j10_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_event_id"), $"value")
+      graft.operators.Temporal.asofJoinBackward(
+        clicks, purchases, Seq("user_id"), "event_id", "p_event_id", Seq("value"))
+        .select($"event_id", $"user_id", round($"value", 4).as("last_purchase_value"))
+    }),
+
+    // J10b: point-in-interval range join via bucketing (operators.Temporal;
+    // oracle = plain inequality join, feasible in DuckDB at oracle scale)
+    "j10_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val intervals = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"event_id".as("session_start"),
+          ($"event_id" + 2000L).as("session_end"))
+      val points = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id")
+      graft.operators.Temporal.rangeJoinBucketed(
+        points, intervals, Seq("user_id"), "event_id", "session_start", "session_end",
+        binSize = 1024)
+        .select($"user_id", $"event_id", $"session_start")
+    }),
+
     // ---- §2.5 remaining aggregations ---------------------------------------
 
     // A4: aggregate-to-list (protocol_data_warehouse.py:368-374) — sorted for
@@ -436,6 +466,20 @@ object ExprQueries {
                     FROM customer WHERE c_acctbal > 5000 GROUP BY 1) ca ON n_nationkey = ca.nk
          LEFT JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, round(avg(s_acctbal),4) AS supp_avg
                     FROM supplier GROUP BY 1) sa ON n_nationkey = sa.nk""",
+    "j10_asof_join" ->
+      """SELECT c.event_id, c.user_id, round(p.value, 4) AS last_purchase_value
+         FROM (SELECT event_id, user_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT user_id, event_id AS p_event_id, value FROM events
+               WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.event_id >= p.p_event_id""",
+    "j10_range_join" ->
+      """SELECT p.user_id, p.event_id, i.session_start
+         FROM (SELECT user_id, event_id FROM events WHERE event_type = 'error') p
+         JOIN (SELECT user_id, event_id AS session_start, event_id + 2000 AS session_end
+               FROM events WHERE event_type = 'signup') i
+         ON p.user_id = i.user_id
+          AND p.event_id >= i.session_start AND p.event_id < i.session_end""",
     "a4_collect_list" ->
       """SELECT o_custkey,
          array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,

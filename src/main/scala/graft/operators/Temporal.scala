@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference approximates with lead/lag windows
+  * and orchestration-level partition mappings (SURVEY §2.4 J10, §1.1
+  * LastPartitionMapping) — provided here as first-class, scale-safe
+  * compositions of built-in operators (preference (a) of the custom-operator
+  * ladder: no custom Catalyst needed).
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, attach the newest right row
+    * with `rightTs <= leftTs` within the same key group.
+    *
+    * Implementation is the union + sort + last-non-null forward-fill trick:
+    * both sides are tagged and unioned, ONE shuffle sorts (key, ts, side),
+    * a running `last(ignoreNulls)` window carries every right value onto
+    * subsequent left rows, and the output filters back to left rows. No
+    * range predicate ever reaches a join — at any scale this is one
+    * hash-shuffle of |left| + |right| rows, versus the quadratic blowup a
+    * naive `left.ts >= right.ts` theta-join produces.
+    *
+    * `tolerance`: optional max allowed `leftTs - rightTs` (same units as
+    * the ts columns); matches older than it are nulled out.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTs: String, rightTs: String, valueCols: Seq[String],
+                       tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // right rows sort BEFORE left rows at equal ts so an exact-ts right row
+    // is visible to the left row (<= semantics)
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTs).cast("long").as("__ts") :+ lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTs).cast("long").as("__ts") :+ lit(1).as("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val unioned = Relational.unionPadded(Seq(taggedRight, taggedLeft), lit(null))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(
+        unioned.withColumn("__match_ts",
+          last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))) {
+      (d, c) => d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    val withinTol = tolerance match {
+      case Some(t) => col("__match_ts").isNotNull && (col("__ts") - col("__match_ts")) <= t
+      case None    => col("__match_ts").isNotNull
+    }
+    filled
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(col) ++
+          valueCols.map(c => when(withinTol, col(s"__v_$c")).as(c)) :+
+          when(withinTol, col("__match_ts")).as("asof_match_ts"): _*)
+  }
+
+  /** Point-in-interval range join via bucketing: join `points` to the
+    * `intervals` containing them (`start <= point < end`, same key group).
+    *
+    * Each interval is exploded to the fixed-size bins it covers; points
+    * compute their bin; the join is a plain equi-join on (keys, bin) with
+    * a residual filter. Shuffle volume is |points| + Σ interval-spans/bin —
+    * bounded and hash-partitioned, never the cross product AND never a
+    * broadcast-only strategy (works when both sides are huge). Pick
+    * `binSize` near the median interval length so most intervals explode
+    * to ~1-2 bins.
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                        pointCol: String, startCol: String, endCol: String,
+                        binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(startCol).cast("long") / binSize),
+        floor((col(endCol).cast("long") - 1) / binSize))))
+    val pointBinned = points.withColumn("__bin",
+      floor(col(pointCol).cast("long") / binSize))
+    pointBinned
+      .join(binned, keyCols :+ "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

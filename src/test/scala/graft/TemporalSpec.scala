@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    ("AAVE", 100L, 1.0), ("AAVE", 205L, 2.0), ("AAVE", 310L, 3.0),
+    ("COMP", 150L, 4.0))
+    .toDF("sym", "trade_ts", "qty")
+
+  private val quotes = Seq(
+    ("AAVE", 90L, 50.0), ("AAVE", 200L, 55.0), ("AAVE", 205L, 56.0),
+    ("COMP", 400L, 30.0))
+    .toDF("sym", "quote_ts", "price")
+
+  test("asofJoinBackward: newest quote at or before each trade, per key") {
+    val got = Temporal.asofJoinBackward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("price"))
+      .orderBy("sym", "trade_ts")
+      .select($"sym", $"trade_ts", $"price").collect()
+    assert(got(0).getDouble(2) == 50.0)  // ts 100 → quote 90
+    assert(got(1).getDouble(2) == 56.0)  // ts 205 → exact-ts quote visible (<=)
+    assert(got(2).getDouble(2) == 56.0)  // ts 310 → still 205 quote
+    assert(got(3).isNullAt(2))           // COMP trade 150 before any quote → null
+  }
+
+  test("asofJoinBackward honors tolerance") {
+    val got = Temporal.asofJoinBackward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("price"), tolerance = Some(10L))
+      .orderBy("sym", "trade_ts")
+      .select($"price").collect()
+    assert(got(0).getDouble(0) == 50.0)  // gap 10 ≤ 10
+    assert(got(1).getDouble(0) == 56.0)  // gap 0
+    assert(got(2).isNullAt(0))           // gap 105 > 10 → nulled
+  }
+
+  test("asofJoinBackward preserves left row count (no fan-out)") {
+    val got = Temporal.asofJoinBackward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("price"))
+    assert(got.count() == trades.count())
+  }
+
+  test("rangeJoinBucketed: point-in-interval matches across bin sizes") {
+    val sessions = Seq(
+      ("u1", 100L, 200L, "s1"), ("u1", 200L, 300L, "s2"), ("u2", 0L, 1000L, "s3"))
+      .toDF("user", "start", "end", "session_id")
+    val events = Seq(
+      ("u1", 150L, "a"), ("u1", 200L, "b"), ("u1", 299L, "c"),
+      ("u1", 300L, "d"),  // end-exclusive → no match
+      ("u2", 999L, "e"))
+      .toDF("user", "ts", "ev")
+    Seq(1L, 7L, 100L, 5000L).foreach { bin =>
+      val got = Temporal.rangeJoinBucketed(events, sessions, Seq("user"),
+        "ts", "start", "end", bin)
+        .select($"ev", $"session_id").as[(String, String)].collect().toSet
+      assert(got == Set(("a", "s1"), ("b", "s2"), ("c", "s2"), ("e", "s3")),
+        s"binSize=$bin got $got")
+    }
+  }
+}
