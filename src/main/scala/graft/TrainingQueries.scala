@@ -125,6 +125,18 @@ object TrainingQueries {
           round(element_at($"embedding", 1).cast("double"), 6).as("first_dim"))
     }),
 
+    // S4: per-label centroid components — the distributed element-wise
+    // array mean ((label, pos, value) triples, one shuffle; never collects
+    // vectors). Long format for the cross-engine hash compare.
+    "s4_label_centroids" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding".cast("array<double>")).as(Seq("pos0", "v")))
+        .groupBy($"label", ($"pos0" + 1).cast("long").as("pos"))
+        .agg(round(avg($"v"), 6).as("mean_v"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------------
 
     // M1: opaque binary payload column + typed metadata — the image/audio
@@ -222,6 +234,13 @@ object TrainingQueries {
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
          round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
          FROM embeddings""",
+    "s4_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+                round(avg(v), 6) AS mean_v
+         FROM (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings)
+         GROUP BY label, pos""",
     "m1_binary_metadata" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -90,6 +90,19 @@ object Similarity {
     f(asDouble(vec))
   }
 
+  /** Element-wise mean embedding per group (label centroids): posexplode →
+    * per-(group, position) average → re-collect ordered. Fully distributed —
+    * the widest stage carries (group, pos, value) triples, so a 10⁹-vector
+    * corpus aggregates with one shuffle keyed by (group, pos), never
+    * collecting vectors anywhere. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean_v")))).as("pts"))
+      .select(col(groupCol), col("pts.mean_v").as("centroid"))
+
   /** IVF (inverted-file) ANN index: partition the corpus into `nLists`
     * clusters around deterministic seed centroids (the first `nLists`
     * vectors by id — reproducible without RNG state), assign each vector

@@ -99,6 +99,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("groupCentroids: element-wise mean per group, order preserved") {
+    val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got(0) == Seq(2.0, 4.0))
+    assert(got(1) == Seq(10.0, 20.0))
+  }
+
   test("IVF index partitions the corpus; probe finds self as top-1") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
