@@ -56,6 +56,12 @@ object TrainingQueries {
         blockCols = Seq("lang", "source"), threshold = 0.8)
     }),
 
+    // D5: embedding-cosine near-dup — exact all-pairs baseline, top-50
+    // most-similar pairs (deterministic: rounded cosine + id tie-breaks)
+    "d5_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", k = 50)
+    }),
+
     // ---- text analysis -----------------------------------------------------
 
     // T1: token counting + quality metrics (whitespace + BPE-ish counts,
@@ -170,6 +176,12 @@ object TrainingQueries {
          FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""",
     "t1_text_metrics" ->
       """WITH n AS (
            SELECT doc_id, text,

@@ -177,6 +177,25 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-duplicate detection: the exact all-pairs
+    * baseline — most-similar `k` pairs (or all pairs ≥ `threshold` when
+    * set). One side broadcasts (ids + vectors), cosine is codegen'd
+    * zip_with/aggregate. This is the verification baseline; at corpus
+    * scale block first with `Similarity.hyperplaneSignature` or
+    * `Similarity.ivfIndex` buckets and run this within buckets only.
+    */
+  def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 50, threshold: Double = -1.0): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs = vecs.as("a")
+      .join(broadcast(vecs.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    pairs.orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(k)
+  }
+
   /** Exhaustive n-gram Jaccard near-dup pairs within blocking groups —
     * the quadratic baseline, bounded by the blocking key so each group's
     * pair count stays small. Oracle-expressible in plain SQL.
