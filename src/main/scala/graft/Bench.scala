@@ -31,10 +31,15 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ($n rows)")
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the TAIL of the output and parses the JSON
+    // line out of it — keep this line SHORT (3-decimal times, locale-fixed
+    // dot) so its start survives the tail truncation (r1 lesson: a 2.5 KB
+    // line got its head cut off and the round's bench went unparsed).
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

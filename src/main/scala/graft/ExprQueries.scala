@@ -382,7 +382,7 @@ object ExprQueries {
         .select($"o_orderkey", $"parsed.key".as("rt_key"), $"parsed.status".as("rt_status"))
     }),
 
-    // A5: aggregate-to-model — natural cubic spline per group, evaluated on
+    // A5: aggregate-to-model — not-a-knot cubic spline per group, evaluated on
     // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
     // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
     // is not SQL-expressible).

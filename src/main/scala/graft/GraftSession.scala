@@ -32,6 +32,11 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Spark 4.1 async checkpoint-file checksum writes hang stateful
+      // state-store commits in local mode (close() awaits a checksum
+      // future that never completes) — disable; corruption detection on
+      // checkpoints is not worth a wedged stream here.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

@@ -72,4 +72,16 @@ object Marts {
   def liquidityDepthLsd(liquidityDepth: DataFrame): DataFrame =
     liquidityDepth.withColumn("pair",
       concat(col("from_token_symbol"), lit("/"), col("to_token_symbol")))
+
+  /** Port of `sm_bal_pool_contents.sql`: Balancer-pool composition
+    * passthrough of the lake feed (sm_bal_pool_contents.sql:3-10). */
+  def smBalPoolContents(balPoolContents: DataFrame): DataFrame =
+    balPoolContents.select(col("block_day"), col("safety_module_token"),
+      col("symbol"), col("weight"), col("balance"))
+
+  /** Port of `market_state_by_day.sql`: `Protocol.marketState` at the
+    * daily grain (identical derivation to market_state_by_hour — the two
+    * models differ only in source grain). */
+  def marketStateByDay(protocolDataByDay: DataFrame): DataFrame =
+    Protocol.marketState(protocolDataByDay, "block_day")
 }

@@ -141,7 +141,7 @@ object Protocol {
     *      (min fetch_time per day — the K2 append-sink's downstream half);
     *   2. keep only rows where the implied to-amount is monotonically
     *      increasing (lag + diff filter);
-    *   3. fit natural cubic splines (from→to, to→from, from→impact) on the
+    *   3. fit not-a-knot cubic splines (from→to, to→from, from→impact) on the
     *      collected curve;
     *   4. cross-join a bad-debt sweep grid and evaluate the splines.
     *
@@ -555,11 +555,201 @@ object Protocol {
       .withColumnRenamed("balance", "balance_native")
   }
 
+  /** Final derived columns shared by the `inv_*_performance_base` family —
+    * the three models (inv_lst / inv_bal / inv_treasury_atoken) end in an
+    * identical SELECT computing period price-change and receipts in
+    * native/USD/ETH units (inv_bal_performance_base.sql:115-135,
+    * inv_treasury_atoken_performance_base.sql:100-120). Input must carry
+    * the calcs-level columns (balance_native, earnings_native, usd_price,
+    * eth_usd and their `end_` lead pairs). */
+  def performanceDerived(calcs: DataFrame): DataFrame =
+    calcs
+      .withColumn("eth_price", col("usd_price") / col("eth_usd"))
+      .withColumn("price_change_usd",
+        (col("balance_native") + col("earnings_native")) *
+          (col("end_usd_price") - col("usd_price")))
+      .withColumn("price_change_eth",
+        (col("balance_native") + col("earnings_native")) *
+          (col("end_usd_price") / col("end_eth_usd") -
+            col("usd_price") / col("eth_usd")))
+      .withColumn("receipts_native",
+        col("end_balance_native") - col("earnings_native") - col("balance_native"))
+      .withColumn("receipts_usd", col("receipts_native") * col("usd_price"))
+      .withColumn("receipts_eth", col("receipts_usd") / col("eth_usd"))
+
+  private val invExcludedMarkets = Seq("ethereum_v1", "fantom_v3", "harmony_v3")
+
+  /** Port of `inv_bal_performance_base.sql`: BAL / B-80BAL-20WETH treasury
+    * positions (since 2022-07-20) with liquidity-rate earnings and a price
+    * coalesce: aave oracle (ethereum_v2 BAL) → coingecko
+    * (B-80BAL-20WETH). The lstPerformanceBase join/lead/earnings shape with
+    * a two-feed price fallback and balance-group dim attach. */
+  def invBalPerformanceBase(nonAtokenBalances: DataFrame, rates: DataFrame,
+                            oraclePrices: DataFrame, coingeckoPrices: DataFrame,
+                            ethPrices: DataFrame, balanceGroups: DataFrame): DataFrame = {
+    val b = nonAtokenBalances
+      .filter(col("symbol").isin("BAL", "B-80BAL-20WETH") &&
+        col("block_day") >= to_timestamp(lit("2022-07-20")))
+      .select(col("block_day"), col("market"), col("token").as("reserve"),
+        col("symbol"), col("balance"))
+    val r = rates
+      .filter(!col("market").isin(invExcludedMarkets: _*))
+      .select(col("block_day").as("r_day"), col("market").as("r_market"),
+        col("symbol").as("r_symbol"), col("liquidity_rate"))
+    val p = oraclePrices
+      .filter(col("market") === "ethereum_v2" && col("symbol") === "BAL")
+      .select(col("block_day").as("p_day"), col("market").as("p_market"),
+        col("reserve").as("p_reserve"), col("usd_price").as("oracle_price"))
+    val cg = coingeckoPrices
+      .filter(col("symbol") === "B-80BAL-20WETH")
+      .select(col("block_day").as("c_day"), lit("ethereum_v2").as("c_market"),
+        col("address").as("c_reserve"), col("price_usd").as("cg_price"))
+    val e = broadcast(ethPrices.select(col("block_day").as("e_day"),
+      col("usd_price").as("eth_usd")))
+    val l = broadcast(balanceGroups.select(col("market").as("l_market"),
+      col("atoken_symbol").as("l_symbol"), col("balance_group"), col("stable_class")))
+    val w = Window.partitionBy(col("market"), col("symbol")).orderBy(col("block_day"))
+    val calcs = b
+      .join(r, col("block_day") === col("r_day") && col("market") === col("r_market") &&
+        col("symbol") === col("r_symbol"), "left")
+      .join(p, col("block_day") === col("p_day") && col("market") === col("p_market") &&
+        col("reserve") === col("p_reserve"), "left")
+      .join(cg, col("block_day") === col("c_day") && col("market") === col("c_market") &&
+        col("reserve") === col("c_reserve"), "left")
+      .join(e, col("block_day") === col("e_day"), "left")
+      .join(l, col("market") === col("l_market") && col("symbol") === col("l_symbol"), "left")
+      .drop("r_day", "r_market", "r_symbol", "p_day", "p_market", "p_reserve",
+        "c_day", "c_market", "c_reserve", "e_day", "l_market", "l_symbol")
+      .withColumn("usd_price", coalesce(col("oracle_price"), col("cg_price")))
+      .withColumn("liquidity_rate", coalesce(col("liquidity_rate"), lit(0.0)))
+      .withColumnRenamed("balance", "balance_native")
+      .withColumn("end_balance_native", lead(col("balance_native"), 1).over(w))
+      .withColumn("end_usd_price", lead(col("usd_price"), 1).over(w))
+      .withColumn("end_eth_usd", lead(col("eth_usd"), 1).over(w))
+      .withColumn("balance_usd", col("balance_native") * col("usd_price"))
+      .withColumn("balance_eth", col("balance_usd") / col("eth_usd"))
+      .withColumn("earnings_native", col("balance_native") * col("liquidity_rate") / 365)
+      .withColumn("earnings_usd", col("earnings_native") * col("usd_price"))
+      .withColumn("earnings_eth", col("earnings_usd") / col("eth_usd"))
+    performanceDerived(calcs).select(
+      col("block_day"), col("market"), col("symbol"),
+      col("balance_group"), col("stable_class"),
+      col("balance_native"), col("balance_usd"), col("balance_eth"),
+      col("usd_price"), col("eth_price"),
+      col("earnings_native"), col("earnings_usd"), col("earnings_eth"),
+      col("price_change_usd"), col("price_change_eth"),
+      col("receipts_native"), col("receipts_usd"), col("receipts_eth"))
+  }
+
+  /** Port of `inv_treasury_atoken_performance_base.sql`: collector-held
+    * atoken positions (excluded markets dropped) priced by the underlying
+    * reserve's oracle price, lead-paired per (market, symbol); only rows
+    * with balance_native > 0 survive. */
+  def invTreasuryAtokenPerformanceBase(collectorAtokenBalances: DataFrame,
+                                       rates: DataFrame, oraclePrices: DataFrame,
+                                       ethPrices: DataFrame, atokens: DataFrame,
+                                       balanceGroups: DataFrame): DataFrame = {
+    val b = collectorAtokenBalances
+      .filter(!col("market").isin(invExcludedMarkets: _*))
+      .join(broadcast(atokens.select(col("atoken").as("a_token"),
+        col("market").as("a_market"), col("reserve"), col("reserve_symbol"))),
+        col("token") === col("a_token") && col("market") === col("a_market"), "left")
+      .select(col("block_day"), col("market"), col("symbol"), col("reserve"),
+        col("reserve_symbol"), col("balance"))
+    val r = rates
+      .filter(!col("market").isin(invExcludedMarkets: _*))
+      .select(col("block_day").as("r_day"), col("market").as("r_market"),
+        col("symbol").as("r_symbol"), col("liquidity_rate"))
+    val p = oraclePrices
+      .filter(!col("market").isin(invExcludedMarkets: _*))
+      .select(col("block_day").as("p_day"), col("market").as("p_market"),
+        col("reserve").as("p_reserve"), col("usd_price"))
+    val e = broadcast(ethPrices.select(col("block_day").as("e_day"),
+      col("usd_price").as("eth_usd")))
+    val l = broadcast(balanceGroups.select(col("market").as("l_market"),
+      col("atoken_symbol").as("l_symbol"), col("balance_group"), col("stable_class")))
+    val w = Window.partitionBy(col("market"), col("symbol")).orderBy(col("block_day"))
+    val calcs = b
+      .join(r, col("block_day") === col("r_day") && col("market") === col("r_market") &&
+        col("symbol") === col("r_symbol"), "left")
+      .join(p, col("block_day") === col("p_day") && col("market") === col("p_market") &&
+        col("reserve") === col("p_reserve"), "left")
+      .join(e, col("block_day") === col("e_day"), "left")
+      .join(l, col("market") === col("l_market") && col("symbol") === col("l_symbol"), "left")
+      .drop("r_day", "r_market", "r_symbol", "p_day", "p_market", "p_reserve",
+        "e_day", "l_market", "l_symbol")
+      .withColumnRenamed("balance", "balance_native")
+      .withColumn("end_balance_native", lead(col("balance_native"), 1).over(w))
+      .withColumn("end_usd_price", lead(col("usd_price"), 1).over(w))
+      .withColumn("end_eth_usd", lead(col("eth_usd"), 1).over(w))
+      .withColumn("balance_usd", col("balance_native") * col("usd_price"))
+      .withColumn("balance_eth", col("balance_usd") / col("eth_usd"))
+      .withColumn("earnings_native", col("balance_native") * col("liquidity_rate") / 365)
+      .withColumn("earnings_usd", col("earnings_native") * col("usd_price"))
+      .withColumn("earnings_eth", col("earnings_usd") / col("eth_usd"))
+    performanceDerived(calcs)
+      .filter(col("balance_native") > 0)
+      .select(
+        col("block_day"), col("market"), col("symbol"),
+        col("balance_group"), col("stable_class"),
+        col("balance_native"), col("balance_usd"), col("balance_eth"),
+        col("usd_price"), col("eth_price"),
+        col("earnings_native"), col("earnings_usd"), col("earnings_eth"),
+        col("price_change_usd"), col("price_change_eth"),
+        col("receipts_native"), col("receipts_usd"), col("receipts_eth"))
+  }
+
+  /** Port of `reserve_factor_income_by_hour.sql`: hourly protocol income —
+    * config ⋈ state on (block_hour, reserve, market), chain dims broadcast,
+    * priced at the containing day's token price. */
+  def reserveFactorIncomeByHour(configByHour: DataFrame, stateByHour: DataFrame,
+                                chainsMarkets: DataFrame, tokenPricesByDay: DataFrame): DataFrame = {
+    val state = stateByHour.select(
+      col("block_hour").as("s_hour"), col("reserve").as("s_reserve"),
+      col("market").as("s_market"),
+      col("variable_borrow_rate"), col("variable_debt"),
+      col("stable_borrow_rate"), col("stable_debt"))
+    val cm = broadcast(chainsMarkets
+      .select(col("market").as("c_market"), col("chain"), col("display_chain"),
+        col("display_market")))
+    val p = tokenPricesByDay.select(col("block_day").as("p_day"),
+      col("reserve").as("p_reserve"), col("chain").as("p_chain"), col("usd_price"))
+    configByHour
+      .join(state, col("block_hour") === col("s_hour") &&
+        col("reserve") === col("s_reserve") && col("market") === col("s_market"), "left")
+      .drop("s_hour", "s_reserve", "s_market")
+      .join(cm, col("market") === col("c_market"), "left").drop("c_market")
+      .join(p, date_trunc("day", col("block_hour")) === col("p_day") &&
+        col("reserve") === col("p_reserve") && col("chain") === col("p_chain"), "left")
+      .drop("p_day", "p_reserve", "p_chain")
+      .withColumn("variable_debt_protocol_income",
+        col("variable_debt") * col("variable_borrow_rate") / 365 * col("reserve_factor"))
+      .withColumn("stable_debt_protocol_income",
+        col("stable_debt") * col("stable_borrow_rate") / 365 * col("reserve_factor"))
+      .withColumn("daily_income_usd",
+        (col("variable_debt") * col("variable_borrow_rate") +
+          col("stable_debt") * col("stable_borrow_rate")) / 365 *
+          col("reserve_factor") * col("usd_price"))
+      .select(col("block_hour"), col("market"), col("chain"), col("display_chain"),
+        col("display_market"), col("atoken_symbol"), col("reserve_factor"),
+        col("variable_borrow_rate"), col("variable_debt"),
+        col("stable_borrow_rate"), col("stable_debt"),
+        col("variable_debt_protocol_income"), col("stable_debt_protocol_income"),
+        col("usd_price"), col("daily_income_usd"))
+  }
+
   /** Port of `sm_cost_of_cover_by_day.sql`: annualized emission cost over
     * total cover, a ratio-of-sums aggregate (SURVEY §2.5 A7). */
   def smCostOfCoverByDay(smTotals: DataFrame): DataFrame =
     smTotals.groupBy(col("block_day"))
       .agg((sum(col("emission_usd_per_day")) * 365 / sum(col("safety_module_cover")))
+        .as("annual_cost_of_cover_percent"))
+
+  /** Port of `sm_cost_of_cover_by_token_by_day.sql`: the per-token variant —
+    * a row-wise ratio on safety_module_totals_by_day, no aggregation. */
+  def smCostOfCoverByTokenByDay(smTotals: DataFrame): DataFrame =
+    smTotals.select(col("block_day"), col("stk_token_symbol"),
+      (col("emission_usd_per_day") * 365 / col("safety_module_cover"))
         .as("annual_cost_of_cover_percent"))
 
   /** Ports of the small safety-module rollup models over

@@ -244,18 +244,44 @@ object Dedup {
   /** Exhaustive n-gram Jaccard near-dup pairs within blocking groups —
     * the quadratic baseline, bounded by the blocking key so each group's
     * pair count stays small. Oracle-expressible in plain SQL.
+    *
+    * The word set is hashed ONCE per document to a sorted array of 64-bit
+    * word hashes; each pair then costs a primitive merge-count instead of
+    * `array_intersect`+`array_union` (which re-hash every boxed string on
+    * every pair — the dominant cost, since pairs ≫ docs in any block).
+    * 64-bit collisions are ~2⁻⁶⁴ per word pair — immaterial next to the
+    * threshold.
     */
   def nearDupJaccardBlocked(df: DataFrame, textCol: String, idCol: String,
                             blockCols: Seq[String], threshold: Double): DataFrame = {
     val prepared = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+ Text.wordSet(col(textCol)).as("words"): _*)
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        sort_array(array_distinct(
+          transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("wh"): _*)
     val a = prepared.as("a")
     val b = prepared.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockCond && col("a.id") < col("b.id"))
-      .withColumn("jaccard", jaccardWords(col("a.words"), col("b.words")))
+      .withColumn("__inter", sortedInterUdf(col("a.wh"), col("b.wh")).cast("double"))
+      .withColumn("__union", size(col("a.wh")) + size(col("b.wh")) - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Intersection size of two SORTED long arrays — single merge pass. */
+  private val sortedInterUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Long], b: Seq[Long]) => {
+      var i = 0; var j = 0; var n = 0
+      val la = a.length; val lb = b.length
+      while (i < la && j < lb) {
+        val x = a(i); val y = b(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    })
 }

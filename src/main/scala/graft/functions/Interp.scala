@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   *   - piecewise-linear `np.interp` over list columns
   *     (aave_data/assets/protocol/protocol_data_warehouse.py:377-384);
-  *   - natural cubic spline fit + eval per day group
+  *   - cubic spline fit + eval per day group (scipy default not-a-knot BC)
   *     (protocol_data_warehouse.py:537-564).
   *
   * Both are implemented over COLLECTED array columns: the group key in the
@@ -46,43 +46,75 @@ object Interp {
     })
   }
 
-  /** Natural cubic spline: fit on knots (xs, ys), evaluate at qs.
-    * Scala implementation of the standard tridiagonal natural-spline solve
-    * (second derivative = 0 at both ends), matching scipy
-    * `CubicSpline(..., bc_type='natural')`. Clamps evaluation outside the
-    * knot range to the boundary segment (linear extension of the end cubic).
+  /** Cubic spline: fit on knots (xs, ys), evaluate at qs. `bcType` selects
+    * the boundary condition:
+    *
+    *   - `"not-a-knot"` (default) — third-derivative continuity at the
+    *     second and second-to-last knots, matching scipy
+    *     `CubicSpline(x, y)`'s default `bc_type='not-a-knot'` (the variant
+    *     the reference uses in protocol_data_warehouse.py:537-564). With 3
+    *     knots this degenerates (both conditions coincide), so — like
+    *     scipy — a single parabola through the 3 points is returned.
+    *   - `"natural"` — second derivative = 0 at both ends
+    *     (`bc_type='natural'`).
+    *
+    * Evaluation outside the knot range extrapolates with the boundary
+    * cubic (scipy's `extrapolate=True` default) — this matters: the
+    * shortfall sweep grid reaches 5e8, far past the fitted curve's knots,
+    * where the boundary condition dominates the result.
     */
-  def splineEval(xs: Array[Double], ys: Array[Double], qs: Array[Double]): Array[Double] = {
+  def splineEval(xs: Array[Double], ys: Array[Double], qs: Array[Double],
+                 bcType: String = "not-a-knot"): Array[Double] = {
     val n = xs.length
     require(n >= 2, "spline needs >= 2 knots")
     if (n == 2) return qs.map { q =>
       val t = (q - xs(0)) / (xs(1) - xs(0))
       ys(0) + t * (ys(1) - ys(0))
     }
+    if (n == 3 && bcType == "not-a-knot") {
+      // scipy: 3 knots + not-a-knot = the unique parabola through the points
+      val (x0, x1, x2) = (xs(0), xs(1), xs(2))
+      return qs.map { q =>
+        ys(0) * (q - x1) * (q - x2) / ((x0 - x1) * (x0 - x2)) +
+        ys(1) * (q - x0) * (q - x2) / ((x1 - x0) * (x1 - x2)) +
+        ys(2) * (q - x0) * (q - x1) / ((x2 - x0) * (x2 - x1))
+      }
+    }
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
-    // Solve for second derivatives m(0..n-1), m(0)=m(n-1)=0 (natural BC)
-    val alpha = Array.tabulate(n)(i =>
-      if (i == 0 || i == n - 1) 0.0
-      else 3.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1)))
-    val l = new Array[Double](n); val mu = new Array[Double](n); val z = new Array[Double](n)
-    l(0) = 1.0; mu(0) = 0.0; z(0) = 0.0
+    // Solve A*m = r for second derivatives m(0..n-1). Interior rows are the
+    // standard continuity equations; the first/last rows encode the boundary
+    // condition. Dense Gaussian elimination with partial pivoting — groups
+    // are tiny (≤ sweep-grid size, ~100 knots), so O(n³) per group is noise
+    // next to the shuffle that built the group.
+    val a = Array.fill(n, n)(0.0)
+    val r = new Array[Double](n)
     var i = 1
     while (i < n - 1) {
-      l(i) = 2.0 * (xs(i + 1) - xs(i - 1)) - h(i - 1) * mu(i - 1)
-      mu(i) = h(i) / l(i)
-      z(i) = (alpha(i) - h(i - 1) * z(i - 1)) / l(i)
+      a(i)(i - 1) = h(i - 1)
+      a(i)(i) = 2.0 * (h(i - 1) + h(i))
+      a(i)(i + 1) = h(i)
+      r(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
       i += 1
     }
-    l(n - 1) = 1.0; z(n - 1) = 0.0
-    val c = new Array[Double](n); val b = new Array[Double](n - 1); val d = new Array[Double](n - 1)
-    c(n - 1) = 0.0
-    var j = n - 2
-    while (j >= 0) {
-      c(j) = z(j) - mu(j) * c(j + 1)
-      b(j) = (ys(j + 1) - ys(j)) / h(j) - h(j) * (c(j + 1) + 2.0 * c(j)) / 3.0
-      d(j) = (c(j + 1) - c(j)) / (3.0 * h(j))
-      j -= 1
+    bcType match {
+      case "natural" =>
+        a(0)(0) = 1.0; r(0) = 0.0
+        a(n - 1)(n - 1) = 1.0; r(n - 1) = 0.0
+      case "not-a-knot" =>
+        // d''' continuous at x1:  h1*(m1-m0) = h0*(m2-m1)
+        a(0)(0) = -h(1); a(0)(1) = h(0) + h(1); a(0)(2) = -h(0); r(0) = 0.0
+        // d''' continuous at x_{n-2}:  h_{n-2}*(m_{n-2}-m_{n-3}) = h_{n-3}*(m_{n-1}-m_{n-2})
+        a(n - 1)(n - 3) = -h(n - 2)
+        a(n - 1)(n - 2) = h(n - 3) + h(n - 2)
+        a(n - 1)(n - 1) = -h(n - 3)
+        r(n - 1) = 0.0
+      case other => throw new IllegalArgumentException(s"unknown bcType: $other")
     }
+    val m = solveDense(a, r)
+    val c = Array.tabulate(n)(k => m(k) / 2.0)
+    val b = Array.tabulate(n - 1)(k =>
+      (ys(k + 1) - ys(k)) / h(k) - h(k) * (m(k + 1) + 2.0 * m(k)) / 6.0)
+    val d = Array.tabulate(n - 1)(k => (m(k + 1) - m(k)) / (6.0 * h(k)))
     qs.map { q =>
       // segment index: last i with xs(i) <= q, clamped to [0, n-2]
       var s = java.util.Arrays.binarySearch(xs, q)
@@ -94,7 +126,43 @@ object Interp {
     }
   }
 
-  /** Column form of splineEval: three array<double> columns → array<double>. */
+  /** In-place Gaussian elimination with partial pivoting; mutates `a`/`r`. */
+  private def solveDense(a: Array[Array[Double]], r: Array[Double]): Array[Double] = {
+    val n = r.length
+    var col = 0
+    while (col < n) {
+      var p = col
+      var row = col + 1
+      while (row < n) { if (math.abs(a(row)(col)) > math.abs(a(p)(col))) p = row; row += 1 }
+      if (p != col) { val t = a(p); a(p) = a(col); a(col) = t
+                      val tr = r(p); r(p) = r(col); r(col) = tr }
+      require(a(col)(col) != 0.0, "singular spline system (duplicate knots?)")
+      row = col + 1
+      while (row < n) {
+        val f = a(row)(col) / a(col)(col)
+        if (f != 0.0) {
+          var k = col
+          while (k < n) { a(row)(k) -= f * a(col)(k); k += 1 }
+          r(row) -= f * r(col)
+        }
+        row += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var row = n - 1
+    while (row >= 0) {
+      var s = r(row)
+      var k = row + 1
+      while (k < n) { s -= a(row)(k) * x(k); k += 1 }
+      x(row) = s / a(row)(row)
+      row -= 1
+    }
+    x
+  }
+
+  /** Column form of splineEval: three array<double> columns → array<double>.
+    * Not-a-knot boundary (the scipy default the reference relies on). */
   val splineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((xs: Seq[Double], ys: Seq[Double], qs: Seq[Double]) =>
       splineEval(xs.toArray, ys.toArray, qs.toArray).toSeq)

@@ -93,12 +93,14 @@ object Relational {
 
   /** Latest-snapshot filter: keep rows where `tsCol` equals the global max —
     * the `where block_day = (select max(block_day) ...)` idiom
-    * (treasury_totals_latest.sql:10). Expressed as an empty-frame window max
-    * so it stays one pass (Spark plans a scalar subquery equivalently).
+    * (treasury_totals_latest.sql:10). The max is computed as a partial-agg
+    * (map-side combine, no row movement beyond 1-row-per-partition) and
+    * broadcast back as a 1-row cross join — never a global window, which
+    * would shuffle the ENTIRE input into a single partition.
     */
   def latestOnly(df: DataFrame, tsCol: String): DataFrame = {
-    val w = Window.partitionBy()
-    df.withColumn("__mx", max(col(tsCol)).over(w))
+    val mx = df.agg(max(col(tsCol)).as("__mx"))
+    df.crossJoin(broadcast(mx))
       .filter(col(tsCol) === col("__mx"))
       .drop("__mx")
   }

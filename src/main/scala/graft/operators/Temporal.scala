@@ -39,8 +39,14 @@ object Temporal {
       (keyCols.map(col) :+ col(leftTs).cast("long").as("__ts") :+ lit(1).as("__side")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val unioned = Relational.unionPadded(Seq(taggedRight, taggedLeft), lit(null))
+    // Final order keys: the right-side values themselves. When several right
+    // rows share (key, ts), the carried value is then the greatest value
+    // tuple — deterministic across runs/partitionings (byte-identical rerun
+    // gate) instead of partition-order dependent. Left rows all have null
+    // __v_* so their relative order can't affect any fill.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc +: col("__side").asc +:
+        valueCols.map(c => col(s"__v_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(
         unioned.withColumn("__match_ts",
@@ -74,10 +80,16 @@ object Temporal {
                         pointCol: String, startCol: String, endCol: String,
                         binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    // Guard malformed intervals (end <= start): Spark's `sequence` would
+    // auto-step BACKWARDS for them — a single corrupt row with end far below
+    // start explodes into a huge descending bin array before the residual
+    // filter can discard it. Emit no bins instead (explode drops the row).
     val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol).cast("long") / binSize),
-        floor((col(endCol).cast("long") - 1) / binSize))))
+      explode(when(col(endCol) > col(startCol),
+        sequence(
+          floor(col(startCol).cast("long") / binSize),
+          floor((col(endCol).cast("long") - 1) / binSize)))
+        .otherwise(array().cast("array<long>"))))
     val pointBinned = points.withColumn("__bin",
       floor(col(pointCol).cast("long") / binSize))
     pointBinned

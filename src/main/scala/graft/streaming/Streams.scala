@@ -84,9 +84,11 @@ object Streams {
       }
   }
 
-  /** Drain-available-and-exit run — the cron-batch replacement. Writes the
-    * aggregated stream to parquet (complete mode snapshots to `outPath` via
-    * foreachBatch so the sink stays a plain parquet table). Returns after
+  /** Drain-available-and-exit run — the cron-batch replacement. Append-mode
+    * parquet file sink: correct for watermarked windowed aggregations
+    * (sealed windows append) and stateless transforms. NOT for
+    * `mapGroupsWithState` queries — those require Update output mode, which
+    * file sinks cannot do; use [[runStatefulAvailableNow]]. Returns after
     * all available data is processed.
     */
   def runAvailableNow(agg: DataFrame, outPath: String, checkpoint: String): Unit = {
@@ -96,6 +98,27 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .option("path", outPath)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Drain-available-and-exit run for STATEFUL queries ([[sessionize]] /
+    * `mapGroupsWithState`), which require Update output mode. File sinks
+    * only support Append, so each micro-batch's updated rows are appended
+    * to the parquet table via `foreachBatch` — the table is an update LOG
+    * (one row per state change); the current state per key is the
+    * `Relational.dedupKeepLast` of it. Exactly-once per batch comes from
+    * the checkpoint + batchId-idempotent appends.
+    */
+  def runStatefulAvailableNow[T](updates: Dataset[T], outPath: String,
+                                 checkpoint: String): Unit = {
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
       .start()
     q.awaitTermination()
   }

@@ -55,6 +55,19 @@ class DedupSpec extends SparkSpec {
       .toDF("x", "y").select(Dedup.jaccardWords($"x", $"y")).head.getDouble(0)
     assert(math.abs(got - 0.5) < 1e-12)
   }
+
+  test("nearDupJaccardBlocked: exact jaccard via hashed word merge, block-bounded") {
+    val d = Seq(
+      (1L, "en", "web", "the quick brown fox jumps over dogs"),
+      (2L, "en", "web", "the quick brown fox jumps over cats"),  // 6/8 = 0.75 vs 1
+      (3L, "en", "book", "the quick brown fox jumps over dogs"), // identical text, other block
+      (4L, "en", "web", "completely different words entirely here"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = Dedup.nearDupJaccardBlocked(d, "text", "doc_id",
+      Seq("lang", "source"), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.75))) // 3 blocked away, 4 below threshold
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -82,10 +82,41 @@ class InterpSpec extends SparkSpec {
     val h = 1e-4
     val ends = Seq(xs.head + h, xs.last - h)
     val d2 = ends.map { x =>
-      val Array(a, b, c) = Interp.splineEval(xs, ys, Array(x - h, x, x + h))
+      val Array(a, b, c) = Interp.splineEval(xs, ys, Array(x - h, x, x + h), "natural")
       (a - 2 * b + c) / (h * h)
     }
     d2.foreach(v => assert(math.abs(v) < 1e-2, s"d2=$v"))
+  }
+
+  test("not-a-knot spline reproduces any single cubic exactly, incl. extrapolation") {
+    // A not-a-knot spline through >= 4 samples of one cubic IS that cubic
+    // (natural BC would flatten the ends) — scipy CubicSpline's default.
+    def f(x: Double) = 2.0 * x * x * x - 3.0 * x * x + 0.5 * x - 5.0
+    val xs = Array(0.0, 1.0, 2.5, 4.0, 7.0, 9.0)
+    val ys = xs.map(f)
+    val qs = Array(-3.0, 0.4, 3.3, 6.9, 15.0, 500.0) // inside + far extrapolation
+    val got = Interp.splineEval(xs, ys, qs)
+    qs.indices.foreach { i =>
+      val want = f(qs(i))
+      assert(math.abs(got(i) - want) <= 1e-8 * math.max(1.0, math.abs(want)),
+        s"q=${qs(i)}: ${got(i)} vs $want")
+    }
+  }
+
+  test("not-a-knot spline with 3 knots is the parabola through them (scipy degenerate case)") {
+    def f(x: Double) = 1.5 * x * x - 2.0 * x + 3.0
+    val xs = Array(0.0, 2.0, 5.0)
+    val got = Interp.splineEval(xs, xs.map(f), Array(1.0, 4.0, -2.0, 10.0))
+    Array(1.0, 4.0, -2.0, 10.0).zip(got).foreach { case (q, g) =>
+      assert(math.abs(g - f(q)) < 1e-10, s"q=$q: $g vs ${f(q)}")
+    }
+  }
+
+  test("not-a-knot spline passes through irregular knots exactly") {
+    val xs = Array(0.0, 1.0, 2.5, 4.0, 7.0)
+    val ys = Array(1.0, 3.0, 2.0, 5.0, 4.0)
+    val got = Interp.splineEval(xs, ys, xs)
+    xs.indices.foreach(i => assert(math.abs(got(i) - ys(i)) < 1e-10))
   }
 
   test("linearInterp matches np.interp semantics incl. clamping") {

@@ -68,6 +68,15 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set("b", "c"))
   }
 
+  test("latestOnly plans as partial-agg + broadcast, never a global window") {
+    // A Window.partitionBy() max would funnel EVERY row through one
+    // partition — the 100 TB anti-pattern this operator must avoid.
+    val df = Seq((1, "a"), (3, "b"), (3, "c")).toDF("ts", "v")
+    val plan = Relational.latestOnly(df, "ts").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
   test("safeDiv guards division by zero") {
     val got = Seq((1.0, 0.0), (6.0, 2.0)).toDF("x", "y")
       .select(Relational.safeDiv($"x", $"y")).collect().map(_.getDouble(0))

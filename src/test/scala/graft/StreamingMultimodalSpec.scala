@@ -58,6 +58,52 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(out).count() > n2)
   }
+
+  test("sessionize aggregates per-user sessions (batch execution of the stateful op)") {
+    // mapGroupsWithState is a Dataset op: batch execution covers the
+    // aggregation logic (the streaming path is exercised by the runner
+    // test below — FlatMapGroupsWithStateExec itself wedges on a state-
+    // store coordinator RPC in this Spark build's local mode).
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      Streams.Event(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Streams.Event(1L, ts("2024-01-01 10:05:00"), "click", 2.0),
+      Streams.Event(2L, ts("2024-01-01 11:00:00"), "view", 5.0)).toDS()
+    val got = Streams.sessionize(events).collect().map(s => s.user_id -> s).toMap
+    assert(got.size == 2)
+    assert(got(1L).n_events == 2L && got(1L).total_value == 3.0)
+    assert(got(1L).session_start == ts("2024-01-01 10:00:00"))
+    assert(got(1L).session_end == ts("2024-01-01 10:05:00"))
+    assert(got(2L).n_events == 1L && got(2L).total_value == 5.0)
+    assert(!got(1L).closed && !got(2L).closed)
+  }
+
+  test("runStatefulAvailableNow drains an Update-mode stateful query via foreachBatch") {
+    // Update output mode is exactly what file sinks cannot do (the r1
+    // runAvailableNow bug) — drive an unsealed windowed aggregation
+    // through the foreachBatch update-log runner and keep-last it.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), "click", 2.0),
+        (3L, ts("2024-01-01 11:40:00"), "view", 5.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val agg = Streams.windowedCounts(
+      Streams.parquetStream(spark, src, schema), "ts")
+    Streams.runStatefulAvailableNow(agg.toDF(), out, ckpt)
+    val log = spark.read.parquet(out)
+    // Update mode emits even windows the watermark has not sealed —
+    // Append mode would emit NOTHING here (max ts - 2h < all windows)
+    val latest = graft.operators.Relational.dedupKeepLast(
+      log, Seq("window_start", "event_type"), Seq("n_events"))
+    val clicks = latest.filter($"event_type" === "click").head()
+    assert(clicks.getAs[Long]("n_events") == 2L)
+    assert(clicks.getAs[Double]("total_value") == 3.0)
+    assert(latest.count() == 2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

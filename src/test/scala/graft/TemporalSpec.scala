@@ -43,6 +43,35 @@ class TemporalSpec extends SparkSpec {
     assert(got.count() == trades.count())
   }
 
+  test("asofJoinBackward: tied right timestamps resolve deterministically (greatest value)") {
+    // 3 quotes share (sym, ts=200); the carried value must be the greatest
+    // one, independent of input partitioning / partition count.
+    val dupQuotes = Seq(
+      ("AAVE", 200L, 55.0), ("AAVE", 200L, 51.0), ("AAVE", 200L, 53.0))
+      .toDF("sym", "quote_ts", "price")
+    (1 to 8).foreach { nPart =>
+      val got = Temporal.asofJoinBackward(
+        trades, dupQuotes.repartition(nPart), Seq("sym"),
+        "trade_ts", "quote_ts", Seq("price"))
+        .filter($"trade_ts" === 205L).select($"price").head().getDouble(0)
+      assert(got == 55.0, s"nPart=$nPart got $got")
+    }
+  }
+
+  test("rangeJoinBucketed: malformed interval (end <= start) joins nothing, explodes nothing") {
+    val sessions = Seq(
+      ("u1", 100L, 200L, "ok"),
+      ("u1", 500L, 500L, "empty"),          // zero-length
+      ("u1", 1000000000L, 5L, "corrupt"))   // end far below start
+      .toDF("user", "start", "end", "session_id")
+    val events = Seq(("u1", 150L, "a"), ("u1", 500L, "b")).toDF("user", "ts", "ev")
+    // binSize=1: the corrupt row would explode to ~1e9 descending bins unguarded
+    val got = Temporal.rangeJoinBucketed(events, sessions, Seq("user"),
+      "ts", "start", "end", 1L)
+      .select($"ev", $"session_id").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "ok")))
+  }
+
   test("rangeJoinBucketed: point-in-interval matches across bin sizes") {
     val sessions = Seq(
       ("u1", 100L, 200L, "s1"), ("u1", 200L, 300L, "s2"), ("u2", 0L, 1000L, "s3"))
