@@ -103,16 +103,22 @@ object ExprQueries {
 
     // J3: positional (row-index) join (data_lake.py:2072-2073) — stable
     // row_number over an explicit total order on both sides, then join.
+    // Distributed top-k FIRST (orderBy+limit plans TakeOrderedAndProject:
+    // per-partition heaps + driver merge), THEN rank the 50 survivors — a
+    // global row_number window over the full table would funnel every row
+    // through one partition.
     "j3_positional_join" -> ((s, dir) => {
       import s.implicits._
       val wo = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       val wc = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
       val topOrders = t(s, dir, "orders")
         .select($"o_orderkey", $"o_totalprice")
-        .withColumn("pos", row_number().over(wo)).filter($"pos" <= 50)
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc).limit(50)
+        .withColumn("pos", row_number().over(wo))
       val topCust = t(s, dir, "customer")
         .select($"c_custkey", $"c_acctbal")
-        .withColumn("pos", row_number().over(wc)).filter($"pos" <= 50)
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc).limit(50)
+        .withColumn("pos", row_number().over(wc))
       topOrders.join(topCust, "pos")
         .select($"pos", $"o_orderkey", $"o_totalprice", $"c_custkey", $"c_acctbal")
     }),

@@ -32,6 +32,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // SQL surface for the native vector expressions (graft_dot/_cosine)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Spark 4.1 async checkpoint-file checksum writes hang stateful
       // state-store commits in local mode (close() awaits a checksum
       // future that never completes) — disable; corruption detection on

@@ -1,0 +1,138 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path (SURVEY §2.10 /
+  * custom-operator ladder rung (b)): a dot product or cosine over
+  * `array<double>` pairs evaluated per candidate pair is the innermost
+  * loop of similarity search and near-dup scoring. The built-in
+  * composition (`aggregate(zip_with(a, b, _*_), 0.0, _+_)` + two norm
+  * passes) allocates an intermediate array and walks both inputs three
+  * times per row; these expressions are one allocation-free loop, fully
+  * inside whole-stage codegen (`doGenCode` below), with an interpreted
+  * `nullSafeEval` twin for non-codegen paths.
+  *
+  * Element access uses `ArrayData.getDouble`: embedding arrays are
+  * expected element-non-null (null elements read as 0-ish garbage, same
+  * contract as Spark's own `list_*` vector functions).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkArrayDoublePair(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Shared input check: both children must be array<double> (call sites
+    * cast float embeddings explicitly — no silent implicit cast here). */
+  private[expressions] def checkArrayDoublePair(name: String, left: Expression,
+                                                right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires (array<double>, array<double>) inputs, got (${l.sql}, ${r.sql})")
+    }
+}
+
+/** Cosine similarity in ONE pass: dot, |a|², |b|² accumulated together;
+  * 0.0 when either norm is 0 (the guarded-division convention the rest of
+  * the engine uses). Arithmetic is ordered exactly like the composed form
+  * it replaces — `dot / (sqrt(na) * sqrt(nb))`, sequential element sums —
+  * so rounded outputs are bit-identical to the r1 oracle-checked results.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkArrayDoublePair(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    // full norms: elements past the common prefix still count toward each
+    // side's magnitude (matches norm(a)*norm(b) of the composed form)
+    var j = n
+    while (j < x.numElements()) { val v = x.getDouble(j); na += v * v; j += 1 }
+    j = n
+    while (j < y.numElements()) { val v = y.getDouble(j); nb += v * v; j += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double ${v}x = $a.getDouble($i);
+         |  final double ${v}y = $b.getDouble($i);
+         |  $dot += ${v}x * ${v}y; $na += ${v}x * ${v}x; $nb += ${v}y * ${v}y;
+         |}
+         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |  final double ${v}a = $a.getDouble($i); $na += ${v}a * ${v}a;
+         |}
+         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |  final double ${v}b = $b.getDouble($i); $nb += ${v}b * ${v}b;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -17,16 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import org.apache.spark.sql.GraftColumns.{column => asCol, expression => asExpr}
+  import graft.expressions.{CosineSimilarity, DotProduct}
+
+  /** Dot product of two double arrays — native Catalyst expression with
+    * `doGenCode` (one allocation-free loop inside whole-stage codegen; the
+    * `aggregate(zip_with(...))` composition it replaces allocated an
+    * intermediate array and walked both inputs per pass). */
+  def dot(a: Column, b: Column): Column = asCol(DotProduct(asExpr(a), asExpr(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity — single-pass native expression; 0.0 on zero norm. */
+  def cosine(a: Column, b: Column): Column = asCol(CosineSimilarity(asExpr(a), asExpr(b)))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

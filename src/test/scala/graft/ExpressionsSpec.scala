@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Native Catalyst vector expressions: value equivalence with the
+  * composed built-in form, codegen path, SQL registration, null/edge
+  * semantics. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("DotProduct/CosineSimilarity match the composed HOF form bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Similarity.dot($"a", $"b").as("d"),
+      Similarity.cosine($"a", $"b").as("c"),
+      hofDot($"a", $"b").as("hd"),
+      (hofDot($"a", $"b") / (sqrt(hofDot($"a", $"a")) * sqrt(hofDot($"b", $"b")))).as("hc"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2), "dot mismatch")
+      assert(r.getDouble(1) == r.getDouble(3), "cosine mismatch")
+    }
+  }
+
+  test("cosine edge semantics: zero vector -> 0.0, null input -> null, length mismatch") {
+    val df = Seq(
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 2.0))),           // zero norm
+      (None, Some(Seq(1.0, 2.0))),                          // null input
+      (Some(Seq(3.0, 4.0)), Some(Seq(1.0, 0.0, 99.0))))    // unequal length
+      .toDF("a", "b")
+    val rows = df.select(Similarity.cosine($"a", $"b")).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(0))
+    // dot over common prefix (3*1), norms over FULL arrays: 5 * sqrt(1+99²)
+    val want = 3.0 / (5.0 * math.sqrt(1.0 + 99.0 * 99.0))
+    assert(math.abs(rows(2).getDouble(0) - want) < 1e-15)
+  }
+
+  test("graft_dot / graft_cosine are registered SQL functions (SparkSessionExtensions)") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+  }
+
+  test("expression evaluates inside whole-stage codegen (no fallback)") {
+    val df = spark.range(1000)
+      .select(array((0 until 8).map(i => (col("id") + i).cast("double")): _*).as("v"))
+      .select(Similarity.cosine($"v", $"v").as("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` marks operators fused into a WholeStageCodegen stage — the
+    // projection evaluating graft_cosine must carry it (no fallback)
+    assert(plan.contains("*(1) Project [graft_cosine"), plan)
+    // self-cosine of any non-zero vector is exactly 1 up to fp rounding
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+}

@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Spark 4.1 async checkpoint-file checksum writes hang stateful
       // (mapGroupsWithState) state-store commits in local mode — the
       // close() awaits a checksum future that never completes.
