@@ -30,9 +30,12 @@ object TrainingQueries {
 
     // D2: MinHash+LSH near-dup candidates, exact-Jaccard verified.
     // Signature math is engine-specific → rows-only check + ScalaTest.
+    // reuseSignatures: the plan references the signature relation three
+    // times — persisting it tokenizes/hashes the corpus ONCE (the right
+    // call whenever the signature table fits cache+disk).
     "d2_minhash_lsh_neardup" -> ((s, dir) => {
       Dedup.nearDupMinhashLsh(t(s, dir, "documents"), "text", "doc_id",
-        n = 2, k = 64, bands = 16, threshold = 0.4)
+        n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)
     }),
 
     // D3: SimHash signatures + within-language Hamming≤8 near-dup pairs.

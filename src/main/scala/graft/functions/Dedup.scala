@@ -99,9 +99,13 @@ object Dedup {
     // corpus is tokenized/hashed ONCE — the right call on a cluster when
     // the token arrays fit the aggregate cache+disk; leave false to trade
     // recompute for zero storage (small corpora, memory-tight executors).
+    // Word sets as sorted 64-bit hash arrays (the d4 trick): the verify
+    // join then merge-counts primitive longs instead of re-hashing boxed
+    // strings per candidate pair.
     val withSig0 = df.select(
       col(idCol).as("id"),
-      Text.wordSet(col(textCol)).as("words"),
+      sort_array(array_distinct(
+        transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("words"),
       minHashSignature(col(textCol), n, k).as("sig"))
     val withSig =
       if (reuseSignatures)
@@ -136,7 +140,10 @@ object Dedup {
     cand
       .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
       .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
-      .withColumn("jaccard", jaccardWords(col("words_a"), col("words_b")))
+      .withColumn("__inter", sortedInterUdf(col("words_a"), col("words_b")).cast("double"))
+      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
