@@ -152,6 +152,20 @@ object TrainingQueries {
     // pattern: binary blob, byte length, content hash, head-bytes sample.
     // (Real decode is stubbed — see functions/Multimodal.scala; the schema,
     // batching and fingerprint plumbing are real and oracle-checked.)
+    // D6: dedup CLUSTERS — connected components over the blocked-Jaccard
+    // near-dup pair graph (the post-pair step a dedup pipeline actually
+    // keys retention decisions on). cluster_id = min doc_id in component.
+    // Oracle: DuckDB recursive-CTE min-label closure over the same pairs.
+    "d6_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.nearDupJaccardBlocked(docs, "text", "doc_id",
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+        .select($"id_a", $"id_b")
+      Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+        edges, "id_a", "id_b")
+    }),
+
     "m1_binary_metadata" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -179,6 +193,25 @@ object TrainingQueries {
          FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+         SELECT node AS doc_id, min(label) AS cluster_id
+         FROM reach GROUP BY node""",
     "d5_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

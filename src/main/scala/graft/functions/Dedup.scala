@@ -291,4 +291,55 @@ object Dedup {
       }
       n
     })
+
+  /** Connected components over a near-dup pair graph — the clustering step
+    * after any pair generator (keep one doc per component, or weight by
+    * quality). Iterative min-label propagation: each round every vertex
+    * takes the smallest label among itself and its neighbours; converges in
+    * graph-diameter rounds (near-dup components are shallow — dup clusters
+    * are cliques or short chains, so 3-5 rounds in practice).
+    *
+    * Every round is fully distributed (join + groupBy-min keyed on vertex
+    * id); the driver only checks the convergence counter. The result is
+    * persisted round-over-round so lineage doesn't re-run prior rounds.
+    * For graphs with long chains at extreme scale, the alternating
+    * large-star/small-star variant halves round count — not needed for
+    * dup-cluster shapes.
+    *
+    * Returns (idCol, cluster_id) where cluster_id = min vertex id in the
+    * component — deterministic, partition-order independent.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // Persist the (undirected) edge list: it is referenced EVERY round, and
+    // without materialization each round would re-run the entire upstream
+    // pair generator (e.g. the blocked-Jaccard self-join) through lineage.
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("cluster_id"))
+    var changed = 1L
+    var i = 0
+    var prevCached: Option[DataFrame] = None
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = und.join(labels, col("dst") === col("__v"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr"))
+      // carry a per-row changed flag so convergence is read off the SAME
+      // job that computes the round (no second compare-join per round)
+      val step = labels.join(nbrMin, col("__v") === col("src"), "left")
+        .select(col("__v"),
+          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("__next"),
+          col("cluster_id").as("__old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = step.filter(col("__next") =!= col("__old")).count()
+      prevCached.foreach(_.unpersist())
+      prevCached = Some(step)
+      labels = step.select(col("__v"), col("__next").as("cluster_id"))
+      i += 1
+    }
+    und.unpersist() // final labels are materialized (counted) — lineage done
+    labels.withColumnRenamed("__v", idCol)
+  }
 }

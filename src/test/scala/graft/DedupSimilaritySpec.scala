@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
+  test("connectedComponents: chain, triangle, isolated vertex; partition-invariant") {
+    val vertices = (1L to 9L).toDF("doc_id")
+    // chain 1-2-3-4 (diameter 3), triangle 5-6-7, isolated 8, 9
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                   5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L)
+    Seq(1, 5).foreach { nPart =>
+      val got = Dedup.connectedComponents(
+        vertices.repartition(nPart), "doc_id",
+        edges.repartition(nPart), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"nPart=$nPart: $got")
+    }
+  }
+
   test("nearDupJaccardBlocked: exact jaccard via hashed word merge, block-bounded") {
     val d = Seq(
       (1L, "en", "web", "the quick brown fox jumps over dogs"),
