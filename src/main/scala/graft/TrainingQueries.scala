@@ -152,6 +152,27 @@ object TrainingQueries {
     // pattern: binary blob, byte length, content hash, head-bytes sample.
     // (Real decode is stubbed — see functions/Multimodal.scala; the schema,
     // batching and fingerprint plumbing are real and oracle-checked.)
+    // T4: deterministic hash sampling — reproducible corpus downsampling
+    // (pure function of doc_id: stable across runs/engines/partitionings,
+    // unlike df.sample's RNG). 12.5% = first md5 hex byte < 0x20.
+    "t4_hash_sample" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter(Text.hashSampleFilter($"doc_id", 0.125))
+        .select($"doc_id", $"lang", $"source")
+    }),
+
+    // T5: greedy sequence packing — assign docs to fixed token-budget packs
+    // per language (the context-window packing step of an LLM data
+    // pipeline). pack_id = floor(tokens-before-this-doc / budget).
+    "t5_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          Text.tokenCountWs($"text").cast("long").as("n_tokens"))
+      Text.packSequences(docs, "lang", "doc_id", "n_tokens", budget = 2048L)
+    }),
+
     // D6: dedup CLUSTERS — connected components over the blocked-Jaccard
     // near-dup pair graph (the post-pair step a dedup pipeline actually
     // keys retention decisions on). cluster_id = min doc_id in component.
@@ -193,6 +214,21 @@ object TrainingQueries {
          FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
+    "t4_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""",
+    "t5_sequence_pack" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                     / 2048) AS BIGINT) AS pack_id
+         FROM d""",
     "d6_dedup_clusters" ->
       """WITH RECURSIVE w AS (
            SELECT doc_id, lang, source,

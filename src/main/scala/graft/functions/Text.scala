@@ -109,4 +109,33 @@ object Text {
   def fingerprintRolling(text: Column): Column =
     aggregate(split(normalize(text), " "), lit(0L),
       (acc, w) => acc * lit(1000003L) + crc32(w).cast("long"))
+
+  /** Deterministic hash-sampling predicate: keep a row iff the md5 of its
+    * id's string form falls below `rate` of the hex space (first two hex
+    * chars < 256·rate). Unlike `df.sample()`, the decision is a pure
+    * function of the id — stable across runs, engines, partitionings, and
+    * incremental re-runs (a doc once sampled stays sampled), which is what
+    * corpus downsampling needs for reproducible training mixes. */
+  def hashSampleFilter(id: Column, rate: Double): Column = {
+    require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
+    val cut = f"${math.min((256 * rate).toInt, 255)}%02x"
+    substring(md5(id.cast("string")), 1, 2) < lit(cut)
+  }
+
+  /** Greedy sequence packing: assign documents to fixed token-budget packs
+    * per group (the LLM-training step that concatenates documents into
+    * context windows). Documents are walked in `orderCol` order; a doc
+    * whose running total crosses the budget boundary starts/straddles the
+    * next pack — pack_id = floor(tokens_before_this_doc / budget). One
+    * window over (group, order): a single shuffle keyed by the group. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                    orderCol: String, tokenCol: String, budget: Long
+                   ): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("pack_id",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+  }
 }

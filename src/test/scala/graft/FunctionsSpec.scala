@@ -133,6 +133,29 @@ class InterpSpec extends SparkSpec {
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("packSequences: start-based greedy packing per group") {
+    // budget 10, tokens 4 each: start offsets 0,4,8,12 -> packs 0,0,0,1
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L), ("a", 4L, 4L),
+                 ("b", 1L, 25L), ("b", 2L, 1L)) // oversized doc starts pack 0; next starts pack 2
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = Text.packSequences(df, "lang", "doc_id", "n_tokens", budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got(("a", 1L)) == 0L && got(("a", 2L)) == 0L && got(("a", 3L)) == 0L)
+    assert(got(("a", 4L)) == 1L)
+    assert(got(("b", 1L)) == 0L && got(("b", 2L)) == 2L)
+  }
+
+  test("hashSampleFilter: deterministic, partition-invariant, ~rate fraction") {
+    val ids = (1L to 2000L).toDF("id")
+    val kept = ids.filter(Text.hashSampleFilter($"id", 0.125))
+      .as[Long].collect().toSet
+    // repeatable under different partitioning
+    val kept2 = ids.repartition(7).filter(Text.hashSampleFilter($"id", 0.125))
+      .as[Long].collect().toSet
+    assert(kept == kept2)
+    assert(kept.size > 150 && kept.size < 350, s"got ${kept.size} of 2000")
+  }
+
   test("token counts") {
     val df = Seq("Hello, world! 42 times").toDF("t")
     val r = df.select(
