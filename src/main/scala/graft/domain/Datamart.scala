@@ -460,6 +460,98 @@ object Datamart {
       .withColumn("net_value_change", col("current_value") - col("purchase_amount_usd"))
   }
 
+  /** Port of the market-impact `impact_proposal_*` family (131, 150, 151,
+    * 158, 163, 167, 168, 172, 175 and — with `rewardFeeds` — 130): market
+    * state for the proposal's reserves over the 6 months before the
+    * proposal, left-joined to revenue (native + USD legs of all_revenue)
+    * and oracle prices, derived TVL/deposit/borrow measures unpivoted to
+    * long form. `rewardFeeds` adds the 130-style per-reward-token
+    * emissions/APR columns; `aggregateMeasures` appends the 163-style
+    * cross-reserve 'aggregate' rollup rows for the named measures.
+    */
+  def proposalMarketImpact(marketState: DataFrame, allRevenue: DataFrame,
+                           oraclePrices: DataFrame, market: String,
+                           reserves: Seq[String], revenueTokens: Seq[String],
+                           proposalDate: String,
+                           rewardFeeds: Seq[(String, DataFrame)] = Nil,
+                           aggregateMeasures: Seq[String] = Nil): DataFrame = {
+    def revenueLeg(currency: String, alias: String) = allRevenue
+      .filter(col("currency") === currency && col("token").isin(revenueTokens: _*))
+      .select(col("block_day").as(s"${alias}_day"), col("market").as(s"${alias}_market"),
+        col("underlying_reserve").as(s"${alias}_reserve"), col("revenue").as(alias))
+    val n = revenueLeg("native", "revenue")
+    val u = revenueLeg("usd", "revenue_usd")
+    val p = oraclePrices.select(col("block_day").as("p_day"), col("market").as("p_market"),
+      col("reserve").as("p_reserve"), col("usd_price"))
+    val base = marketState
+      .filter(col("market") === market && col("reserve").isin(reserves: _*) &&
+        col("block_day").cast("date") > add_months(lit(proposalDate).cast("date"), -6))
+      .join(n, col("block_day") === col("revenue_day") &&
+        col("market") === col("revenue_market") &&
+        col("reserve") === col("revenue_reserve"), "left")
+      .join(u, col("block_day") === col("revenue_usd_day") &&
+        col("market") === col("revenue_usd_market") &&
+        col("reserve") === col("revenue_usd_reserve"), "left")
+      .join(p, col("block_day") === col("p_day") && col("market") === col("p_market") &&
+        col("reserve") === col("p_reserve"), "left")
+      .withColumn("tvl", col("atoken_supply") - col("variable_debt") - col("stable_debt"))
+      .withColumn("tvl_usd", col("tvl") * col("usd_price"))
+      .withColumn("deposits", col("atoken_supply"))
+      .withColumn("deposits_usd", col("deposits") * col("usd_price"))
+      .withColumn("borrows", col("variable_debt") + col("stable_debt"))
+      .withColumn("borrows_usd", col("borrows") * col("usd_price"))
+    val baseMeasures = Seq("tvl", "tvl_usd", "deposits", "deposits_usd",
+      "borrows", "borrows_usd", "revenue", "revenue_usd", "usd_price")
+    val (wide, measures) =
+      if (rewardFeeds.isEmpty) (base, baseMeasures)
+      else {
+        val joined = rewardFeeds.foldLeft(base) { case (acc, (sym, feed)) =>
+          val f = feed
+            .filter(col("market") === market && col("reward_token_symbol") === sym)
+            .select(col("block_day").as(s"${sym}_day"), col("market").as(s"${sym}_market"),
+              col("reserve").as(s"${sym}_reserve"),
+              (col("supply_rewards") + col("variable_debt_rewards") +
+                col("stable_debt_rewards")).as(s"${sym}_emissions_paid"),
+              col("supply_rewards_apr").as(s"${sym}_supply_apr"),
+              col("variable_borrow_rewards_apr").as(s"${sym}_borrow_apr"))
+          acc.join(f, col("block_day") === col(s"${sym}_day") &&
+            col("market") === col(s"${sym}_market") &&
+            col("reserve") === col(s"${sym}_reserve"), "left")
+            .drop(s"${sym}_day", s"${sym}_market", s"${sym}_reserve")
+        }
+        val supplyApr = rewardFeeds.map { case (sym, _) =>
+          coalesce(col(s"${sym}_supply_apr"), lit(0.0)) }.reduce(_ + _)
+        val borrowApr = rewardFeeds.map { case (sym, _) =>
+          coalesce(col(s"${sym}_borrow_apr"), lit(0.0)) }.reduce(_ + _)
+        val withAprs = joined
+          .withColumn("deposit_apy", col("liquidity_rate"))
+          .withColumn("borrow_apy", col("variable_borrow_rate"))
+          .withColumn("deposit_rewards_apr", supplyApr)
+          .withColumn("variable_borrow_rewards_apr", borrowApr)
+          .withColumn("deposit_apy_inc_rewards", col("liquidity_rate") + supplyApr)
+          .withColumn("variable_borrow_apy_inc_rewards",
+            col("variable_borrow_rate") + borrowApr)
+        val emCols = rewardFeeds.map { case (sym, _) => s"${sym}_emissions_paid" }
+        val filled = emCols.foldLeft(withAprs)((d, c) =>
+          d.withColumn(c, coalesce(col(c), lit(0.0))))
+        (filled, baseMeasures ++ Seq("deposit_apy", "borrow_apy",
+          "deposit_rewards_apr", "variable_borrow_rewards_apr",
+          "deposit_apy_inc_rewards", "variable_borrow_apy_inc_rewards") ++ emCols)
+      }
+    val idCols = Seq("block_day", "market", "reserve", "atoken_symbol")
+    val long = Relational.melt(
+      wide.select((idCols ++ measures).map(col): _*),
+      idCols, measures, nameCol = "measure", valueCol = "value")
+    if (aggregateMeasures.isEmpty) long
+    else long.unionByName(long
+      .filter(col("measure").isin(aggregateMeasures: _*))
+      .groupBy(col("block_day"), col("market"), col("measure"))
+      .agg(sum(col("value")).as("value"))
+      .withColumn("reserve", lit("aggregate"))
+      .withColumn("atoken_symbol", lit("aggregate"))
+      .select((idCols :+ "measure" :+ "value").map(col): _*))
+  }
+
   /** Port of `stablecoin_totals.sql`: stablecoin treasury value per
     * balance group per day. */
   def stablecoinTotals(balances: DataFrame): DataFrame =

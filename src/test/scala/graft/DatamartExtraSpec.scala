@@ -9,6 +9,74 @@ class DatamartExtraSpec extends SparkSpec {
 
   private def day(d: Int) = Timestamp.valueOf(f"2022-07-$d%02d 00:00:00")
 
+  test("proposalMarketImpact: base measures, window filter, aggregate rollup") {
+    val state = Seq(
+      // in-window rows for the two proposal reserves
+      (day(10), "ethereum_v2", "0xweth", "aWETH", 1000.0, 300.0, 100.0, 0.01, 0.03),
+      (day(10), "ethereum_v2", "0xdai", "aDAI", 500.0, 100.0, 0.0, 0.02, 0.04),
+      // other reserve / other market / pre-window rows must drop
+      (day(10), "ethereum_v2", "0xusdc", "aUSDC", 1.0, 0.0, 0.0, 0.0, 0.0),
+      (day(10), "polygon_v3", "0xweth", "aWETH", 1.0, 0.0, 0.0, 0.0, 0.0),
+      (Timestamp.valueOf("2021-01-01 00:00:00"), "ethereum_v2", "0xweth", "aWETH",
+        1.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("block_day", "market", "reserve", "atoken_symbol",
+        "atoken_supply", "variable_debt", "stable_debt",
+        "liquidity_rate", "variable_borrow_rate")
+    val revenue = Seq(
+      (day(10), "ethereum_v2", "0xweth", "0xaweth", "native", 2.0),
+      (day(10), "ethereum_v2", "0xweth", "0xaweth", "usd", 4000.0),
+      (day(10), "ethereum_v2", "0xweth", "0xother", "native", 99.0)) // wrong token
+      .toDF("block_day", "market", "underlying_reserve", "token", "currency", "revenue")
+    val prices = Seq(
+      (day(10), "ethereum_v2", "0xweth", 2000.0),
+      (day(10), "ethereum_v2", "0xdai", 1.0))
+      .toDF("block_day", "market", "reserve", "usd_price")
+    val got = Datamart.proposalMarketImpact(state, revenue, prices,
+      market = "ethereum_v2", reserves = Seq("0xweth", "0xdai"),
+      revenueTokens = Seq("0xaweth"), proposalDate = "2022-12-19",
+      aggregateMeasures = Seq("revenue_usd"))
+    // 2 surviving rows × 9 measures + 1 aggregate (revenue_usd) day-row
+    assert(got.count() == 19, s"got ${got.count()}")
+    def v(reserve: String, measure: String) =
+      got.filter($"reserve" === reserve && $"measure" === measure)
+        .head().getAs[Double]("value")
+    assert(v("0xweth", "tvl") == 600.0)            // 1000 - 300 - 100
+    assert(v("0xweth", "tvl_usd") == 1200000.0)
+    assert(v("0xweth", "revenue_usd") == 4000.0)
+    assert(v("0xdai", "borrows") == 100.0)
+    assert(v("aggregate", "revenue_usd") == 4000.0) // dai leg null-revenue
+    assert(got.filter($"reserve" === "0xusdc").count() == 0)
+  }
+
+  test("proposalMarketImpact with reward feeds adds APR + emissions measures (130 shape)") {
+    val state = Seq(
+      (day(10), "polygon_v3", "0xwmatic", "aWMATIC", 100.0, 40.0, 10.0, 0.01, 0.03))
+      .toDF("block_day", "market", "reserve", "atoken_symbol",
+        "atoken_supply", "variable_debt", "stable_debt",
+        "liquidity_rate", "variable_borrow_rate")
+    val revenue = Seq((day(10), "polygon_v3", "0xwmatic", "0xt", "usd", 7.0))
+      .toDF("block_day", "market", "underlying_reserve", "token", "currency", "revenue")
+    val prices = Seq((day(10), "polygon_v3", "0xwmatic", 0.5))
+      .toDF("block_day", "market", "reserve", "usd_price")
+    val sd = Seq(
+      (day(10), "polygon_v3", "0xwmatic", "SD", 1.0, 2.0, 3.0, 0.002, 0.005),
+      (day(10), "polygon_v3", "0xwmatic", "LDO", 9.0, 9.0, 9.0, 9.0, 9.0)) // other symbol
+      .toDF("block_day", "market", "reserve", "reward_token_symbol",
+        "supply_rewards", "variable_debt_rewards", "stable_debt_rewards",
+        "supply_rewards_apr", "variable_borrow_rewards_apr")
+    val got = Datamart.proposalMarketImpact(state, revenue, prices,
+      market = "polygon_v3", reserves = Seq("0xwmatic"),
+      revenueTokens = Seq("0xt"), proposalDate = "2022-12-19", // fixture day in window
+      rewardFeeds = Seq("SD" -> sd))
+    // 9 base + 6 APR/apy + 1 emissions measure
+    assert(got.count() == 16, s"got ${got.count()}")
+    def v(measure: String) =
+      got.filter($"measure" === measure).head().getAs[Double]("value")
+    assert(v("SD_emissions_paid") == 6.0)
+    assert(math.abs(v("deposit_apy_inc_rewards") - 0.012) < 1e-12)
+    assert(math.abs(v("variable_borrow_apy_inc_rewards") - 0.035) < 1e-12)
+  }
+
   test("treasuryValueByAsset: per-token rollup with start-of-day shift") {
     val bal = Seq(
       (day(18), "Ethereum", "Ethereum V2", "Collector", "0xtok", "BAL", "0xtok", "BAL", 100.0, 10.0),
