@@ -43,4 +43,22 @@ object Sinks {
     val head = df.take(previewRows).map(_.toString)
     (n, head)
   }
+
+  /** Bucketed table write — the co-located-join primitive (SURVEY §4): two
+    * tables bucketed (and sort-ordered) on their join key with the same
+    * bucket count join WITHOUT a shuffle on either side — the scan's bucket
+    * layout satisfies the join's required distribution. At 100 TB this is
+    * the difference between re-shuffling the fact table per join and never
+    * shuffling it at all; pay the clustering once at write time, every
+    * downstream join reads it back for free. `saveAsTable` is required
+    * (bucket metadata lives in the catalog, not the parquet files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

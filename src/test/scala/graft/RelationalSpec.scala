@@ -88,6 +88,24 @@ class SinksSpec extends SparkSpec {
   import spark.implicits._
   import graft.sources.Sinks
 
+  test("writeBucketed: co-located join plans with NO shuffle on either side") {
+    val ords = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val cust = Tables.t(spark, sfDir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_name")
+    Sinks.writeBucketed(ords, "b_orders", Seq("o_custkey"), 4)
+    Sinks.writeBucketed(cust, "b_cust", Seq("o_custkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // bucket layout satisfies the join
+      val want = ords.join(cust, "o_custkey").count()
+      assert(j.count() == want && want > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("K1 dynamic partition overwrite only replaces incoming partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val day1 = Seq(("2024-01-01", "ethereum", 1.0), ("2024-01-01", "polygon", 2.0))

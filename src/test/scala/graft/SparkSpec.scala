@@ -15,6 +15,8 @@ object TestSpark {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       // Spark 4.1 async checkpoint-file checksum writes hang stateful
       // (mapGroupsWithState) state-store commits in local mode — the
       // close() awaits a checksum future that never completes.
