@@ -173,4 +173,25 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Per-vector affine int8 quantization — the embedding-store scale path
+    * (4× smaller than float32, 8× than float64; IVF/LSH candidate scoring
+    * tolerates the ≤ scale/2 rounding error, re-rank the short list on the
+    * full-precision column). Output struct: (zero, scale, q:array<tinyint>)
+    * with v ≈ (q + 128) * scale + zero. Pure Catalyst — codegen'd, no UDF.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = asDouble(vec)
+    val mn = array_min(v)
+    val mx = array_max(v)
+    val scale = when(mx === mn, lit(1.0)).otherwise((mx - mn) / 255.0)
+    struct(mn.as("zero"), scale.as("scale"),
+      transform(v, x => (round((x - mn) / scale) - 128).cast("tinyint")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct array<double> from the
+    * quantized struct (within scale/2 per element). */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      q => (q.cast("double") + 128.0) * qs.getField("scale") + qs.getField("zero"))
 }

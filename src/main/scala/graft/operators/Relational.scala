@@ -91,6 +91,26 @@ object Relational {
   def safeDiv(x: Column, y: Column, default: Column = lit(0.0)): Column =
     when(y =!= 0, x / y).otherwise(default)
 
+  /** Salted join for skewed keys: the big (skewed) side gets a
+    * deterministic salt in [0, nSalts) derived from `saltFrom` (any
+    * high-cardinality column — an id, a timestamp); the small side is
+    * exploded ×nSalts so every (key, salt) bucket still finds its match.
+    * A hot key's rows then spread over nSalts shuffle partitions instead
+    * of one straggler. Use when AQE's skew-join can't help (e.g. the skew
+    * is in a window/aggregation feeding the join, or on a join type AQE
+    * skew handling doesn't cover); costs nSalts× the small side's shuffle
+    * volume, so keep the small side small.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFrom: String, nSalts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val salted = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Latest-snapshot filter: keep rows where `tsCol` equals the global max —
     * the `where block_day = (select max(block_day) ...)` idiom
     * (treasury_totals_latest.sql:10). The max is computed as a partial-agg

@@ -91,6 +91,22 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("int8 quantize/dequantize roundtrip within half a quantization step") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(20)(Seq.fill(32)(rnd.nextDouble() * 10 - 5)) :+
+      Seq.fill(8)(3.14) // constant vector edge case (scale guard)
+    val df = vecs.toDF("v")
+    val got = df.select($"v",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"v")).as("rt"),
+      Similarity.quantizeInt8($"v").getField("scale").as("scale")).collect()
+    got.foreach { r =>
+      val v = r.getSeq[Double](0); val rt = r.getSeq[Double](1)
+      val tol = r.getDouble(2) / 2 + 1e-12
+      v.zip(rt).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= tol, s"$a vs $b (tol $tol)") }
+    }
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val df = Seq(
       (Seq(1.0, 2.0), Seq(2.0, 4.0)),

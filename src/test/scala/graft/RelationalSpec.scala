@@ -62,6 +62,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows(0).getDouble(2) == 0.0 && rows(1).getDouble(1) == 0.0)
   }
 
+  test("saltedJoin matches the plain join on a skewed key distribution") {
+    // 90% of rows share one key — the classic straggler shape
+    val big = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k$i", i))
+      .toDF("key", "id")
+    val small = Seq(("hot", 1.0), ("k950", 2.0), ("nomatch", 3.0)).toDF("key", "w")
+    val plain = big.join(small, Seq("key"), "inner")
+    val salted = Relational.saltedJoin(big, small, Seq("key"), "id", nSalts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    // left join keeps unmatched big rows exactly once despite the explode
+    val saltedLeft = Relational.saltedJoin(big, small, Seq("key"), "id", 8, "left")
+    assert(saltedLeft.count() == 1000L)
+  }
+
   test("latestOnly keeps all rows tied at the max") {
     val df = Seq((1, "a"), (3, "b"), (3, "c")).toDF("ts", "v")
     val got = Relational.latestOnly(df, "ts").select($"v").as[String].collect().toSet
