@@ -45,6 +45,19 @@ object Streams {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming dedup on key columns with watermark-bounded state: replayed
+    * or double-delivered events (at-least-once upstreams) are dropped so
+    * the sink sees each key once. The watermark bounds the dedup state —
+    * without it the key set grows forever; with it, keys older than the
+    * delay are evicted (a duplicate arriving later than `watermark` after
+    * the original would pass — pick it ≥ the upstream's redelivery
+    * horizon). Append-mode safe (emits first-seen rows only). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   // --- custom state: sessionization via mapGroupsWithState ---------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

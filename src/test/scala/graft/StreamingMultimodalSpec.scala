@@ -59,6 +59,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() > n2)
   }
 
+  test("dedupStream drops replayed events (at-least-once upstream -> exactly-once sink)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedupstream").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0), // exact redelivery
+      (2L, ts("2024-01-01 10:01:00"), "view", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    rows.write.parquet(src)
+    // the same batch re-landed as new files (upstream replay)
+    rows.write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val deduped = Streams.dedupStream(
+      Streams.parquetStream(spark, src, schema), "ts", Seq("event_id"))
+    Streams.runAvailableNow(deduped, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2, s"got ${got.count()}") // one row per event_id
+    assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("sessionize aggregates per-user sessions (batch execution of the stateful op)") {
     // mapGroupsWithState is a Dataset op: batch execution covers the
     // aggregation logic (the streaming path is exercised by the runner
