@@ -69,6 +69,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents agrees with local union-find on random graphs") {
+    trials(3) {
+      // small n keeps the propagation round count (graph diameter) low —
+      // each distributed round is a fixed-latency job on the test session
+      val n = 12
+      val edges = Seq.fill(rnd.nextInt(14))(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // local union-find ground truth
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map { v =>
+        // min vertex id in component == fully-compressed root (roots carry min by construction)
+        var r = find(v); v.toLong -> r.toLong
+      }.toMap
+      val got = Dedup.connectedComponents(
+        (1L to n.toLong).toDF("id"), "id",
+        edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("spline interpolates exactly at knots for random curves") {
     trials(20) {
       val ys = Array.fill(6)(rnd.nextDouble() * 200.0 - 100.0)
