@@ -245,6 +245,21 @@ object ExprQueries {
         .select($"o_custkey", $"o_orderkey", $"o_totalprice")
     }),
 
+    // W7: calendar-spine resample + gap-fill (pandas resample('D').ffill()):
+    // per-user daily sums expanded onto each user's continuous [min, max]
+    // day range, gaps forward-filled. Day emitted as a string (DATE dtype
+    // mismatches the oracle's pandas bridge).
+    "w7_resample_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "events")
+        .withColumn("day",
+          date_trunc("day", timestamp_micros(($"ts" / 1000).cast("long"))))
+        .groupBy($"user_id", $"day")
+        .agg(round(sum($"value"), 6).as("day_value"))
+      graft.operators.Temporal.resampleDaily(base, Seq("user_id"), "day", Seq("day_value"))
+        .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"), $"day_value")
+    }),
+
     // ---- §2.7 sorted top-k -------------------------------------------------
 
     // O1: multi-key sort + limit (data_warehouse.py:706; all_financials.sql:447)
@@ -515,6 +530,20 @@ object ExprQueries {
                                           ORDER BY o_orderdate, o_orderkey) AS prev_price
            FROM orders)
          WHERE prev_price IS NULL OR o_totalprice >= prev_price""",
+    "w7_resample_gapfill" ->
+      """WITH base AS (
+           SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+                  round(sum(value), 6) AS day_value
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM base GROUP BY 1),
+         spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+         j AS (SELECT s.user_id, s.day, base.day_value
+               FROM spine s LEFT JOIN base ON s.user_id = base.user_id AND s.day = base.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                last_value(day_value IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+         FROM j""",
     "o1_topk_sorted" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",

@@ -65,6 +65,27 @@ object Temporal {
           when(withinTol, col("__match_ts")).as("asof_match_ts"): _*)
   }
 
+  /** Daily resample + gap-fill: expand each key's sparse day series onto a
+    * continuous calendar spine ([min, max] day per key, `sequence` +
+    * `explode`) and forward-fill the measure columns across the generated
+    * gaps — the pandas `resample('D').ffill()` / date-spine idiom the
+    * reference's day-grain models assume implicitly (every day present).
+    *
+    * Scale shape: the bounds aggregate and the ffill window both key on
+    * `keys` (one shuffle each); the spine join keys on (keys, day). Spine
+    * size is Σ per-key day-spans — generated, never read; a key's span of
+    * N days costs N rows regardless of how sparse its data is.
+    */
+  def resampleDaily(df: DataFrame, keys: Seq[String], dayCol: String,
+                    fillCols: Seq[String]): DataFrame = {
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val spine = bounds.select(keys.map(col) :+
+      explode(sequence(col("__lo"), col("__hi"), expr("interval 1 day"))).as(dayCol): _*)
+    val joined = spine.join(df, keys :+ dayCol, "left")
+    Relational.ffill(joined, keys, Seq(dayCol), fillCols)
+  }
+
   /** Point-in-interval range join via bucketing: join `points` to the
     * `intervals` containing them (`start <= point < end`, same key group).
     *

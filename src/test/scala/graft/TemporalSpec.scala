@@ -58,6 +58,22 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("resampleDaily: spine covers per-key [min,max], gaps forward-filled") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val sparse = Seq(
+      ("a", d("2024-01-01"), 1.0),
+      ("a", d("2024-01-04"), 4.0),   // 2-day gap before this
+      ("b", d("2024-02-10"), 9.0))   // single-day key
+      .toDF("k", "day", "v")
+    val got = Temporal.resampleDaily(sparse, Seq("k"), "day", Seq("v"))
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 1.0),
+      ("a", "2024-01-03", 1.0), ("a", "2024-01-04", 4.0),
+      ("b", "2024-02-10", 9.0)))
+  }
+
   test("rangeJoinBucketed: malformed interval (end <= start) joins nothing, explodes nothing") {
     val sessions = Seq(
       ("u1", 100L, 200L, "ok"),
