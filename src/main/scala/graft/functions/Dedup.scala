@@ -338,6 +338,7 @@ object Dedup {
       prevCached = Some(step)
       labels = step.select(col("__v"), col("__next").as("cluster_id"))
       i += 1
+      System.err.println(s"[connectedComponents] round $i: $changed labels changed")
     }
     und.unpersist() // final labels are materialized (counted) — lineage done
     labels.withColumnRenamed("__v", idCol)
