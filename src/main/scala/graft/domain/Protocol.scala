@@ -580,10 +580,11 @@ object Protocol {
   private val invExcludedMarkets = Seq("ethereum_v1", "fantom_v3", "harmony_v3")
 
   /** Port of `inv_bal_performance_base.sql`: BAL / B-80BAL-20WETH treasury
-    * positions (since 2022-07-20) with liquidity-rate earnings and a price
-    * coalesce: aave oracle (ethereum_v2 BAL) → coingecko
-    * (B-80BAL-20WETH). The lstPerformanceBase join/lead/earnings shape with
-    * a two-feed price fallback and balance-group dim attach. */
+    * positions (since 2022-07-20 — inv_bal_performance_base.sql:18-30) with
+    * liquidity-rate earnings and a price coalesce: aave oracle
+    * (ethereum_v2 BAL, :33-45) → coingecko (B-80BAL-20WETH, :47-58). The
+    * lstPerformanceBase join/lead/earnings shape (calcs CTE :71-113) with a
+    * two-feed price fallback and balance-group dim attach. */
   def invBalPerformanceBase(nonAtokenBalances: DataFrame, rates: DataFrame,
                             oraclePrices: DataFrame, coingeckoPrices: DataFrame,
                             ethPrices: DataFrame, balanceGroups: DataFrame): DataFrame = {
@@ -642,9 +643,10 @@ object Protocol {
   }
 
   /** Port of `inv_treasury_atoken_performance_base.sql`: collector-held
-    * atoken positions (excluded markets dropped) priced by the underlying
-    * reserve's oracle price, lead-paired per (market, symbol); only rows
-    * with balance_native > 0 survive. */
+    * atoken positions (excluded markets dropped, :14,31) joined to the
+    * atoken dim for the underlying reserve (:29), priced by the reserve's
+    * oracle price (:35-45), lead-paired per (market, symbol) (:60-98);
+    * only rows with balance_native > 0 survive (:119-121). */
   def invTreasuryAtokenPerformanceBase(collectorAtokenBalances: DataFrame,
                                        rates: DataFrame, oraclePrices: DataFrame,
                                        ethPrices: DataFrame, atokens: DataFrame,
@@ -700,8 +702,9 @@ object Protocol {
   }
 
   /** Port of `reserve_factor_income_by_hour.sql`: hourly protocol income —
-    * config ⋈ state on (block_hour, reserve, market), chain dims broadcast,
-    * priced at the containing day's token price. */
+    * config ⋈ state on (block_hour, reserve, market)
+    * (reserve_factor_income_by_hour.sql:19-24), chain dims broadcast
+    * (:26-28), priced at the containing day's token price (:30-34). */
   def reserveFactorIncomeByHour(configByHour: DataFrame, stateByHour: DataFrame,
                                 chainsMarkets: DataFrame, tokenPricesByDay: DataFrame): DataFrame = {
     val state = stateByHour.select(
@@ -746,7 +749,8 @@ object Protocol {
         .as("annual_cost_of_cover_percent"))
 
   /** Port of `sm_cost_of_cover_by_token_by_day.sql`: the per-token variant —
-    * a row-wise ratio on safety_module_totals_by_day, no aggregation. */
+    * a row-wise ratio on safety_module_totals_by_day, no aggregation
+    * (sm_cost_of_cover_by_token_by_day.sql:3-8). */
   def smCostOfCoverByTokenByDay(smTotals: DataFrame): DataFrame =
     smTotals.select(col("block_day"), col("stk_token_symbol"),
       (col("emission_usd_per_day") * 365 / col("safety_module_cover"))
