@@ -539,9 +539,12 @@ object Datamart {
           "deposit_apy_inc_rewards", "variable_borrow_apy_inc_rewards") ++ emCols)
       }
     val idCols = Seq("block_day", "market", "reserve", "atoken_symbol")
+    // dropNulls: the reference models use BigQuery UNPIVOT whose default is
+    // EXCLUDE NULLS — a reserve-day with no revenue row must not emit
+    // revenue/revenue_usd rows with null value.
     val long = Relational.melt(
       wide.select((idCols ++ measures).map(col): _*),
-      idCols, measures, nameCol = "measure", valueCol = "value")
+      idCols, measures, nameCol = "measure", valueCol = "value", dropNulls = true)
     if (aggregateMeasures.isEmpty) long
     else long.unionByName(long
       .filter(col("measure").isin(aggregateMeasures: _*))

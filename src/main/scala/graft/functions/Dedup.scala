@@ -137,7 +137,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val words = withSig.select(col("id"), col("words"))
-    cand
+    val verified = cand
       .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
       .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
       .withColumn("__inter", sortedInterUdf(col("words_a"), col("words_b")).cast("double"))
@@ -146,6 +146,15 @@ object Dedup {
         when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!reuseSignatures) verified
+    else {
+      // Materialize the (small) verified pair set, then RELEASE the cached
+      // signature table — otherwise it leaks into the session cache for
+      // every call with reuseSignatures = true.
+      val out = verified.localCheckpoint(true)
+      withSig.unpersist()
+      out
+    }
   }
 
   /** Exact Jaccard over two pre-deduped word arrays. */
@@ -340,7 +349,21 @@ object Dedup {
       i += 1
       System.err.println(s"[connectedComponents] round $i: $changed labels changed")
     }
-    und.unpersist() // final labels are materialized (counted) — lineage done
-    labels.withColumnRenamed("__v", idCol)
+    if (changed > 0) {
+      prevCached.foreach(_.unpersist())
+      und.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds ($changed labels still " +
+          "changing) — returning partially-propagated labels would silently split " +
+          "components; raise maxIter (rounds needed = graph diameter)")
+    }
+    // Detach the result from the iterative lineage (localCheckpoint
+    // materializes it), then release EVERY cached intermediate — without
+    // this the final round's persisted step (and the edge list) would sit
+    // in the cache for the life of the session.
+    val result = labels.withColumnRenamed("__v", idCol).localCheckpoint(true)
+    prevCached.foreach(_.unpersist())
+    und.unpersist()
+    result
   }
 }

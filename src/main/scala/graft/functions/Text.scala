@@ -118,8 +118,17 @@ object Text {
     * corpus downsampling needs for reproducible training mixes. */
   def hashSampleFilter(id: Column, rate: Double): Column = {
     require(rate > 0 && rate <= 1, "rate must be in (0, 1]")
-    val cut = f"${math.min((256 * rate).toInt, 255)}%02x"
-    substring(md5(id.cast("string")), 1, 2) < lit(cut)
+    // 4 hex chars = 65536 buckets of resolution; ROUND (don't truncate) so
+    // e.g. rate just under k/65536 still keeps ~rate of rows. rate == 1 (or
+    // rounding to the full space) short-circuits to keep-all — a string
+    // compare against the max bucket would wrongly drop the "ffff" bucket.
+    val buckets = math.round(65536.0 * rate)
+    if (buckets >= 65536L) lit(true)
+    else {
+      require(buckets > 0, s"rate $rate is below the representable minimum 1/65536")
+      val cut = f"$buckets%04x"
+      substring(md5(id.cast("string")), 1, 4) < lit(cut)
+    }
   }
 
   /** Greedy sequence packing: assign documents to fixed token-budget packs

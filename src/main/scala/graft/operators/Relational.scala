@@ -17,8 +17,13 @@ object Relational {
     * Uses the built-in `unpivot` (codegen'd Expand) — one pass, no shuffle.
     */
   def melt(df: DataFrame, idCols: Seq[String], measureCols: Seq[String],
-           nameCol: String = "measure", valueCol: String = "value"): DataFrame =
-    df.unpivot(idCols.map(col).toArray, measureCols.map(col).toArray, nameCol, valueCol)
+           nameCol: String = "measure", valueCol: String = "value",
+           dropNulls: Boolean = false): DataFrame = {
+    val long = df.unpivot(idCols.map(col).toArray, measureCols.map(col).toArray, nameCol, valueCol)
+    // dropNulls = BigQuery UNPIVOT's default EXCLUDE NULLS (the reference's
+    // impact_proposal_* models rely on it); Spark's unpivot keeps null rows.
+    if (dropNulls) long.filter(col(valueCol).isNotNull) else long
+  }
 
   /** Pivot with deterministic output column naming `<value>_<agg>` — the
     * reference relies on BigQuery's `<agg>_<value>` names
@@ -105,6 +110,13 @@ object Relational {
                  saltFrom: String, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    // Only join types that never emit UNMATCHED small-side rows are sound:
+    // under right/full outer each unmatched small-side row would surface
+    // once per exploded salt copy (nSalts duplicates).
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti only (got '$joinType'): " +
+        "right/full outer would duplicate unmatched small-side rows nSalts times")
     val salted = big.withColumn("__salt", pmod(hash(col(saltFrom)), lit(nSalts)))
     val exploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

@@ -120,8 +120,12 @@ object Streams {
     * only support Append, so each micro-batch's updated rows are appended
     * to the parquet table via `foreachBatch` — the table is an update LOG
     * (one row per state change); the current state per key is the
-    * `Relational.dedupKeepLast` of it. Exactly-once per batch comes from
-    * the checkpoint + batchId-idempotent appends.
+    * `Relational.dedupKeepLast` of it. Each micro-batch OVERWRITES its own
+    * `batch_id=<n>` partition directory: a batch replayed after a failure
+    * mid-write lands in the same directory, so the log stays exactly-once
+    * (a blind append would double-write replayed batches). Read the log
+    * with `spark.read.parquet(outPath)` — partition discovery surfaces
+    * `batch_id` as a column, usable as a downstream dedup key.
     */
   def runStatefulAvailableNow[T](updates: Dataset[T], outPath: String,
                                  checkpoint: String): Unit = {
@@ -129,8 +133,8 @@ object Streams {
       .outputMode(OutputMode.Update)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[T], _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: Dataset[T], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()

@@ -35,8 +35,10 @@ class DatamartExtraSpec extends SparkSpec {
       market = "ethereum_v2", reserves = Seq("0xweth", "0xdai"),
       revenueTokens = Seq("0xaweth"), proposalDate = "2022-12-19",
       aggregateMeasures = Seq("revenue_usd"))
-    // 2 surviving rows × 9 measures + 1 aggregate (revenue_usd) day-row
-    assert(got.count() == 19, s"got ${got.count()}")
+    // weth: all 9 measures; dai: 7 (no revenue row → revenue/revenue_usd
+    // null-valued rows are EXCLUDED, matching BigQuery UNPIVOT's default);
+    // + 1 aggregate (revenue_usd) day-row
+    assert(got.count() == 17, s"got ${got.count()}")
     def v(reserve: String, measure: String) =
       got.filter($"reserve" === reserve && $"measure" === measure)
         .head().getAs[Double]("value")
@@ -68,8 +70,9 @@ class DatamartExtraSpec extends SparkSpec {
       market = "polygon_v3", reserves = Seq("0xwmatic"),
       revenueTokens = Seq("0xt"), proposalDate = "2022-12-19", // fixture day in window
       rewardFeeds = Seq("SD" -> sd))
-    // 9 base + 6 APR/apy + 1 emissions measure
-    assert(got.count() == 16, s"got ${got.count()}")
+    // 8 base (native revenue leg absent → null row excluded) + 6 APR/apy
+    // + 1 emissions measure
+    assert(got.count() == 15, s"got ${got.count()}")
     def v(measure: String) =
       got.filter($"measure" === measure).head().getAs[Double]("value")
     assert(v("SD_emissions_paid") == 6.0)

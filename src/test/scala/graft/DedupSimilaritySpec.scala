@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents throws instead of returning split components") {
+    // a 6-chain has diameter 5 — maxIter = 2 cannot converge; silently
+    // returning would split the component into multiple cluster labels
+    val vertices = (1L to 6L).toDF("doc_id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b", maxIter = 2))
+  }
+
   test("nearDupJaccardBlocked: exact jaccard via hashed word merge, block-bounded") {
     val d = Seq(
       (1L, "en", "web", "the quick brown fox jumps over dogs"),

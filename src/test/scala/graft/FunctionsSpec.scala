@@ -156,6 +156,18 @@ class TextSpec extends SparkSpec {
     assert(kept.size > 150 && kept.size < 350, s"got ${kept.size} of 2000")
   }
 
+  test("hashSampleFilter edge rates: 1.0 keeps all, sub-resolution rejected") {
+    val ids = (1L to 500L).toDF("id")
+    // rate = 1 must keep EVERY row (the old 2-hex-char cut clamped to "ff"
+    // and silently dropped the ff bucket)
+    assert(ids.filter(Text.hashSampleFilter($"id", 1.0)).count() == 500L)
+    // a rate below 1/256 is representable now (4 hex chars of resolution)
+    val tiny = ids.filter(Text.hashSampleFilter($"id", 1.0 / 1024)).count()
+    assert(tiny < 10, s"~0.1% of 500 expected, got $tiny")
+    // below the 1/65536 floor the predicate cannot represent the rate
+    assertThrows[IllegalArgumentException](Text.hashSampleFilter($"id", 1e-6))
+  }
+
   test("token counts") {
     val df = Seq("Hello, world! 42 times").toDF("t")
     val r = df.select(

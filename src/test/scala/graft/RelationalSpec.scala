@@ -74,6 +74,11 @@ class RelationalSpec extends SparkSpec {
     // left join keeps unmatched big rows exactly once despite the explode
     val saltedLeft = Relational.saltedJoin(big, small, Seq("key"), "id", 8, "left")
     assert(saltedLeft.count() == 1000L)
+    // right/full outer would emit each unmatched small-side row once per
+    // salt copy — rejected up front
+    for (jt <- Seq("right", "full_outer", "full"))
+      assertThrows[IllegalArgumentException](
+        Relational.saltedJoin(big, small, Seq("key"), "id", 8, jt))
   }
 
   test("latestOnly keeps all rows tied at the max") {
