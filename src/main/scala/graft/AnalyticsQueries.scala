@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced analytics query families: exact percentiles, multi-level
+  * aggregation (ROLLUP with grouping flags), cardinality sketches, the
+  * full rank-function family, cumulative/moving windows, and null-safe
+  * joins. These extend SURVEY §2.5/§2.6 coverage with the OLAP shapes a
+  * warehouse engine is expected to serve alongside the reference's own
+  * models (the reference pins its percentile/distro needs in
+  * sm_token_holder_distro.sql:8-19 bucket form; these are the general
+  * operators).
+  *
+  * Determinism: every float aggregate is round(4-6); rank functions ride
+  * a total order (unique tie-break key); window sums run in frame order
+  * on both engines so sequential rounding agrees.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A11: exact interpolated percentiles per group — one shuffle, the
+    // per-group sort happens inside the percentile aggregate. (At 100 TB
+    // prefer a13's sketch path; this is the exact twin.)
+    "a11_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
+             count(lit(1)).as("n_rows"))
+        .select($"l_returnflag",
+          round(element_at($"ps", 1), 4).as("p25"),
+          round(element_at($"ps", 2), 4).as("p50"),
+          round(element_at($"ps", 3), 4).as("p75"),
+          round(element_at($"ps", 4), 4).as("p95"),
+          $"n_rows")
+    }),
+
+    // A12: ROLLUP multi-level aggregation with grouping flags — subtotal +
+    // grand-total rows in ONE pass (Spark expands grouping sets before the
+    // shuffle; map-side partial aggregation still applies).
+    "a12_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").cast("int").as("g_rf"),
+             grouping($"l_linestatus").cast("int").as("g_ls"),
+             count(lit(1)).as("n_rows"),
+             round(sum($"l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+          coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+          $"g_rf", $"g_ls", $"n_rows", $"sum_qty")
+    }),
+
+    // A13: HLL cardinality sketch vs exact — the 100 TB distinct-count
+    // path: approx_count_distinct is a fixed-size mergeable sketch (no
+    // per-key state explosion, single map-side-combinable aggregate),
+    // where countDistinct shuffles every distinct key. Engine-specific
+    // estimates → rows-only driver check; AnalyticsSpec asserts the
+    // estimate lands within HLL++ error of the exact twin.
+    "a13_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+             countDistinct($"l_orderkey").as("exact_orders"))
+    }),
+
+    // W8: cumulative running aggregates + 3-row moving average (the
+    // running-balance / smoothing shape; frames are ROWS so sequential
+    // float accumulation matches across engines).
+    "w8_cumulative" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(cum), 4).as("running_spend"),
+          count(lit(1)).over(cum).as("n_so_far"),
+          round(avg($"o_totalprice").over(mov), 4).as("moving_avg3"))
+    }),
+
+    // W9: the rank-function family over a total order (unique tie-break →
+    // deterministic cross-engine): rank, dense_rank, ntile, percent_rank,
+    // cume_dist.
+    "w9_rank_family" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"))
+    }),
+
+    // J11: null-safe equality join (<=> / IS NOT DISTINCT FROM) — nulls
+    // match nulls, the semantics pandas merge gives on NaN keys and the
+    // reference relies on for optional-key dims. Planned as a regular
+    // hash join (null-safe equality is still a shuffle-hashable key).
+    "j11_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val withKey = t(s, dir, "orders").select($"o_orderkey",
+        when($"o_orderstatus" === "O", lit(null).cast("string"))
+          .otherwise($"o_orderstatus").as("k"),
+        $"o_totalprice")
+      val dim = withKey.groupBy($"k".as("k2"))
+        .agg(round(avg($"o_totalprice"), 4).as("avg_price_k"),
+             count(lit(1)).as("n_k"))
+      withKey.join(dim, $"k" <=> $"k2")
+        .select($"o_orderkey", $"k", $"avg_price_k", $"n_k")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "a12_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                coalesce(l_linestatus, '(all)') AS linestatus,
+                CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+                count(*) AS n_rows,
+                round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "w8_cumulative" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
+         round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+         FROM orders""",
+    "w9_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+         CAST(rank() OVER w AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cum_dist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "j11_nullsafe_join" ->
+      """WITH wk AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS k,
+                  o_totalprice
+           FROM orders),
+         dim AS (
+           SELECT k AS k2, round(avg(o_totalprice), 4) AS avg_price_k,
+                  CAST(count(*) AS BIGINT) AS n_k
+           FROM wk GROUP BY k)
+         SELECT o_orderkey, k, avg_price_k, n_k
+         FROM wk JOIN dim ON k IS NOT DISTINCT FROM k2"""
+  )
+}

@@ -53,10 +53,12 @@ object SparkEntry {
     * the §2.4-§2.7 core; ExprQueries adds §2.3/§2.8 + remaining joins/aggs/
     * windows; TrainingQueries adds dedup/text/similarity/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ ExprQueries.queries ++ TrainingQueries.queries
+    coreQueries ++ ExprQueries.queries ++ TrainingQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ ExprQueries.oracleSql ++ TrainingQueries.oracleSql
+    coreOracleSql ++ ExprQueries.oracleSql ++ TrainingQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -303,17 +303,31 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the clustering step
     * after any pair generator (keep one doc per component, or weight by
-    * quality). Iterative min-label propagation: each round every vertex
-    * takes the smallest label among itself and its neighbours; converges in
-    * graph-diameter rounds (near-dup components are shallow — dup clusters
-    * are cliques or short chains, so 3-5 rounds in practice).
+    * quality). Min-label propagation with POINTER JUMPING: each round every
+    * connected vertex takes the smallest of (its label, its neighbours'
+    * labels, its label's label). The shortcut term doubles the effective
+    * propagation distance per round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — the difference between 7 rounds and
+    * 100+ on a pathological chain at corpus scale.
     *
-    * Every round is fully distributed (join + groupBy-min keyed on vertex
-    * id); the driver only checks the convergence counter. The result is
-    * persisted round-over-round so lineage doesn't re-run prior rounds.
-    * For graphs with long chains at extreme scale, the alternating
-    * large-star/small-star variant halves round count — not needed for
-    * dup-cluster shapes.
+    * Scale design:
+    *   - only EDGE ENDPOINTS iterate. Isolated vertices (the overwhelming
+    *     majority of a 100 TB corpus — most docs have no near-dup pair) are
+    *     stitched back with one left join at the end, never shuffled
+    *     through the loop;
+    *   - one shuffle-aggregation per round: neighbour + self + shortcut
+    *     messages are unioned and folded by a single groupBy-min. The
+    *     convergence counter rides the same aggregate (max over the self
+    *     message = previous label), so no extra compare-join or job;
+    *   - the edge list is persisted pre-partitioned on `dst`, and each
+    *     round's labels are eagerly localCheckpoint'ed: the checkpoint
+    *     truncates the round's plan to a flat LogicalRDD leaf while
+    *     preserving the aggregation's hash partitioning on vertex id for
+    *     the next round's joins. (A persist here instead would keep the
+    *     previous round inside its cachedPlan, and with 4 label references
+    *     per round the plan TREE — analyzed plan, UI SparkPlanInfo walk —
+    *     grows 4^rounds: the driver goes exponential long before the data
+    *     does.)
     *
     * Returns (idCol, cluster_id) where cluster_id = min vertex id in the
     * component — deterministic, partition-order independent.
@@ -321,48 +335,67 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Persist the (undirected) edge list: it is referenced EVERY round, and
     // without materialization each round would re-run the entire upstream
     // pair generator (e.g. the blocked-Jaccard self-join) through lineage.
+    // Pre-partitioned on dst so the propagation join's edge side never
+    // re-exchanges (InMemoryRelation preserves child outputPartitioning).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("__v"), col(idCol).as("cluster_id"))
+      .repartition(col("dst"))
+      .persist(MEMORY_AND_DISK)
+    // Labels for connected vertices only. The eager localCheckpoint
+    // materializes the distinct()'s hash partitioning on __v as a flat
+    // LogicalRDD — the same shape every later round produces.
+    var labels = und.select(col("dst").as("__v")).distinct()
+      .select(col("__v"), col("__v").as("cluster_id"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
-    var prevCached: Option[DataFrame] = None
     while (changed > 0 && i < maxIter) {
-      val nbrMin = und.join(labels, col("dst") === col("__v"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr"))
-      // carry a per-row changed flag so convergence is read off the SAME
-      // job that computes the round (no second compare-join per round)
-      val step = labels.join(nbrMin, col("__v") === col("src"), "left")
-        .select(col("__v"),
-          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
-            .as("__next"),
-          col("cluster_id").as("__old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = step.filter(col("__next") =!= col("__old")).count()
-      prevCached.foreach(_.unpersist())
-      prevCached = Some(step)
-      labels = step.select(col("__v"), col("__next").as("cluster_id"))
+      // Every message is (vertex, candidate label [, previous label]):
+      //   self     — carries the previous label for the convergence counter
+      //   nbr      — each edge forwards the dst's label to src
+      //   shortcut — label[label[v]]: valid because labels are always vertex
+      //              ids of the same component, so the self-join resolves
+      val self = labels.select(col("__v"), col("cluster_id").as("lbl"),
+        col("cluster_id").as("old"))
+      val nbr = und.join(labels, col("dst") === col("__v"))
+        .select(col("src").as("__v"), col("cluster_id").as("lbl"),
+          lit(null).cast(self.schema("old").dataType).as("old"))
+      val shortcut = labels.as("x")
+        .join(labels.select(col("__v").as("j_v"), col("cluster_id").as("j_lbl")),
+          col("x.cluster_id") === col("j_v"))
+        .select(col("x.__v"), col("j_lbl").as("lbl"),
+          lit(null).cast(self.schema("old").dataType).as("old"))
+      // Eager checkpoint = the round's single materializing job; the old
+      // checkpointed RDD is dereferenced here and reclaimed by the
+      // ContextCleaner once GC'd (bounded by maxIter tiny label tables).
+      val step = self.union(nbr).union(shortcut)
+        .groupBy(col("__v"))
+        .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
+        .localCheckpoint(true)
+      changed = step.filter(col("cluster_id") =!= col("__old")).count()
+      labels = step.select(col("__v"), col("cluster_id"))
       i += 1
       System.err.println(s"[connectedComponents] round $i: $changed labels changed")
     }
     if (changed > 0) {
-      prevCached.foreach(_.unpersist())
       und.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds ($changed labels still " +
           "changing) — returning partially-propagated labels would silently split " +
-          "components; raise maxIter (rounds needed = graph diameter)")
+          "components; raise maxIter (rounds needed ~ log2 of graph diameter)")
     }
-    // Detach the result from the iterative lineage (localCheckpoint
-    // materializes it), then release EVERY cached intermediate — without
-    // this the final round's persisted step (and the edge list) would sit
-    // in the cache for the life of the session.
-    val result = labels.withColumnRenamed("__v", idCol).localCheckpoint(true)
-    prevCached.foreach(_.unpersist())
+    // Stitch isolated vertices back (their own id is their cluster), detach
+    // from the iterative lineage (localCheckpoint materializes), then
+    // release the edge cache so nothing leaks into the session cache for
+    // long-lived sessions.
+    val result = vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("__v", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .localCheckpoint(true)
     und.unpersist()
     result
   }

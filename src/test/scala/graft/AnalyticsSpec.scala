@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the AnalyticsQueries family: sketch accuracy/mergeability,
+  * rollup invariants, percentile and rank-function semantics. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a13 approx_count_distinct lands within HLL++ error of exact") {
+    // query pins rsd = 0.02; 5% here is a ~2.5-sigma bound
+    val got = AnalyticsQueries.queries("a13_approx_distinct")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("HLL sketches merge: unioned partial sketches == whole-corpus estimate") {
+    // The 100 TB property: per-partition sketches combine WITHOUT rescanning
+    // (a distributive re-aggregation, e.g. daily sketches -> monthly uniques).
+    val orders = Tables.t(spark, sfDir, "orders")
+    val whole = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est"))
+      .head.getLong(0)
+    val halves = orders
+      .withColumn("half", ($"o_orderkey" % 2).cast("int"))
+      .groupBy($"half")
+      .agg(hll_sketch_agg($"o_custkey").as("sk"))
+    val merged = halves
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .head.getLong(0)
+    assert(merged == whole, s"merged $merged vs whole $whole")
+    val exact = orders.select($"o_custkey").distinct().count()
+    assert(math.abs(merged.toDouble - exact) / exact < 0.05,
+      s"sketch $merged vs exact $exact")
+  }
+
+  test("a12 rollup: subtotals sum to grand total, grouping flags mark levels") {
+    val got = AnalyticsQueries.queries("a12_rollup")(spark, sfDir).collect()
+    val grand = got.filter(r => r.getAs[Int]("g_rf") == 1 && r.getAs[Int]("g_ls") == 1)
+    assert(grand.length == 1)
+    val leaf = got.filter(r => r.getAs[Int]("g_rf") == 0 && r.getAs[Int]("g_ls") == 0)
+    val mid = got.filter(r => r.getAs[Int]("g_rf") == 0 && r.getAs[Int]("g_ls") == 1)
+    assert(leaf.map(_.getAs[Long]("n_rows")).sum == grand.head.getAs[Long]("n_rows"))
+    assert(mid.map(_.getAs[Long]("n_rows")).sum == grand.head.getAs[Long]("n_rows"))
+    // rollup never emits the (rf=1, ls=0) cube-only level
+    assert(!got.exists(r => r.getAs[Int]("g_rf") == 1 && r.getAs[Int]("g_ls") == 0))
+  }
+
+  test("a11 percentiles: p25 <= p50 <= p75 <= p95, median of 1..100 = 50.5") {
+    val got = AnalyticsQueries.queries("a11_percentiles")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p25, p50, p75, p95) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+    val med = (1 to 100).map(_.toDouble).toDF("x")
+      .agg(expr("percentile(x, 0.5D)")).head.getDouble(0)
+    assert(math.abs(med - 50.5) < 1e-9)
+  }
+
+  test("w9 rank family: rank gaps vs dense_rank, ntile balance, percent_rank bounds") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0), ("a", 4L, 1.0))
+      .toDF("g", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id".asc)
+    val got = df.select($"id",
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("pr"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    // ties on v=10.0 broken by id: ranks 1..4 all distinct (total order)
+    assert(got.values.map(_._1).toSeq.sorted == Seq(1, 2, 3, 4))
+    assert(got.values.map(_._2).toSeq.sorted == Seq(1, 2, 3, 4))
+    val prs = got.values.map(_._3)
+    assert(prs.min == 0.0 && prs.max == 1.0)
+  }
+
+  test("j11 null-safe join keeps null-key rows (inner join would drop them)") {
+    val got = AnalyticsQueries.queries("j11_nullsafe_join")(spark, sfDir)
+    val nullRows = got.filter($"k".isNull).count()
+    val total = got.count()
+    val source = Tables.t(spark, sfDir, "orders").count()
+    assert(nullRows > 0, "null keys must match null dim group")
+    assert(total == source, "null-safe join must preserve every order row")
+  }
+}
