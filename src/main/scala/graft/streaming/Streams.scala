@@ -58,6 +58,64 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Stream-stream INTERVAL JOIN: pair each left event with right events
+    * for the same key within `[left.ts - before, left.ts + after]` — the
+    * click-to-purchase attribution shape. Both sides carry watermarks so
+    * Spark can bound the join state: a buffered left row is dropped once
+    * the right watermark passes `ts + after`, and vice versa — without the
+    * time-range condition the state would grow without bound at ingest
+    * scale. Inner join → Append-mode safe (file sinks work).
+    *
+    * Column names on the right are prefixed `r_` to keep the joined schema
+    * unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) => df.withColumnRenamed(c, s"r_$c") }
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+      col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $before") &&
+      col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $after"))
+  }
+
+  /** Streaming dedup for duplicates that arrive CLOSE TO EACH OTHER but
+    * with different (or re-stamped) event times — the case
+    * [[dedupStream]]'s exact-key dedup misses, because it keys on
+    * (keyCols, ts) and a redelivered event re-stamped 2 s later is a new
+    * key. `dropDuplicatesWithinWatermark` keeps the first row per key and
+    * drops any duplicate whose event time lands within the watermark delay
+    * of the first — state is evicted once the watermark passes, so the
+    * key set stays bounded. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Declarative sessionization: `session_window` gap-merge aggregation —
+    * the windowed-aggregation twin of [[sessionize]] (no custom state
+    * function; sessions with events closer than `gap` merge). Because this
+    * is windowed-agg state (not mapGroupsWithState), it runs Append-mode
+    * with a file sink: a session row is emitted once the watermark passes
+    * its close. */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+           sum(coalesce(col("value"), lit(0.0))).as("total_value"))
+      .select(col(keyCol),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("total_value"))
+
   // --- custom state: sessionization via mapGroupsWithState ---------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -80,6 +80,70 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("intervalJoin pairs events within the time bound, drops out-of-window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), "click"),
+        (2L, ts("2024-01-01 10:00:00"), "click"),
+        (3L, ts("2024-01-01 12:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type").write.parquet(clickSrc)
+    Seq((1L, ts("2024-01-01 10:05:00"), 9.99),   // within 10 min of user 1's click
+        (2L, ts("2024-01-01 11:00:00"), 5.00),   // 1h later — outside the bound
+        (3L, ts("2024-01-01 11:55:00"), 7.50))   // 5 min BEFORE user 3's click
+      .toDF("user_id", "ts", "value").write.parquet(buySrc)
+    val clicks = Streams.parquetStream(spark, clickSrc, spark.read.parquet(clickSrc).schema)
+    val buys = Streams.parquetStream(spark, buySrc, spark.read.parquet(buySrc).schema)
+    val joined = Streams.intervalJoin(clicks, buys, "user_id", "ts")
+      .select($"user_id", $"r_value")
+    Streams.runAvailableNow(joined, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 9.99, 3L -> 7.5), s"got $got")
+  }
+
+  test("dedupWithinWatermark drops re-stamped duplicates that exact dedup keeps") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedupwm").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 10:00:02"), "click", 1.0), // redelivered, re-stamped +2s
+      (2L, ts("2024-01-01 10:01:00"), "view", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    rows.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val deduped = Streams.dedupWithinWatermark(
+      Streams.parquetStream(spark, src, schema), "ts", Seq("event_id"))
+    Streams.runAvailableNow(deduped, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2, s"got ${got.count()}")
+    assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("sessionWindowCounts merges gap-close events; sealed sessions append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sesswin").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:10:00"), "click", 2.0),  // same session (gap 30m)
+        (1L, ts("2024-01-01 12:00:00"), "click", 4.0),  // new session
+        (2L, ts("2024-01-01 10:00:00"), "view", 8.0),
+        // late sentinel advances the watermark past every session above
+        (9L, ts("2024-01-02 00:00:00"), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val sess = Streams.sessionWindowCounts(
+      Streams.parquetStream(spark, src, schema), "ts", "user_id")
+    Streams.runAvailableNow(sess, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    // user 1: one 2-event session (value 3.0) + one 1-event session (4.0);
+    // user 2: one session; the user-9 sentinel's own session is unsealed
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), s"got $got")
+  }
+
   test("sessionize aggregates per-user sessions (batch execution of the stateful op)") {
     // mapGroupsWithState is a Dataset op: batch execution covers the
     // aggregation logic (the streaming path is exercised by the runner
