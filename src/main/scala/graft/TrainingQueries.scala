@@ -42,7 +42,7 @@ object TrainingQueries {
     // Rows-only check (xxhash64 signatures are engine-specific).
     "d3_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val sigs = t(s, dir, "documents")
+      val sigs = Dedup.spread(t(s, dir, "documents"))
         .select($"doc_id", $"lang", Dedup.simHash($"text").as("sig"))
       val a = sigs.as("a"); val b = sigs.as("b")
       a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))

@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a narrow input out to the session's default parallelism before
+    * CPU-heavy per-row work (signature hashing). A small parquet file scans
+    * as ONE split, which would serialize the signature pass on one core; a
+    * genuinely large input already has >= defaultParallelism splits and
+    * passes through untouched — so this costs nothing at 100 TB (where the
+    * scan is thousands of splits) and unlocks all cores at test scale.
+    * getNumPartitions is a driver-side plan property, not a job. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the smallest `idCol` row per canonical-text group.
     * One shuffle on the md5 fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -102,7 +114,7 @@ object Dedup {
     // Word sets as sorted 64-bit hash arrays (the d4 trick): the verify
     // join then merge-counts primitive longs instead of re-hashing boxed
     // strings per candidate pair.
-    val withSig0 = df.select(
+    val withSig0 = spread(df).select(
       col(idCol).as("id"),
       sort_array(array_distinct(
         transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("words"),
@@ -270,7 +282,7 @@ object Dedup {
     */
   def nearDupJaccardBlocked(df: DataFrame, textCol: String, idCol: String,
                             blockCols: Seq[String], threshold: Double): DataFrame = {
-    val prepared = df.select(
+    val prepared = spread(df).select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         sort_array(array_distinct(
           transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("wh"): _*)
