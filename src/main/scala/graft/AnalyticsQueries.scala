@@ -103,6 +103,36 @@ object AnalyticsQueries {
           round(cume_dist().over(w), 6).as("cum_dist"))
     }),
 
+    // O9: INTERSECT — set-distinct intersection (nation keys serving both
+    // customers and suppliers). Planned as a left-semi over distincts.
+    "o9_intersect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .intersect(
+          t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+    }),
+
+    // O10: EXCEPT — set-distinct difference (customer nations with no
+    // supplier). Planned as a left-anti over distincts.
+    "o10_except" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .except(
+          t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+    }),
+
+    // O11: row-level upsert (MERGE emulation) — every 5th order re-lands
+    // with a corrected price; merged view = update wins, others unchanged.
+    "o11_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val updates = base.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          round($"o_totalprice" * 1.1, 4).as("o_totalprice"))
+      graft.operators.Relational.upsert(base, updates, Seq("o_orderkey"))
+    }),
+
     // J11: null-safe equality join (<=> / IS NOT DISTINCT FROM) — nulls
     // match nulls, the semantics pandas merge gives on NaN keys and the
     // reference relies on for optional-key dims. Planned as a regular
@@ -156,6 +186,23 @@ object AnalyticsQueries {
          round(cume_dist() OVER w, 6) AS cum_dist
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "o9_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         INTERSECT
+         SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "o10_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         EXCEPT
+         SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+    "o11_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                        round(o_totalprice * 1.1, 4) AS o_totalprice
+                 FROM base WHERE o_orderkey % 5 = 0)
+         SELECT b.* FROM base b
+         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+         UNION ALL
+         SELECT * FROM upd""",
     "j11_nullsafe_join" ->
       """WITH wk AS (
            SELECT o_orderkey,

@@ -1,19 +1,40 @@
 package graft
 
-/** Plan auditor: prints the formatted physical plan of the named queries
-  * (or all) at the given sf dir — used to verify pushdown, pruning,
-  * broadcast choices and whole-stage codegen coverage per SURVEY §4.
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for the named queries
+  * (or a representative headline set) so scan pruning (`PushedFilters`,
+  * `ReadSchema`), join strategies (broadcast vs shuffle), and
+  * whole-stage-codegen spans can be reviewed per query.
   *
-  * Usage: MAIN=graft.Explain tools/run_verify.sh <sfDir> [name ...]
+  * Usage: MAIN=graft.Explain bash tools/run_verify.sh [sfDir] [q1 q2 ...]
   */
 object Explain {
+  private val defaults = Seq(
+    "p1_project_filter_isin", "a1_group_sum", "j5_multiway_join",
+    "j8_top_per_group", "o4_latest_only", "p10_scalar_subquery",
+    "w8_cumulative", "a12_rollup", "j11_nullsafe_join", "e4_unpivot",
+    "d1_exact_dedup", "s1_cosine_topk", "t4_hash_sample", "j10_asof_join")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = GraftSession.local()
-    names.foreach { n =>
-      println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaults
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n======== $name ========")
+          try fn(spark, sfDir).explain("formatted")
+          catch { case e: Throwable => println(s"EXPLAIN FAILED: ${e.getMessage}") }
+        case None => println(s"\n======== $name: NOT FOUND ========")
+      }
     }
     spark.stop()
   }

@@ -136,4 +136,16 @@ object Relational {
       .filter(col(tsCol) === col("__mx"))
       .drop("__mx")
   }
+
+  /** Row-level upsert (MERGE emulation over immutable storage): rows of
+    * `base` whose key appears in `updates` are replaced by the update row;
+    * all other base rows pass through; update rows with new keys insert.
+    * One anti-join shuffle on the key + a union — the standard
+    * rewrite-on-merge for parquet-backed tables (the reference's
+    * delete-then-append partition idempotency, applied at row grain).
+    * Schemas must align by name.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
 }

@@ -101,6 +101,16 @@ class RelationalSpec extends SparkSpec {
       .select(Relational.safeDiv($"x", $"y")).collect().map(_.getDouble(0))
     assert(got.toSeq == Seq(0.0, 3.0))
   }
+
+  test("upsert: update wins on key match, inserts new keys, keeps the rest") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "v")
+    val updates = Seq((2L, "U", 99.0), (4L, "N", 40.0)).toDF("k", "status", "v")
+    val got = Relational.upsert(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ("a", 10.0), 2L -> ("U", 99.0),
+                      3L -> ("c", 30.0), 4L -> ("N", 40.0)))
+  }
 }
 
 class SinksSpec extends SparkSpec {
