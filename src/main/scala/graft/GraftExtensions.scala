@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, SortedIntersectCount}
 
 /** `SparkSessionExtensions` registration (custom-operator ladder rung (c)
   * surface): exposes the native vector expressions to SQL as
@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("graft_dot", DotProduct.apply))
     ext.injectFunction(binary("graft_cosine", CosineSimilarity.apply))
+    ext.injectFunction(binary("graft_sorted_inter", SortedIntersectCount.apply))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY §2.10 /
   * custom-operator ladder rung (b)): a dot product or cosine over
@@ -68,6 +68,70 @@ object VectorExpressions {
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$name requires (array<double>, array<double>) inputs, got (${l.sql}, ${r.sql})")
     }
+}
+
+/** Intersection size of two SORTED array<bigint> inputs — the innermost
+  * loop of set-overlap (Jaccard) verification: every candidate pair from
+  * a blocking stage funnels through this count, so at corpus scale it
+  * runs orders of magnitude more often than any per-document expression.
+  * A single primitive merge pass, no allocation, whole-stage-codegen'd —
+  * replaces a Scala UDF whose per-row cost was dominated by boxing the
+  * two Seq[Long] arguments. Inputs MUST be ascending-sorted and distinct
+  * (the word-hash prep is `sort_array(array_distinct(...))`); element
+  * nulls are not expected (word hashes are non-null by construction).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>) inputs, got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_inter"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val la = x.numElements(); val lb = y.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < la && j < lb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $la = $a.numElements();
+         |final int $lb = $b.numElements();
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $la && $j < $lb) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Cosine similarity in ONE pass: dot, |a|², |b|² accumulated together;

@@ -152,7 +152,7 @@ object Dedup {
     val verified = cand
       .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
       .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
-      .withColumn("__inter", sortedInterUdf(col("words_a"), col("words_b")).cast("double"))
+      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
       .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
       .withColumn("jaccard",
         when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
@@ -290,7 +290,7 @@ object Dedup {
     val b = prepared.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, blockCond && col("a.id") < col("b.id"))
-      .withColumn("__inter", sortedInterUdf(col("a.wh"), col("b.wh")).cast("double"))
+      .withColumn("__inter", sortedInter(col("a.wh"), col("b.wh")).cast("double"))
       .withColumn("__union", size(col("a.wh")) + size(col("b.wh")) - col("__inter"))
       .withColumn("jaccard",
         when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
@@ -299,19 +299,15 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Intersection size of two SORTED long arrays — single merge pass. */
-  private val sortedInterUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Long], b: Seq[Long]) => {
-      var i = 0; var j = 0; var n = 0
-      val la = a.length; val lb = b.length
-      while (i < la && j < lb) {
-        val x = a(i); val y = b(j)
-        if (x == y) { n += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      n
-    })
+  /** Intersection size of two SORTED long arrays — the native codegen'd
+    * [[graft.expressions.SortedIntersectCount]] merge pass (stays inside
+    * whole-stage codegen; the Scala-UDF twin it replaced boxed both
+    * Seq[Long] arguments per candidate pair). */
+  private def sortedInter(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.GraftColumns.expression(a),
+        org.apache.spark.sql.GraftColumns.expression(b)))
 
   /** Connected components over a near-dup pair graph — the clustering step
     * after any pair generator (keep one doc per component, or weight by

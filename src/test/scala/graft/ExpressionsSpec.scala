@@ -64,4 +64,24 @@ class ExpressionsSpec extends SparkSpec {
     val vals = df.collect().map(_.getDouble(0))
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-12))
   }
+
+  test("SortedIntersectCount: merge-count semantics, codegen, SQL registration") {
+    // exact values on hand-built sorted arrays
+    val r = spark.sql(
+      "SELECT graft_sorted_inter(array(1L, 3L, 5L, 7L), array(3L, 4L, 5L, 9L)) AS n, " +
+      "       graft_sorted_inter(array(1L, 2L), array(3L, 4L)) AS z, " +
+      "       graft_sorted_inter(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS e").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 0)
+    // agrees with array_intersect on distinct sorted inputs, inside codegen
+    val df = spark.range(500).select(
+      sort_array(array_distinct(array($"id" % 7, $"id" % 11, $"id" % 13))).as("a"),
+      sort_array(array_distinct(array($"id" % 5, $"id" % 7, $"id" % 17))).as("b"))
+    val got = df.select(
+      expr("graft_sorted_inter(a, b)").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+    assert(got.filter($"fast" =!= $"ref").count() == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_inter"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+  }
 }
