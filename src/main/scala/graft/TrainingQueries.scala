@@ -187,6 +187,31 @@ object TrainingQueries {
         edges, "id_a", "id_b")
     }),
 
+    // M2: video frame-sampling plumbing — n evenly-spaced frame offsets
+    // per media row (the decode step stays stubbed; the explode/schedule
+    // arithmetic is the real Spark-side work and is oracle-checked).
+    "m2_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val vids = t(s, dir, "documents").select(
+        $"doc_id".as("media_id"),
+        struct(lit("video").as("media_type"),
+          (($"doc_id" % 30 + 1) * 1000).cast("long").as("duration_ms")).as("meta"))
+      graft.functions.Multimodal.sampleFrames(vids, "media_id", n = 4)
+    }),
+
+    // S5: IVF ANN probe — the partition-pruned scale path for S1: only
+    // nProbe of nLists inverted lists are scored (at 100 TB the lists are
+    // bucketed files, so the probe is I/O-pruned too). Engine-specific
+    // assignment → rows-only; SimilaritySpec checks recall vs brute force.
+    "s5_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+      val index = graft.functions.Similarity.ivfIndex(emb, "vec_id", "embedding")
+      graft.functions.Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
+    }),
+
     "m1_binary_metadata" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -325,6 +350,11 @@ object TrainingQueries {
                       generate_subscripts(embedding, 1) AS pos
                FROM embeddings)
          GROUP BY label, pos""",
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,
+                CAST(((doc_id % 30 + 1) * 1000 * i) // 4 AS BIGINT) AS frame_ms
+         FROM documents, range(4) t(i)""",
     "m1_binary_metadata" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
