@@ -187,6 +187,23 @@ object TrainingQueries {
         edges, "id_a", "id_b")
     }),
 
+    // D7: dedup RETENTION — the decision the whole dedup pipeline exists
+    // to make: per near-dup cluster keep ONE canonical doc (longest by
+    // token count, id tie-break), and report how many it displaced.
+    "d7_dedup_retain" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.nearDupJaccardBlocked(docs, "text", "doc_id",
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+        .select($"id_a", $"id_b")
+      val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+        edges, "id_a", "id_b")
+      val scored = docs.select($"doc_id",
+        Text.tokenCountWs($"text").cast("long").as("n_tokens"))
+      Dedup.retain(scored, "doc_id", clusters, "n_tokens")
+        .select($"cluster_id", $"doc_id", $"n_tokens")
+    }),
+
     // M2: video frame-sampling plumbing — n evenly-spaced frame offsets
     // per media row (the decode step stays stubbed; the explode/schedule
     // arithmetic is the real Spark-side work and is oracle-checked).
@@ -350,6 +367,34 @@ object TrainingQueries {
                       generate_subscripts(embedding, 1) AS pos
                FROM embeddings)
          GROUP BY label, pos""",
+    "d7_dedup_retain" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(node, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+         clusters AS (
+           SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+         scored AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT c.cluster_id, s.doc_id, s.n_tokens
+         FROM scored s JOIN clusters c USING (doc_id)
+         QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY s.n_tokens DESC, s.doc_id ASC) = 1""",
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id,
                 CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,

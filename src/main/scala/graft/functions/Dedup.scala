@@ -340,6 +340,19 @@ object Dedup {
     * Returns (idCol, cluster_id) where cluster_id = min vertex id in the
     * component — deterministic, partition-order independent.
     */
+  /** Retention — the final stage of the dedup pipeline (pairs → clusters →
+    * KEEP ONE): one canonical row per cluster, chosen by descending
+    * `scoreCol` with ascending id as the deterministic tie-break. One
+    * shuffle on cluster_id (the same aggregate-free window-rank shape as
+    * `Relational.topPerGroup`, so no row explosion at corpus scale).
+    */
+  def retain(docs: DataFrame, idCol: String,
+             clusters: DataFrame, scoreCol: String): DataFrame = {
+    val joined = docs.join(clusters, idCol)
+    graft.operators.Relational.topPerGroup(joined, Seq("cluster_id"),
+      Seq(col(scoreCol).desc, col(idCol).asc))
+  }
+
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {

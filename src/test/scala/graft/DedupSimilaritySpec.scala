@@ -83,6 +83,18 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b", maxIter = 2))
   }
 
+  test("retain keeps one best-scored doc per cluster, id tie-break") {
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (5L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.retain(scored, "doc_id", clusters, "n_tokens")
+      .select($"cluster_id", $"doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster 1: docs 2 and 3 tie at 9 tokens -> lower id 2 wins
+    assert(got == Map(1L -> 2L, 4L -> 5L))
+  }
+
   test("nearDupJaccardBlocked: exact jaccard via hashed word merge, block-bounded") {
     val d = Seq(
       (1L, "en", "web", "the quick brown fox jumps over dogs"),
