@@ -103,6 +103,41 @@ object AnalyticsQueries {
           round(cume_dist().over(w), 6).as("cum_dist"))
     }),
 
+    // A14: statistical aggregates — correlation, sample covariance,
+    // sample stddev per group (one shuffle; Spark's streaming moment
+    // formulas match DuckDB's at round precision).
+    "a14_stats_aggs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("qty_price_corr"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("qty_price_covar"),
+          round(stddev_samp($"l_discount"), 6).as("discount_stddev"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // W10: BATCH sessionization — gap-flag + running-sum session ids,
+    // then per-session rollup (the SQL twin of the streaming
+    // session_window operator; ts stays in integer nanos end-to-end so
+    // the gap arithmetic is exact cross-engine).
+    "w10_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapNs = 30L * 60 * 1000 * 1000000L // 30 min in ns
+      t(s, dir, "events")
+        .withColumn("__prev", lag($"ts", 1).over(w))
+        .withColumn("__new",
+          when($"__prev".isNull || ($"ts" - $"__prev") > gapNs, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"__new").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min($"event_id").as("first_event"),
+             max($"event_id").as("last_event"),
+             round(sum(coalesce($"value", lit(0.0))), 4).as("total_value"))
+    }),
+
     // O9: INTERSECT — set-distinct intersection (nation keys serving both
     // customers and suppliers). Planned as a left-semi over distincts.
     "o9_intersect" -> ((s, dir) => {
@@ -186,6 +221,29 @@ object AnalyticsQueries {
          round(cume_dist() OVER w, 6) AS cum_dist
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+    "a14_stats_aggs" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+         round(stddev_samp(l_discount), 6) AS discount_stddev,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "w10_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+                            OR tns - lag(tns) OVER w > 1800000000000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(event_id) AS first_event, max(event_id) AS last_event,
+                round(sum(coalesce(value, 0)), 4) AS total_value
+         FROM s GROUP BY user_id, session_id""",
     "o9_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
          INTERSECT

@@ -32,14 +32,15 @@ object Bench {
       name -> dt
     }.toMap
     // The driver captures only the TAIL of the output and parses the JSON
-    // line out of it — keep this line SHORT (3-decimal times, locale-fixed
-    // dot) so its start survives the tail truncation (r1 lesson: a 2.5 KB
-    // line got its head cut off and the round's bench went unparsed).
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // line out of it — keep this line SHORT (2-decimal per-query times,
+    // locale-fixed dot) so its start survives the tail truncation (r1
+    // lesson: a 2.5 KB line got its head cut off and the round's bench
+    // went unparsed; the query count has grown 67 → 79 since).
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
