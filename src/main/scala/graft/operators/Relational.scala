@@ -143,7 +143,10 @@ object Relational {
     * One anti-join shuffle on the key + a union — the standard
     * rewrite-on-merge for parquet-backed tables (the reference's
     * delete-then-append partition idempotency, applied at row grain).
-    * Schemas must align by name.
+    * Schemas must align by name. `updates` must be unique per key
+    * (dedupKeepLast it first otherwise) — duplicate update keys pass
+    * through as duplicate rows, same as SQL MERGE's multiple-match error
+    * case except not detected here.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
