@@ -20,6 +20,16 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.t(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // One representative agg+join through the vectorized parquet reader and
+    // whole-stage codegen compiler, so the first query in alphabetical order
+    // doesn't absorb the remaining first-use costs.
+    try {
+      import org.apache.spark.sql.functions.{broadcast, count, lit}
+      val o = Tables.t(spark, sfDir, "orders")
+      val c = Tables.t(spark, sfDir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
