@@ -132,14 +132,19 @@ object Dedup {
     // carries no discriminative signal and would make the candidate join
     // quadratic in the bucket size (the classic LSH hot-bucket blowup —
     // on low-entropy corpora a single bucket can hold the whole corpus).
-    // The window shares the join's (band, band_hash) shuffle key.
-    val wB = Window.partitionBy(col("band"), col("band_hash"))
-    val buckets = withSig
+    // Hot buckets are found with a map-side-combinable groupBy count (the
+    // hot list is tiny BY DEFINITION — it only holds keys with more than
+    // maxBucketSize members) and removed with a broadcast anti-join; a
+    // window count here would instead sort every bucket's rows inside the
+    // shuffle just to read its size.
+    val bucketRows = withSig
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
-      .withColumn("__n", count(lit(1)).over(wB))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    val hot = bucketRows.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val buckets = bucketRows.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
     val a = buckets.as("a")
     val b = buckets.as("b")
     val cand = a.join(b,
