@@ -147,4 +147,77 @@ object Text {
     df.withColumn("pack_id",
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
   }
+
+  /** [[packSequences]] for FEW, HUGE groups — the realistic corpus shape
+    * (a handful of languages × billions of docs). The window form above
+    * shuffles each group into ONE task, so 5 languages = 5 tasks no matter
+    * the cluster size; this variant is the classic two-phase distributed
+    * prefix scan:
+    *
+    *   1. range-partition by (group, order) and sort within partitions —
+    *      every partition holds a contiguous slice of a group's order;
+    *   2. pass 1 computes per-(partition, group) token totals (one number
+    *      per group per partition — tiny);
+    *   3. the driver prefix-scans those totals into per-partition start
+    *      offsets (cost: partitions × groups, independent of row count);
+    *   4. pass 2 re-walks each partition sequentially, seeding the running
+    *      total from the broadcast offset.
+    *
+    * Output pack_ids are IDENTICAL to the window form (same global order,
+    * same floor(tokens-before / budget)); the work per task is
+    * rows/partitions instead of rows/groups. mapPartitions (ladder rung
+    * (d)) is justified here: the per-partition walk is genuinely
+    * sequential, and no Catalyst operator expresses a seeded running sum.
+    */
+  def packSequencesScalable(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                            orderCol: String, tokenCol: String, budget: Long,
+                            numPartitions: Int = 0
+                           ): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sparkContext.defaultParallelism
+    val arranged = df
+      .repartitionByRange(n, col(groupCol), col(orderCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+    val schema = arranged.schema
+    val gi = schema.fieldIndex(groupCol)
+    val ti = schema.fieldIndex(tokenCol)
+    // pass 1: (partition, group) -> token total; LinkedHashMap keeps group
+    // first-seen order (not required for correctness, avoids re-sorting)
+    val partSums = arranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gi)
+        m.update(g, m.getOrElse(g, 0L) + r.getAs[Number](ti).longValue())
+      }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val offsets: Map[(Int, Any), Long] = partSums
+      .groupBy(_._2)
+      .flatMap { case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = ((pid, g), acc); acc += s; entry
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = schema.add("pack_id", org.apache.spark.sql.types.LongType)
+    val packed = arranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value
+      var curG: Any = null
+      var run = 0L
+      var started = false
+      it.map { r =>
+        val g = r.get(gi)
+        if (!started || g != curG) {
+          curG = g; run = off.getOrElse((pid, g), 0L); started = true
+        }
+        val packId = run / budget
+        run += r.getAs[Number](ti).longValue()
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ packId)
+      }
+    }
+    spark.createDataFrame(packed, outSchema)
+  }
 }

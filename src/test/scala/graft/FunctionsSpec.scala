@@ -145,6 +145,22 @@ class TextSpec extends SparkSpec {
     assert(got(("b", 1L)) == 0L && got(("b", 2L)) == 2L)
   }
 
+  test("packSequencesScalable matches the window form on random multi-partition input") {
+    val rnd = new scala.util.Random(42)
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1L to 200L)
+      yield (g, i, rnd.nextInt(30).toLong + 1L)
+    val df = rows.toDF("lang", "doc_id", "n_tokens").repartition(7)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select($"lang", $"doc_id", $"pack_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val windowed = asMap(Text.packSequences(df, "lang", "doc_id", "n_tokens", 100L))
+    // more partitions than groups — the point of the scalable form
+    val scanned = asMap(Text.packSequencesScalable(df, "lang", "doc_id", "n_tokens", 100L,
+      numPartitions = 11))
+    assert(scanned == windowed)
+    assert(scanned.values.max > 10, "packing actually advanced across partitions")
+  }
+
   test("hashSampleFilter: deterministic, partition-invariant, ~rate fraction") {
     val ids = (1L to 2000L).toDF("id")
     val kept = ids.filter(Text.hashSampleFilter($"id", 0.125))
