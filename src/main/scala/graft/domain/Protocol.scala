@@ -389,6 +389,9 @@ object Protocol {
           .as("stable_reference_rate"))
     val eth = ethStakingRates.select(col("partition_date").as("e_day"),
       col("apr").as("eth_rate_raw"))
+    // Global (unpartitioned) window is safe HERE: the input is one row per
+    // calendar day (a daily reference-rate table, thousands of rows over
+    // the protocol's lifetime), bounded by the calendar — not by the corpus.
     val w = Window.orderBy(col("block_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stables
