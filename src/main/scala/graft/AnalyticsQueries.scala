@@ -117,6 +117,28 @@ object AnalyticsQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // A15: np.interp port (protocol_data_warehouse.py:379) — per-user
+    // linear interpolation of purchase values at fixed query points, with
+    // numpy's clamp-outside-range semantics. The knot arrays live inside
+    // one collect_list row per user (bounded per-entity grids, the
+    // reference's shape); evaluation is the pure Catalyst expression
+    // Interp.linearInterp — no UDF.
+    "a15_linear_interp" -> ((s, dir) => {
+      import s.implicits._
+      val knots = t(s, dir, "events")
+        .filter($"event_type" === "purchase" && $"value".isNotNull)
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(struct(
+          $"event_id".cast("double").as("x"), $"value".as("y")))).as("k"))
+        .select($"user_id", $"k.x".as("xs"), $"k.y".as("ys"))
+      knots.select($"user_id",
+          posexplode(graft.functions.Interp.linearInterp(
+            array(lit(2500.0), lit(5000.0), lit(7500.0)), $"xs", $"ys"))
+            .as(Seq("pos0", "v")))
+        .select($"user_id", ($"pos0" + 1).cast("long").as("qi"),
+          round($"v", 6).as("v"))
+    }),
+
     // W10: BATCH sessionization — gap-flag + running-sum session ids,
     // then per-session rollup (the SQL twin of the streaming
     // session_window operator; ts stays in integer nanos end-to-end so
@@ -228,6 +250,24 @@ object AnalyticsQueries {
          round(stddev_samp(l_discount), 6) AS discount_stddev,
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    "a15_linear_interp" ->
+      """WITH k AS (
+           SELECT user_id, CAST(event_id AS DOUBLE) AS x, value AS y FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+         q AS (SELECT * FROM (VALUES (1, 2500.0), (2, 5000.0), (3, 7500.0)) t(qi, q)),
+         p AS (SELECT u.user_id, q.qi, q.q
+               FROM (SELECT DISTINCT user_id FROM k) u CROSS JOIN q),
+         lo AS (SELECT p.user_id, p.qi, max(k.x) AS x0, max_by(k.y, k.x) AS y0
+                FROM p JOIN k ON k.user_id = p.user_id AND k.x <= p.q GROUP BY 1, 2),
+         hi AS (SELECT p.user_id, p.qi, min(k.x) AS x1, min_by(k.y, k.x) AS y1
+                FROM p JOIN k ON k.user_id = p.user_id AND k.x >= p.q GROUP BY 1, 2)
+         SELECT p.user_id, CAST(p.qi AS BIGINT) AS qi,
+                round(CASE WHEN lo.x0 IS NULL THEN hi.y1
+                           WHEN hi.x1 IS NULL THEN lo.y0
+                           WHEN hi.x1 = lo.x0 THEN hi.y1
+                           ELSE lo.y0 + (hi.y1 - lo.y0) * (p.q - lo.x0) / (hi.x1 - lo.x0)
+                      END, 6) AS v
+         FROM p LEFT JOIN lo USING (user_id, qi) LEFT JOIN hi USING (user_id, qi)""",
     "w10_sessionize" ->
       """WITH o AS (
            SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
