@@ -14,7 +14,9 @@ object Explain {
     "p1_project_filter_isin", "a1_group_sum", "j5_multiway_join",
     "j8_top_per_group", "o4_latest_only", "p10_scalar_subquery",
     "w8_cumulative", "a12_rollup", "j11_nullsafe_join", "e4_unpivot",
-    "d1_exact_dedup", "s1_cosine_topk", "t4_hash_sample", "j10_asof_join")
+    "d1_exact_dedup", "s1_cosine_topk", "t4_hash_sample", "j10_asof_join",
+    "a14_stats_aggs", "a15_linear_interp", "w10_sessionize", "o11_upsert",
+    "d7_dedup_retain", "s5_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -34,6 +34,9 @@ object Dedup {
   /** Exact dedup: keep the smallest `idCol` row per canonical-text group.
     * One shuffle on the md5 fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // No spread() here: md5 of a document is microseconds (unlike the k×
+    // murmur signature passes), and the fingerprint groupBy already
+    // redistributes — an extra pre-shuffle of full text buys nothing.
     val fp = Text.fingerprintMd5(col(textCol))
     df.withColumn("__fp", fp)
       .groupBy(col("__fp"))
