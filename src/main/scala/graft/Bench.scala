@@ -41,16 +41,31 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ($n rows)")
       name -> dt
     }.toMap
-    // The driver captures only the TAIL of the output and parses the JSON
-    // line out of it — keep this line SHORT (2-decimal per-query times,
-    // locale-fixed dot) so its start survives the tail truncation (r1
-    // lesson: a 2.5 KB line got its head cut off and the round's bench
-    // went unparsed; the query count has grown 67 → 79 since).
+    // The driver captures only the final 2000 bytes of output, and sbt's
+    // trailing "[success] Total time ..." line eats ~75 of them — an
+    // unbounded per-query map overflows and the round's bench goes
+    // UNPARSED (happened in r1 at 67 queries and again in r4 at 80).
+    // Keep the full map on stderr for local analysis; on stdout emit the
+    // exact total plus the slowest queries under a hard byte budget, with
+    // the tail-of-distribution aggregated (no silent truncation).
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    System.err.println(results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("[bench] all: {", ",", "}"))
+    val budgetBytes = 1300
+    val slowestFirst = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val kept = Seq.newBuilder[String]
+    var used = 0
+    var omitted = 0
+    var omittedSec = 0.0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + f2(v)
+      if (used + entry.length + 1 <= budgetBytes) { kept += entry; used += entry.length + 1 }
+      else { omitted += 1; omittedSec += v }
+    }
+    val qs = kept.result().mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = s""","n_queries":${results.size},"omitted_fast_queries":$omitted,"omitted_sec":${f2(omittedSec)}"""
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
