@@ -160,6 +160,23 @@ object AnalyticsQueries {
              round(sum(coalesce($"value", lit(0.0))), 4).as("total_value"))
     }),
 
+    // W11: per-group z-score outlier flagging — the statistical quality
+    // gate of a data pipeline (drop events > 2σ from the user's mean).
+    // Two window aggregates over one shuffle; the filter runs on the
+    // ROUNDED z so the cutoff is stable across engines' sum-order ulps.
+    // stddev guarded against 0/NULL (ANSI division) via when().
+    "w11_zscore_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      t(s, dir, "events")
+        .withColumn("__mu", avg($"value").over(w))
+        .withColumn("__sd", stddev_samp($"value").over(w))
+        .withColumn("zscore",
+          round(when($"__sd" =!= 0, ($"value" - $"__mu") / $"__sd"), 4))
+        .filter(abs($"zscore") > 2.0)
+        .select($"event_id", $"user_id", $"zscore")
+    }),
+
     // O9: INTERSECT — set-distinct intersection (nation keys serving both
     // customers and suppliers). Planned as a left-semi over distincts.
     "o9_intersect" -> ((s, dir) => {
@@ -284,6 +301,14 @@ object AnalyticsQueries {
                 min(event_id) AS first_event, max(event_id) AS last_event,
                 round(sum(coalesce(value, 0)), 4) AS total_value
          FROM s GROUP BY user_id, session_id""",
+    "w11_zscore_outliers" ->
+      """WITH z AS (
+           SELECT event_id, user_id,
+                  round((value - avg(value) OVER (PARTITION BY user_id)) /
+                        NULLIF(stddev_samp(value) OVER (PARTITION BY user_id), 0),
+                        4) AS zscore
+           FROM events)
+         SELECT event_id, user_id, zscore FROM z WHERE abs(zscore) > 2.0""",
     "o9_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
          INTERSECT

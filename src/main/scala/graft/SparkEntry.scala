@@ -266,6 +266,21 @@ object SparkEntry {
       t(s, dir, "customer").select($"c_nationkey".cast("long").as("nationkey"))
         .union(t(s, dir, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
         .distinct()
+    }),
+
+    // J12: salted join for skewed keys — the hot-key mitigation AQE can't
+    // always apply (Relational.saltedJoin). Result is provably identical to
+    // the plain join, so the oracle is the unsalted SQL; the aggregation
+    // after the join makes the equivalence hash-checkable.
+    "j12_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_suppkey", $"l_orderkey", $"l_quantity")
+      val supp = t(s, dir, "supplier")
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+      Relational.saltedJoin(li, supp, keys = Seq("l_suppkey"),
+          saltFrom = "l_orderkey", nSalts = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 4).as("sum_qty"))
     })
   )
 
@@ -381,6 +396,11 @@ object SparkEntry {
       """SELECT DISTINCT nationkey FROM (
            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
            UNION ALL
-           SELECT CAST(s_nationkey AS BIGINT) FROM supplier)"""
+           SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""",
+    "j12_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+         round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey"""
   )
 }

@@ -229,6 +229,54 @@ object TrainingQueries {
       graft.functions.Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
     }),
 
+    // S6: one k-means Lloyd iteration — map-side nearest-centroid assignment
+    // (Similarity.ivfIndex: broadcast seed centroids, zero shuffle) + the
+    // distributed element-wise mean of S4. New centroids in long format for
+    // the cross-engine hash compare; seeds = first 8 vectors by id.
+    "s6_kmeans_step" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
+        .select($"list_id".cast("long").as("list_id"),
+          posexplode($"embedding".cast("array<double>")).as(Seq("pos0", "v")))
+        .groupBy($"list_id", ($"pos0" + 1).cast("long").as("pos"))
+        .agg(round(avg($"v"), 6).as("mean_v"))
+    }),
+
+    // T6: stratified deterministic sampling — per-language rates (en 50%,
+    // fr 25%, rest 12.5%) through the same md5-bucket predicate as T4, so
+    // the mix is reproducible across runs/engines/partitionings.
+    "t6_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val keep = when($"lang" === "en", Text.hashSampleFilter($"doc_id", 0.5))
+        .when($"lang" === "fr", Text.hashSampleFilter($"doc_id", 0.25))
+        .otherwise(Text.hashSampleFilter($"doc_id", 0.125))
+      t(s, dir, "documents").filter(keep).select($"doc_id", $"lang", $"source")
+    }),
+
+    // T7: per-document top-3 TF-IDF terms — corpus statistics the quality/
+    // filtering stage of a training pipeline keys on. Two aggregations
+    // (term counts, document frequency) + a broadcast scalar (corpus size)
+    // + one per-doc window; ranking is on the ROUNDED score so the rank is
+    // stable across engines' last-ulp log differences.
+    "t7_tfidf_top_terms" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tf = Dedup.spread(docs)
+        .select($"doc_id", explode(split(Text.normalize($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round($"tf" * log($"n_docs" / $"df"), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"term", $"score", $"rank")
+    }),
+
     "m1_binary_metadata" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -400,6 +448,49 @@ object TrainingQueries {
                 CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,
                 CAST(((doc_id % 30 + 1) * 1000 * i) // 4 AS BIGINT) AS frame_ms
          FROM documents, range(4) t(i)""",
+    "s6_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         seeds AS (
+           SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS c
+           FROM e ORDER BY vec_id LIMIT 8),
+         scored AS (
+           SELECT e.vec_id, e.v, s.list_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY (1.0 - list_cosine_similarity(e.v, s.c)) ASC,
+                             s.list_id ASC) AS rn
+           FROM e CROSS JOIN seeds s),
+         assigned AS (SELECT list_id, v FROM scored WHERE rn = 1)
+         SELECT CAST(list_id AS BIGINT) AS list_id, CAST(pos AS BIGINT) AS pos,
+                round(avg(x), 6) AS mean_v
+         FROM (SELECT list_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+               FROM assigned)
+         GROUP BY list_id, pos""",
+    "t6_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               CASE WHEN lang = 'en' THEN '8000'
+                    WHEN lang = 'fr' THEN '4000'
+                    ELSE '2000' END""",
+    "t7_tfidf_top_terms" ->
+      """WITH words AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+           WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, term, score,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS INT) AS rank
+         FROM scored
+         QUALIFY rank <= 3""",
     "m1_binary_metadata" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

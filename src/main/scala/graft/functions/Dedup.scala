@@ -34,11 +34,12 @@ object Dedup {
   /** Exact dedup: keep the smallest `idCol` row per canonical-text group.
     * One shuffle on the md5 fingerprint. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // No spread() here: md5 of a document is microseconds (unlike the k×
-    // murmur signature passes), and the fingerprint groupBy already
-    // redistributes — an extra pre-shuffle of full text buys nothing.
+    // spread() matters here too: the fingerprint is md5 of the NORMALIZED
+    // text, and the two normalization regex passes run in the projection
+    // BEFORE the groupBy shuffle — on a single-split input that whole
+    // pass would run on one core.
     val fp = Text.fingerprintMd5(col(textCol))
-    df.withColumn("__fp", fp)
+    spread(df).withColumn("__fp", fp)
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop("__fp")
@@ -233,7 +234,10 @@ object Dedup {
     // Similarity.hyperplaneSignature / ivfIndex buckets.
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    // spread(): the all-pairs scoring below runs inside mapPartitions over
+    // the corpus scan — a single-split input would serialize the whole
+    // O(N²/2) dot-product pass on one core.
+    val vecs = spread(df).select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
     val all = vecs.collect().sortBy(_._1)
@@ -398,10 +402,14 @@ object Dedup {
           col("x.cluster_id") === col("j_v"))
         .select(col("x.__v"), col("j_lbl").as("lbl"),
           lit(null).cast(self.schema("old").dataType).as("old"))
+      // Round 1 skips the shortcut self-join: labels are still the identity
+      // mapping, so label[label[v]] ≡ label[v] and the join would only add
+      // a redundant shuffle to the widest round.
+      val msgs = if (i == 0) self.union(nbr) else self.union(nbr).union(shortcut)
       // Eager checkpoint = the round's single materializing job; the old
       // checkpointed RDD is dereferenced here and reclaimed by the
       // ContextCleaner once GC'd (bounded by maxIter tiny label tables).
-      val step = self.union(nbr).union(shortcut)
+      val step = msgs
         .groupBy(col("__v"))
         .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
         .localCheckpoint(true)

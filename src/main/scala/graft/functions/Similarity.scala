@@ -115,18 +115,46 @@ object Similarity {
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nLists: Int = 16): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__dist").asc, col("centroid_id").asc)
-    val centroids = broadcast(
-      corpus.orderBy(col(idCol)).limit(nLists)
-        .select(row_number().over(Window.orderBy(col(idCol))).as("centroid_id"),
-          asDouble(col(vecCol)).as("centroid")))
-    corpus
-      .join(centroids)
-      .withColumn("__dist", lit(1.0) - cosine(asDouble(col(vecCol)), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
+    // The centroid table is tiny (nLists × dim doubles) — collect it once,
+    // ship it in the task closure, and assign each vector to its nearest
+    // centroid MAP-SIDE in a single corpus scan: zero shuffle, zero join.
+    // (The join + per-id window this replaces exchanged corpus × nLists
+    // rows — a corpus-sized shuffle just to take an argmin, which is
+    // exactly the shuffle IVF exists to avoid at scale.)
+    val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nLists)
+      .select(asDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val seedNorms: Array[Double] = seeds.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    // Same math as CosineSimilarity: dot over the common prefix, full norms
+    // both sides, cosine = 0 on zero denom; ties broken by centroid order.
+    val assign = udf((v: Seq[Double]) => {
+      val x = v.toArray
+      var nx = 0.0; var i = 0
+      while (i < x.length) { nx += x(i) * x(i); i += 1 }
+      nx = math.sqrt(nx)
+      var best = 1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < seeds.length) {
+        val cv = seeds(c)
+        var dot = 0.0
+        val n = math.min(x.length, cv.length)
+        var j = 0
+        while (j < n) { dot += x(j) * cv(j); j += 1 }
+        val denom = nx * seedNorms(c)
+        val cos = if (denom == 0.0) 0.0 else dot / denom
+        val d = 1.0 - cos
+        if (d < bestD) { bestD = d; best = c + 1 }
+        c += 1
+      }
+      best
+    })
+    corpus.select(col(idCol), col(vecCol),
+      assign(asDouble(col(vecCol))).as("list_id"))
   }
 
   /** IVF probe: score only the vectors whose list belongs to the `nProbe`

@@ -191,6 +191,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("ivfIndex assignment is the true argmin over seed centroids") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
+    // brute-force check: for each vector, cosine to its assigned seed is
+    // the max over all seeds (ties -> lowest list_id)
+    val seeds = emb.orderBy($"vec_id").limit(8)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    index.select($"vec_id", $"embedding".cast("array<double>"), $"list_id")
+      .collect().take(50).foreach { r =>
+        val v = r.getSeq[Double](1)
+        val assigned = r.getInt(2)
+        val best = seeds.zipWithIndex
+          .map { case (c, i) => (1.0 - cos(v, c), i + 1) }.min
+        assert(assigned == best._2,
+          s"vec ${r.getLong(0)}: assigned $assigned, argmin ${best._2}")
+      }
+  }
+
   test("LSH probe recall: top-1 (self) survives bucketing") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val q = emb.filter($"vec_id" === 7)

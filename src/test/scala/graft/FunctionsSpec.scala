@@ -222,4 +222,44 @@ class TextSpec extends SparkSpec {
     val fps = df.select(Text.fingerprintMd5($"t")).collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("stratified hash sampling: per-stratum predicates compose, rates hold") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val keep = when($"lang" === "en", Text.hashSampleFilter($"doc_id", 0.5))
+      .otherwise(Text.hashSampleFilter($"doc_id", 0.125))
+    val sampled = docs.filter(keep)
+    val enTotal = docs.filter($"lang" === "en").count().toDouble
+    val enKept = sampled.filter($"lang" === "en").count().toDouble
+    val otherTotal = docs.filter($"lang" =!= "en").count().toDouble
+    val otherKept = sampled.filter($"lang" =!= "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.5) < 0.15, s"en rate ${enKept / enTotal}")
+    assert(math.abs(otherKept / otherTotal - 0.125) < 0.1,
+      s"other rate ${otherKept / otherTotal}")
+    // determinism: same predicate, different partitioning, same ids
+    val again = docs.repartition(7).filter(keep)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tf-idf top terms on a handcrafted corpus") {
+    // 3 docs; "apple" only in doc 0 -> idf ln(3), "common" in all -> idf 0
+    val docs = Seq(
+      (0L, "apple apple common"),
+      (1L, "banana common"),
+      (2L, "cherry common")).toDF("doc_id", "text")
+    val tf = docs
+      .select($"doc_id", explode(split(Text.normalize($"text"), " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round($"tf" * log($"n_docs" / $"df"), 6))
+    val top = scored.filter($"doc_id" === 0)
+      .orderBy($"score".desc, $"term".asc).collect()
+    assert(top.head.getAs[String]("term") == "apple")
+    assert(math.abs(top.head.getAs[Double]("score") - 2 * math.log(3.0)) < 1e-5)
+    val common = scored.filter($"term" === "common").select($"score").collect()
+    assert(common.forall(_.getDouble(0) == 0.0), "df == N terms carry zero weight")
+  }
 }
