@@ -30,7 +30,15 @@ object Bench {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderpriority").agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY: comma-separated query names — micro-bench a subset
+    // while iterating (full run when unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -76,10 +76,18 @@ object Dedup {
           sb.append(w(j + t)); t += 1
         }
         val s = sb.toString
+        // Double hashing (Kirsch–Mitzenmacher): two murmur passes over the
+        // shingle string, k permutations derived as h1 + i·h2 (mod 2³²,
+        // h2 forced odd so the increment cycles the full ring). 2 string
+        // hashes per shingle instead of k — the signature pass is the
+        // dominant map-side cost of the whole LSH pipeline at corpus scale.
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) | 1
         var i = 0
+        var h = h1
         while (i < k) {
-          val h = scala.util.hashing.MurmurHash3.stringHash(s, i)
           if (h < sig(i)) sig(i) = h
+          h += h2
           i += 1
         }
         j += 1
@@ -378,11 +386,17 @@ object Dedup {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .repartition(col("dst"))
       .persist(MEMORY_AND_DISK)
-    // Labels for connected vertices only. The eager localCheckpoint
-    // materializes the distinct()'s hash partitioning on __v as a flat
-    // LogicalRDD — the same shape every later round produces.
-    var labels = und.select(col("dst").as("__v")).distinct()
-      .select(col("__v"), col("__v").as("cluster_id"))
+    // Labels for connected vertices only, SEEDED with min(v, min neighbour):
+    // the same single shuffle a bare distinct() would cost, but it folds the
+    // first propagation hop into initialization — one fewer loop round. The
+    // eager localCheckpoint materializes the aggregation's hash partitioning
+    // on __v as a flat LogicalRDD — the same shape every later round
+    // produces. (Every endpoint appears as dst because `und` holds both
+    // directions, so this covers all connected vertices.)
+    var labels = und.select(col("dst").as("__v"), col("src"))
+      .groupBy(col("__v"))
+      .agg(min(col("src")).as("__mn"))
+      .select(col("__v"), least(col("__v"), col("__mn")).as("cluster_id"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
@@ -402,14 +416,10 @@ object Dedup {
           col("x.cluster_id") === col("j_v"))
         .select(col("x.__v"), col("j_lbl").as("lbl"),
           lit(null).cast(self.schema("old").dataType).as("old"))
-      // Round 1 skips the shortcut self-join: labels are still the identity
-      // mapping, so label[label[v]] ≡ label[v] and the join would only add
-      // a redundant shuffle to the widest round.
-      val msgs = if (i == 0) self.union(nbr) else self.union(nbr).union(shortcut)
       // Eager checkpoint = the round's single materializing job; the old
       // checkpointed RDD is dereferenced here and reclaimed by the
       // ContextCleaner once GC'd (bounded by maxIter tiny label tables).
-      val step = msgs
+      val step = self.union(nbr).union(shortcut)
         .groupBy(col("__v"))
         .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
         .localCheckpoint(true)
