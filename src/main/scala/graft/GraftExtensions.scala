@@ -28,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("graft_dot", DotProduct.apply))
     ext.injectFunction(binary("graft_cosine", CosineSimilarity.apply))
     ext.injectFunction(binary("graft_sorted_inter", SortedIntersectCount.apply))
+    // Spark's own bloom-filter sketch machinery (what AQE runtime filters
+    // use internally) is public but not SQL-registered — expose it so a
+    // pipeline can build a key bloom on a small side and prune a big-side
+    // scan BEFORE the shuffle join (semi-join pruning by hand where the
+    // optimizer can't see the opportunity, e.g. across materialization
+    // boundaries). graft_bloom_agg(xxhash64(k), nItems, nBits) -> binary;
+    // graft_might_contain(bloom, xxhash64(k)) -> boolean.
+    ext.injectFunction((new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_bloom_agg expects (hash, nItems, nBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction(binary("graft_might_contain",
+      (b, h) => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, h)))
   }
 }

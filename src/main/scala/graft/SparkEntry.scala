@@ -281,6 +281,23 @@ object SparkEntry {
           saltFrom = "l_orderkey", nSalts = 8)
         .groupBy($"s_nationkey")
         .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 4).as("sum_qty"))
+    }),
+
+    // J13: bloom-filter semi-join pruning (functions.Prune over Spark's own
+    // sketch machinery) — the big side is pre-filtered by a KB-sized inlined
+    // bloom of the small side's keys BEFORE the join shuffle; the exact
+    // semi-join then drops the false positives, so the result is provably
+    // the plain semi join (which is the oracle).
+    "j13_bloom_prune" -> ((s, dir) => {
+      import s.implicits._
+      val hot = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .select($"c_custkey")
+      val bf = graft.functions.Prune.bloomLiteral(hot, $"c_custkey",
+        nItems = 2000L, nBits = 32768L)
+      t(s, dir, "orders")
+        .filter(graft.functions.Prune.mightContain(bf, $"o_custkey"))
+        .join(hot, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     })
   )
 
@@ -401,6 +418,9 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_items,
          round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         GROUP BY s_nationkey"""
+         GROUP BY s_nationkey""",
+    "j13_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"""
   )
 }

@@ -229,6 +229,46 @@ object TrainingQueries {
       graft.functions.Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
     }),
 
+    // D8: triangle enumeration over the near-dup pair graph — the classic
+    // distributed graph pattern (two hash-joins over the ordered edge
+    // list; a < b < c canonical form keeps each triangle counted once).
+    // Triangles signal dup CLUSTERS denser than pairwise chains.
+    "d8_triangle_count" -> ((s, dir) => {
+      import s.implicits._
+      val e = Dedup.nearDupJaccardBlocked(t(s, dir, "documents"), "text", "doc_id",
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+        .select($"id_a", $"id_b")
+      val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+      e1.join(e2, col("e1.id_b") === col("e2.id_a"))
+        .join(e3, col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+        .select(col("e1.id_a").as("id_a"), col("e1.id_b").as("id_b"),
+                col("e2.id_b").as("id_c"))
+    }),
+
+    // T8: weighted deterministic sampling (Efraimidis–Spirakis keys):
+    // key = u^(1/w) with u a pure hash of the id — longer documents are
+    // proportionally likelier to survive, the whole draw is reproducible,
+    // and the top-k-by-key runs fully parallel (per-partition heaps, no
+    // global sort at scale). Ranked on the ROUNDED key for cross-engine
+    // pow-ulp stability.
+    "t8_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          Text.tokenCountWs($"text").cast("long").as("n_tokens"))
+        .filter($"n_tokens" > 0)
+      // uniform in [0,1) from a 31-bit LCG of the id — identical integer
+      // arithmetic on both engines (no float RNG state)
+      val u = (($"doc_id" * 1103515245L + 12345L) % 2147483648L).cast("double") /
+        lit(2147483648.0)
+      val w = Window.partitionBy($"lang").orderBy($"sample_key".desc, $"doc_id".asc)
+      docs
+        .withColumn("sample_key", round(pow(u, lit(1.0) / $"n_tokens"), 6))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter($"rank" <= 20)
+        .select($"doc_id", $"lang", $"n_tokens", $"sample_key", $"rank")
+    }),
+
     // S6: one k-means Lloyd iteration — map-side nearest-centroid assignment
     // (Similarity.ivfIndex: broadcast seed centroids, zero shuffle) + the
     // distributed element-wise mean of S4. New centroids in long format for
@@ -448,6 +488,36 @@ object TrainingQueries {
                 CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,
                 CAST(((doc_id % 30 + 1) * 1000 * i) // 4 AS BIGINT) AS frame_ms
          FROM documents, range(4) t(i)""",
+    "d8_triangle_count" ->
+      """WITH w AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
+           FROM documents),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                 (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8)
+         SELECT e1.id_a, e1.id_b, e2.id_b AS id_c
+         FROM e e1
+         JOIN e e2 ON e1.id_b = e2.id_a
+         JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""",
+    "t8_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         k AS (
+           SELECT doc_id, lang, n_tokens,
+                  round(pow(CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0, 1.0 / n_tokens), 6) AS sample_key
+           FROM d WHERE n_tokens > 0)
+         SELECT doc_id, lang, n_tokens, sample_key,
+                CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY sample_key DESC, doc_id ASC) AS INT) AS rank
+         FROM k
+         QUALIFY rank <= 20""",
     "s6_kmeans_step" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          seeds AS (

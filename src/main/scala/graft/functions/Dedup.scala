@@ -52,8 +52,8 @@ object Dedup {
     * the pure-expression form (`k × array_min(transform(shingles, hash))`)
     * inlines the shingle derivation k times — k redundant normalize/split/
     * ngram passes per row, which dominates at corpus scale. The UDF sees
-    * the shingles once and runs k tight hash loops (k·|shingles| murmur
-    * calls), the optimal work for this signature.
+    * the shingles once and hashes each exactly twice (double hashing
+    * derives all k permutations), the optimal work for this signature.
     */
   def minHashSignature(text: Column, n: Int = 2, k: Int = 64): Column =
     minhashUdf(n, k)(split(Text.normalize(text), " "))
