@@ -16,7 +16,9 @@ object Explain {
     "w8_cumulative", "a12_rollup", "j11_nullsafe_join", "e4_unpivot",
     "d1_exact_dedup", "s1_cosine_topk", "t4_hash_sample", "j10_asof_join",
     "a14_stats_aggs", "a15_linear_interp", "w10_sessionize", "o11_upsert",
-    "d7_dedup_retain", "s5_ann_ivf")
+    "d7_dedup_retain", "s5_ann_ivf", "j12_salted_join", "j13_bloom_prune",
+    "s6_kmeans_step", "t7_tfidf_top_terms", "t8_weighted_sample",
+    "d8_triangle_count", "w11_zscore_outliers", "t6_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
