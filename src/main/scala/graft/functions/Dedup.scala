@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   * `hash`/`xxhash64`) — no UDFs, fully whole-stage-codegen'd.
   */
 object Dedup {
+
+  /** Run `body` (an EAGER, self-contained materialization) with AQE
+    * disabled, restoring the prior setting afterwards. AQE turns every
+    * shuffle/broadcast stage into its own materialization job, each with
+    * fresh per-stage planning and codegen — across a pipeline of many
+    * small stages that fixed per-job cost dominates (measured 22 s vs
+    * 2.5 s for the LSH pipeline at sf0.1), while runtime re-planning buys
+    * nothing here: these pipelines manage skew explicitly (hot-bucket
+    * removal, pre-partitioned edge lists) and their intermediates are
+    * narrow id tables. Lazy return paths are left untouched — a caller
+    * embedding them in a larger scan-heavy plan keeps AQE's benefits.
+    */
+  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** Fan a narrow input out to the session's default parallelism before
     * CPU-heavy per-row work (signature hashing). A small parquet file scans
@@ -100,10 +118,12 @@ object Dedup {
     * group/join on (band_idx, band_hash) to get candidate buckets. */
   def lshBands(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
+    // xxhash64 hashes the int-array slice NATIVELY (recursive hash over
+    // elements) — the cast-to-array<string> + concat_ws form it replaces
+    // built a string per band per row, 16× per doc, for no semantic gain.
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-             xxhash64(concat_ws("_", slice(sig, b * rows + 1, rows).cast("array<string>")))
-               .as("band_hash"))
+             xxhash64(slice(sig, b * rows + 1, rows)).as("band_hash"))
     }: _*)
   }
 
@@ -132,9 +152,19 @@ object Dedup {
         transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("words"),
       minHashSignature(col(textCol), n, k).as("sig"))
     val withSig =
-      if (reuseSignatures)
-        withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else withSig0
+      if (reuseSignatures) {
+        val cached = withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Fill the cache EAGERLY: AQE materializes this plan's shuffle and
+        // broadcast stages as concurrent jobs (bucket counts, both candidate
+        // sides, both word re-attaches), and a lazily-persisted relation is
+        // NOT deduplicated across jobs that start before the first fill
+        // lands — every one of them would re-run the scan+tokenize+minhash
+        // pass in parallel. One foreachPartition job pins the cache first.
+        withoutAqe(df.sparkSession) {
+          cached.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        }
+        cached
+      } else withSig0
     // Bucket join carries ONLY (id, band, band_hash): candidate pairs are
     // narrow ints during the widest part of the plan; the word arrays are
     // re-attached AFTER pair-dedup, so each doc's array is shuffled once per
@@ -179,8 +209,9 @@ object Dedup {
     else {
       // Materialize the (small) verified pair set, then RELEASE the cached
       // signature table — otherwise it leaks into the session cache for
-      // every call with reuseSignatures = true.
-      val out = verified.localCheckpoint(true)
+      // every call with reuseSignatures = true. AQE is scoped OFF for the
+      // materialization (see withoutAqe).
+      val out = withoutAqe(df.sparkSession) { verified.localCheckpoint(true) }
       withSig.unpersist()
       out
     }
@@ -275,8 +306,18 @@ object Dedup {
             val c = if (nA * nB == 0) 0.0 else s / (nA * nB)
             val cRounded = Math.round(c * 1e6) / 1e6
             if (cRounded >= threshold) {
-              heap.enqueue((cRounded, idA, idB))
-              if (heap.size > k) heap.dequeue()
+              // Gate on the current worst BEFORE touching the heap: once the
+              // heap is full, the overwhelming majority of pairs lose to the
+              // kth-best and cost one primitive compare — an unconditional
+              // enqueue+dequeue would box a tuple and churn the heap for
+              // every one of the N²/2 pairs (the dominant cost of this pass).
+              if (heap.size < k) heap.enqueue((cRounded, idA, idB))
+              else {
+                val w = heap.head
+                val better = cRounded > w._1 ||
+                  (cRounded == w._1 && (idA < w._2 || (idA == w._2 && idB < w._3)))
+                if (better) { heap.dequeue(); heap.enqueue((cRounded, idA, idB)) }
+              }
             }
           }
           j += 1
@@ -386,6 +427,14 @@ object Dedup {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .repartition(col("dst"))
       .persist(MEMORY_AND_DISK)
+    // Fill the edge cache EAGERLY, with AQE still ON: this is the one job
+    // that runs the caller's pair generator (e.g. a blocked-Jaccard
+    // self-join — exactly where AQE's skew handling earns its keep at
+    // corpus scale). Everything after iterates over tiny pre-partitioned
+    // label tables, where AQE's per-stage materialization jobs only
+    // multiply fixed per-job cost — so the loop runs with it scoped off.
+    und.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+    withoutAqe(vertices.sparkSession) {
     // Labels for connected vertices only, SEEDED with min(v, min neighbour):
     // the same single shuffle a bare distinct() would cost, but it folds the
     // first propagation hop into initialization — one fewer loop round. The
@@ -445,5 +494,6 @@ object Dedup {
       .localCheckpoint(true)
     und.unpersist()
     result
+    }
   }
 }
