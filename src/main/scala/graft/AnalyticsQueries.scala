@@ -222,10 +222,68 @@ object AnalyticsQueries {
              count(lit(1)).as("n_k"))
       withKey.join(dim, $"k" <=> $"k2")
         .select($"o_orderkey", $"k", $"avg_price_k", $"n_k")
+    }),
+
+    // A16: arbitrary GROUPING SETS (not just the ROLLUP chain of A12) —
+    // mixed-level subtotals in one pass; Spark expands the sets before the
+    // shuffle so map-side partial aggregation still applies to every set.
+    "a16_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("l_gs")
+      s.sql("""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                      coalesce(l_linestatus, '(all)') AS linestatus,
+                      CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                      CAST(grouping(l_linestatus) AS INT) AS g_ls2,
+                      count(1) AS n_rows,
+                      round(sum(l_extendedprice), 4) AS sum_price
+               FROM l_gs
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
+    }),
+
+    // A17: heavy-hitter profile — the skew DIAGNOSTIC for choosing salting
+    // / broadcast strategies: top-20 keys by row count with share and
+    // cumulative share. The global window runs over the already-aggregated
+    // key table (|keys| rows, not |rows|), so the single-partition sort is
+    // bounded by key cardinality — and the groupBy beneath it combines
+    // map-side.
+    "a17_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "lineitem")
+        .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.orderBy($"cnt".desc, $"l_suppkey".asc)
+      counts
+        .withColumn("total", sum($"cnt").over(Window.partitionBy()))
+        .withColumn("rank", row_number().over(wOrd))
+        .withColumn("cum", sum($"cnt").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter($"rank" <= 20)
+        .select($"l_suppkey", $"cnt", $"rank",
+          round($"cnt" / $"total", 6).as("share"),
+          round($"cum" / $"total", 6).as("cum_share"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a16_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                coalesce(l_linestatus, '(all)') AS linestatus,
+                CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls2,
+                count(*) AS n_rows,
+                round(sum(l_extendedprice), 4) AS sum_price
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
+    "a17_heavy_hitters" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+         r AS (SELECT l_suppkey, cnt,
+                      CAST(SUM(cnt) OVER () AS DOUBLE) AS total,
+                      CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS INTEGER) AS rank,
+                      CAST(SUM(cnt) OVER (ORDER BY cnt DESC, l_suppkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+               FROM c)
+         SELECT l_suppkey, cnt, rank,
+                round(cnt / total, 6) AS share,
+                round(cum / total, 6) AS cum_share
+         FROM r WHERE rank <= 20""",
     "a11_percentiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

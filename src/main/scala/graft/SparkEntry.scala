@@ -298,12 +298,83 @@ object SparkEntry {
         .filter(graft.functions.Prune.mightContain(bf, $"o_custkey"))
         .join(hot, $"o_custkey" === $"c_custkey", "left_semi")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // O12: SCD TYPE-2 interval build (Relational.scd2) — collapse a change
+    // log into versioned dimension rows with validity ranges; one shuffle
+    // on the entity key, both window passes share the Exchange.
+    "o12_scd2" -> ((s, dir) => {
+      import s.implicits._
+      val log = t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"o_orderstatus")
+      Relational.scd2(log, keyCols = Seq("o_custkey"),
+          orderCols = Seq("o_orderdate", "o_orderkey"),
+          trackCols = Seq("o_orderstatus"))
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+          date_format($"valid_from", "yyyy-MM-dd").as("valid_from"),
+          date_format($"valid_to", "yyyy-MM-dd").as("valid_to"),
+          $"is_current")
+    }),
+
+    // W12: interval-overlap concurrency via sweep line — peak simultaneous
+    // open orders per priority class. The ±1 deltas aggregate per (key,
+    // day) BEFORE the running sum, so the window sorts |distinct days|
+    // rows per key, not |intervals| — and simultaneous open/close at the
+    // same day nets out (half-open [start, end) semantics).
+    "w12_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val iv = t(s, dir, "orders").select(
+        $"o_orderpriority".as("prio"),
+        $"o_orderdate".cast("date").as("s"),
+        date_add($"o_orderdate".cast("date"),
+          (($"o_orderkey" % 60) + 1).cast("int")).as("e"))
+      val pts = iv.select($"prio", $"s".as("t"), lit(1).as("delta"))
+        .unionAll(iv.select($"prio", $"e".as("t"), lit(-1).as("delta")))
+      val net = pts.groupBy($"prio", $"t").agg(sum($"delta").as("net"))
+      val w = Window.partitionBy($"prio").orderBy($"t".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      net.withColumn("active", sum($"net").over(w))
+        .groupBy($"prio")
+        .agg(max($"active").as("peak_concurrency"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   private def coreOracleSql: Map[String, String] = Map(
+    "o12_scd2" ->
+      """WITH pts AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                  lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         chg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM pts
+           WHERE prev IS DISTINCT FROM o_orderstatus)
+         SELECT o_custkey, o_orderkey, o_orderstatus,
+                strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS valid_to,
+                (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
+         FROM chg""",
+    "w12_interval_overlap" ->
+      """WITH iv AS (
+           SELECT o_orderpriority AS prio,
+                  CAST(o_orderdate AS DATE) AS s,
+                  CAST(o_orderdate AS DATE) + CAST((o_orderkey % 60) + 1 AS INTEGER) AS e
+           FROM orders),
+         pts AS (
+           SELECT prio, s AS t, 1 AS delta FROM iv
+           UNION ALL SELECT prio, e, -1 FROM iv),
+         net AS (SELECT prio, t, CAST(SUM(delta) AS BIGINT) AS net
+                 FROM pts GROUP BY prio, t),
+         run AS (SELECT prio,
+                        SUM(net) OVER (PARTITION BY prio ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+                 FROM net)
+         SELECT prio, CAST(max(active) AS BIGINT) AS peak_concurrency
+         FROM run GROUP BY prio""",
     "a1_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

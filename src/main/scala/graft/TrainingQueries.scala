@@ -326,10 +326,125 @@ object TrainingQueries {
           length($"payload").cast("long").as("n_bytes"),
           sha2($"payload", 256).as("content_sha256"),
           lower(hex(substring($"text", 1, 8).cast("binary"))).as("head_bytes_hex"))
+    }),
+
+    // D9: EXACT similarity join via prefix filtering (AllPairs/PPJoin) —
+    // no blocking key, no recall loss: provably the same pairs as the
+    // quadratic all-pairs join (which is the oracle), but candidates come
+    // from a rare-token-prefix inverted index. The global exact-dedup path
+    // when LSH's probabilistic recall isn't acceptable.
+    "d9_prefix_filter_pairs" -> ((s, dir) => {
+      Dedup.nearDupPrefixFilter(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+    }),
+
+    // D10: bounded edit-distance near-dup pairs — levenshtein on a 120-char
+    // normalized prefix within (lang, source, length-band) blocks; the
+    // cheap typo/OCR-noise detector exact Jaccard misses (word-set identical
+    // ≠ character identical). Both engines implement classic unit-cost
+    // Wagner–Fischer, so the oracle is exact.
+    "d10_levenshtein_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val prepared = Dedup.spread(t(s, dir, "documents")).select(
+        $"doc_id", $"lang", $"source",
+        substring(Text.normalize($"text"), 1, 120).as("head"))
+        .withColumn("len_band", floor(length($"head") / 40))
+      val a = prepared.as("a"); val b = prepared.as("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.len_band") === col("b.len_band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("distance", levenshtein(col("a.head"), col("b.head")))
+        .filter(col("distance") <= 20)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("distance"))
+    }),
+
+    // T9: corpus bigram statistics — top-5 word bigrams per language (the
+    // n-gram LM / contamination-screen building block). Bigrams derive
+    // per row (map-side), counts combine before the single shuffle, and
+    // the top-k window runs over the aggregated (lang, bigram) table.
+    "t9_bigram_topn" -> ((s, dir) => {
+      import s.implicits._
+      val words = split(Text.normalize($"text"), " ")
+      val bigrams = when(size(words) >= 2,
+          transform(sequence(lit(0), size(words) - 2),
+            i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val counts = t(s, dir, "documents")
+        .select($"lang", explode(bigrams).as("bigram"))
+        .groupBy($"lang", $"bigram").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"lang")
+        .orderBy($"cnt".desc, $"bigram".asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"lang", $"bigram", $"cnt", $"rank")
+    }),
+
+    // M3: audio chunk schedule — overlapping fixed-length windows (4 s
+    // chunks every 3 s) over synthetic per-doc durations; the segmentation
+    // arithmetic is oracle-checked, the decode stays behind DecodeStub.
+    "m3_audio_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(
+        $"doc_id".as("media_id"),
+        struct(lit("audio").as("media_type"),
+          (($"doc_id" % 45 + 5) * 731).cast("long").as("duration_ms")).as("meta"))
+      graft.functions.Multimodal.chunkAudio(media, "media_id",
+        chunkMs = 4000L, strideMs = 3000L)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "d9_prefix_filter_pairs" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+                      (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
+         FROM w a JOIN w b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+               (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
+    "d10_levenshtein_pairs" ->
+      """WITH p AS (
+           SELECT doc_id, lang, source,
+                  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), 1, 120) AS head
+           FROM documents),
+         q AS (SELECT *, CAST(floor(length(head) / 40) AS BIGINT) AS len_band FROM p)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.head, b.head) AS INTEGER) AS distance
+         FROM q a JOIN q b
+           ON a.lang = b.lang AND a.source = b.source
+          AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.head, b.head) <= 20""",
+    "t9_bigram_topn" ->
+      """WITH w AS (
+           SELECT lang,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         bg AS (
+           SELECT lang, unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS bigram
+           FROM w),
+         c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram),
+         r AS (SELECT lang, bigram, cnt,
+                      CAST(row_number() OVER (PARTITION BY lang
+                           ORDER BY cnt DESC, bigram ASC) AS INTEGER) AS rank
+               FROM c)
+         SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5""",
+    "m3_audio_chunks" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CAST((doc_id % 45 + 5) * 731 AS BIGINT) AS duration_ms
+           FROM documents)
+         SELECT media_id, duration_ms,
+                CAST(i AS BIGINT) AS chunk_idx,
+                CAST(i * 3000 AS BIGINT) AS start_ms,
+                CAST(least(i * 3000 + 4000, duration_ms) AS BIGINT) AS end_ms
+         FROM m, range(64) t(i)
+         WHERE i * 3000 < duration_ms""",
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
          GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))""",

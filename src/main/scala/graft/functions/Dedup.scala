@@ -360,6 +360,68 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact-Jaccard similarity join via PREFIX FILTERING (the AllPairs /
+    * PPJoin family) — the scale path for EXACT near-dup pairs when no
+    * blocking key exists. Every pair with word-set Jaccard ≥ `threshold`
+    * is returned (no recall loss, unlike LSH), but the candidate join
+    * touches only PREFIX tokens:
+    *
+    *   - order each doc's distinct tokens by ascending global document
+    *     frequency (rarest first; ties by token) — one corpus-wide
+    *     ordering, computed with a map-side-combinable groupBy;
+    *   - a doc with n tokens exposes only its first n − ⌈t·n⌉ + 1 tokens:
+    *     two sets with Jaccard ≥ t share ≥ ⌈t·max(|A|,|B|)⌉ tokens, so
+    *     their rare-first prefixes must intersect (the smallest common
+    *     token sits within both prefixes) — dropping the frequent-token
+    *     tail is lossless;
+    *   - candidates also pass the SIZE filter t·|A| ≤ |B| ≤ |A|/t before
+    *     they materialize (join condition, not post-filter);
+    *   - survivors verify with the same sorted-hash-array merge as the
+    *     blocked variant.
+    *
+    * At corpus scale the explode carries ~(1−t)·corpus tokens (t = 0.8 →
+    * 20%), shuffled once on token; frequent tokens land in the long tail
+    * of every doc and never generate candidates — the classic hot-key
+    * blowup of a naive token-inverted-index join is designed out.
+    */
+  def nearDupPrefixFilter(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val docs = spread(df).select(col(idCol).as("id"),
+      array_distinct(split(Text.normalize(col(textCol)), " ")).as("toks"))
+    val tokens = docs.select(col("id"), explode(col("toks")).as("tok"))
+    val tokenDf = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Rare-first per-doc ordering: one shuffle on token to attach df, one
+    // on id to rebuild the doc; sort_array on struct(df, tok) gives the
+    // (df asc, tok asc) total order the prefix theorem needs.
+    val ordered = tokens.join(tokenDf, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
+      .select(col("id"),
+        transform(col("ranked"), r => r.getField("tok")).as("toks"),
+        size(col("ranked")).as("n"))
+    val pref = ordered
+      .withColumn("p", (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.n") * lit(threshold) <= col("a.n") &&
+          col("a.n") * lit(threshold) <= col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val words = docs.select(col("id"),
+      sort_array(transform(col("toks"), w => xxhash64(w))).as("wh"))
+    cand
+      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("wh", "wh_a"), "id_a")
+      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("wh", "wh_b"), "id_b")
+      .withColumn("__inter", sortedInter(col("wh_a"), col("wh_b")).cast("double"))
+      .withColumn("__union", size(col("wh_a")) + size(col("wh_b")) - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Intersection size of two SORTED long arrays — the native codegen'd
     * [[graft.expressions.SortedIntersectCount]] merge pass (stays inside
     * whole-stage codegen; the Scala-UDF twin it replaced boxed both

@@ -111,4 +111,28 @@ object Multimodal {
         explode(transform(sequence(lit(0), lit(n - 1)),
           i => (col("duration_ms") * i / n).cast("long"))))
       .filter(col("duration_ms") > 0)
+
+  /** Audio chunking schedule: overlapping fixed-length windows over each
+    * payload's duration — the segmentation step before a speech/audio
+    * encoder (the decode itself stays behind [[DecodeStub]]). A chunk
+    * starts every `strideMs` (stride < chunk ⇒ overlap), the last chunk
+    * is clipped to the payload end, and media shorter than one stride
+    * still yield their single clipped chunk. Pure per-row explode — no
+    * shuffle, schedule arithmetic is codegen'd, and at 100 TB the chunk
+    * rows carry only (id, offsets): payload bytes are re-attached by the
+    * decode step's partition-local join, never exploded.
+    */
+  def chunkAudio(media: DataFrame, idCol: String,
+                 chunkMs: Long, strideMs: Long): DataFrame = {
+    require(chunkMs > 0 && strideMs > 0, "chunkMs and strideMs must be positive")
+    media.select(col(idCol), col("meta.duration_ms").as("duration_ms"))
+      .filter(col("duration_ms") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          floor((col("duration_ms") - 1) / strideMs).cast("long"))))
+      .select(col(idCol), col("duration_ms"),
+        col("chunk_idx"),
+        (col("chunk_idx") * strideMs).as("start_ms"),
+        least(col("chunk_idx") * strideMs + chunkMs, col("duration_ms")).as("end_ms"))
+  }
 }

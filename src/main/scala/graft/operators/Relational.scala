@@ -80,6 +80,41 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** SCD TYPE-2 interval build: collapse a change log into versioned
+    * dimension rows with validity ranges — the warehouse dimension-
+    * versioning step (the reference keeps only latest-state models, e.g.
+    * market_config_by_day's ffill; SCD2 is the general form that also
+    * answers "what was the config ON day X" without storing every day).
+    *
+    *   - rows where none of `trackCols` changed vs the previous row (per
+    *     key, in `orderCols` order) are dropped (they extend the current
+    *     version, null-safely compared so null→value and value→null both
+    *     count as changes);
+    *   - each surviving change point opens a version: `valid_from` = its
+    *     `orderCols.head`, `valid_to` = the NEXT change point's (null =
+    *     still current, flagged `is_current`).
+    *
+    * Two window passes over the same (key, order) shuffle — Catalyst plans
+    * them into one Exchange + two Window execs, no self-join; at 100 TB
+    * the log shuffles once on the entity key.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+           trackCols: Seq[String]): DataFrame = {
+    require(trackCols.nonEmpty, "trackCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val changed = trackCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val points = log.withColumn("__chg", changed)
+      .filter(col("__chg")).drop("__chg")
+    // New DataFrame → the lead window ranges over change points only.
+    points
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Union-by-name with missing columns padded by literals (default 0) —
     * the datamart's schema-aligned UNION ALL idiom where absent measures are
     * zero-filled (all_financials.sql:17-82; market_state_by_time.sql:4-56).

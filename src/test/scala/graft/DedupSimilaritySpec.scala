@@ -107,6 +107,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 2L, 0.75))) // 3 blocked away, 4 below threshold
   }
+
+  test("nearDupPrefixFilter matches the exhaustive all-pairs join exactly") {
+    // Randomized corpus with planted near-dup families + noise docs; the
+    // prefix-filtered join must return EXACTLY the exhaustive join's pairs
+    // (the AllPairs prefix theorem promises no recall loss at any t).
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    val base = Seq.tabulate(8)(f => Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (0 until 40).map { i =>
+      val fam = base(i % base.size)
+      val words = fam.split(" ").toSeq
+      // mutate 0-2 words so families straddle the threshold
+      val mutated = words.zipWithIndex.map { case (w, j) =>
+        if (rnd.nextInt(10) < 2 && j < 2) vocab(rnd.nextInt(vocab.size)) else w }
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.nearDupPrefixFilter(docs, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exhaustive = Dedup.nearDupJaccardBlocked(
+          docs.withColumn("all", lit(1)), "text", "doc_id", Seq("all"), threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exhaustive,
+        s"t=$t: prefix-filter ${got.size} pairs vs exhaustive ${exhaustive.size}")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

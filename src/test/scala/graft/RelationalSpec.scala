@@ -155,4 +155,22 @@ class SinksSpec extends SparkSpec {
     Sinks.appendOnly(snap, dir)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("scd2 collapses a change log into validity intervals") {
+    // entity 1: A(t1) A(t2) B(t4) A(t5) -> three versions (A re-opens);
+    // entity 2: single state, null-tracked attr counts as a change vs null
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 4L, "B"), (1L, 5L, "A"),
+      (2L, 3L, null.asInstanceOf[String])
+    ).toDF("id", "ts", "state")
+    val got = Relational.scd2(log, Seq("id"), Seq("ts"), Seq("state"))
+      .select($"id", $"state", $"valid_from", $"valid_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "A", 1L, 4L, false),
+      (1L, "B", 4L, 5L, false),
+      (1L, "A", 5L, -1L, true),
+      (2L, null, 3L, -1L, true)))
+  }
 }

@@ -236,4 +236,24 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_ms").as[Long].collect().sorted.toSeq
     assert(offs == Seq(0L, 2500L, 5000L, 7500L))
   }
+
+  test("chunkAudio: overlapping windows, clipped tail, short-media edge cases") {
+    val aud = Seq((1L, 10000L), (2L, 2000L), (3L, 3000L), (4L, 0L))
+      .toDF("media_id", "d")
+      .select($"media_id", struct(lit("audio").as("media_type"),
+        $"d".as("duration_ms")).as("meta"))
+    val got = Multimodal.chunkAudio(aud, "media_id", chunkMs = 4000L, strideMs = 3000L)
+      .select($"media_id", $"chunk_idx", $"start_ms", $"end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      // 10 s: starts at 0/3/6/9 s, ends clipped to duration
+      (1L, 0L, 0L, 4000L), (1L, 1L, 3000L, 7000L),
+      (1L, 2L, 6000L, 10000L), (1L, 3L, 9000L, 10000L),
+      // shorter than one chunk: single clipped window
+      (2L, 0L, 0L, 2000L),
+      // exactly one stride: single chunk (no empty second window at 3000)
+      (3L, 0L, 0L, 3000L)))
+    // zero-duration media emit nothing
+    assert(!got.exists(_._1 == 4L))
+  }
 }
