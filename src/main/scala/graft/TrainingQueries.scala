@@ -366,12 +366,15 @@ object TrainingQueries {
     // the top-k window runs over the aggregated (lang, bigram) table.
     "t9_bigram_topn" -> ((s, dir) => {
       import s.implicits._
-      val words = split(Text.normalize($"text"), " ")
-      val bigrams = when(size(words) >= 2,
-          transform(sequence(lit(0), size(words) - 2),
-            i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      // words is MATERIALIZED by the first projection: referencing the
+      // split expression inside the transform lambda would inline the
+      // whole normalize+split regex pipeline once per bigram element.
+      val bigrams = when(size($"words") >= 2,
+          transform(sequence(lit(0), size($"words") - 2),
+            i => concat_ws(" ", element_at($"words", i + 1), element_at($"words", i + 2))))
         .otherwise(array().cast("array<string>"))
       val counts = t(s, dir, "documents")
+        .select($"lang", split(Text.normalize($"text"), " ").as("words"))
         .select($"lang", explode(bigrams).as("bigram"))
         .groupBy($"lang", $"bigram").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy($"lang")
