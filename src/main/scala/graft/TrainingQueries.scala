@@ -335,7 +335,7 @@ object TrainingQueries {
     // when LSH's probabilistic recall isn't acceptable.
     "d9_prefix_filter_pairs" -> ((s, dir) => {
       Dedup.nearDupPrefixFilter(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8)
+        threshold = 0.8, reuseIndex = true)
     }),
 
     // D10: bounded edit-distance near-dup pairs — levenshtein on a 120-char

@@ -385,7 +385,8 @@ object Dedup {
     * blowup of a naive token-inverted-index join is designed out.
     */
   def nearDupPrefixFilter(df: DataFrame, textCol: String, idCol: String,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          reuseIndex: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val docs = spread(df).select(col(idCol).as("id"),
       array_distinct(split(Text.normalize(col(textCol)), " ")).as("toks"))
@@ -394,12 +395,25 @@ object Dedup {
     // Rare-first per-doc ordering: one shuffle on token to attach df, one
     // on id to rebuild the doc; sort_array on struct(df, tok) gives the
     // (df asc, tok asc) total order the prefix theorem needs.
-    val ordered = tokens.join(tokenDf, "tok")
+    val ordered0 = tokens.join(tokenDf, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ranked"))
       .select(col("id"),
         transform(col("ranked"), r => r.getField("tok")).as("toks"),
         size(col("ranked")).as("n"))
+    // The plan references the ranked index FOUR times (both candidate
+    // sides + both verify re-attaches) — declaratively each reference
+    // re-scans the corpus and re-runs the df-attach shuffle. `reuseIndex`
+    // persists it so the corpus is scanned/tokenized once (same trade as
+    // nearDupMinhashLsh's reuseSignatures).
+    val ordered =
+      if (reuseIndex) {
+        val cached = ordered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withoutAqe(df.sparkSession) {
+          cached.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        }
+        cached
+      } else ordered0
     val pref = ordered
       .withColumn("p", (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
       .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
@@ -409,9 +423,12 @@ object Dedup {
           col("a.n") * lit(threshold) <= col("b.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val words = docs.select(col("id"),
+    // Verify arrays derive from the cached index, not the raw docs: the
+    // ranked tokens are the same distinct set, so hash-then-sort gives the
+    // identical sorted-hash array the raw-word path would.
+    val words = ordered.select(col("id"),
       sort_array(transform(col("toks"), w => xxhash64(w))).as("wh"))
-    cand
+    val verified = cand
       .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("wh", "wh_a"), "id_a")
       .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("wh", "wh_b"), "id_b")
       .withColumn("__inter", sortedInter(col("wh_a"), col("wh_b")).cast("double"))
@@ -420,6 +437,12 @@ object Dedup {
         when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (!reuseIndex) verified
+    else {
+      val out = withoutAqe(df.sparkSession) { verified.localCheckpoint(true) }
+      ordered.unpersist()
+      out
+    }
   }
 
   /** Intersection size of two SORTED long arrays — the native codegen'd
