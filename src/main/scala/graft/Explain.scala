@@ -18,7 +18,9 @@ object Explain {
     "a14_stats_aggs", "a15_linear_interp", "w10_sessionize", "o11_upsert",
     "d7_dedup_retain", "s5_ann_ivf", "j12_salted_join", "j13_bloom_prune",
     "s6_kmeans_step", "t7_tfidf_top_terms", "t8_weighted_sample",
-    "d8_triangle_count", "w11_zscore_outliers", "t6_stratified_sample")
+    "d8_triangle_count", "w11_zscore_outliers", "t6_stratified_sample",
+    "d9_prefix_filter_pairs", "o12_scd2", "w12_interval_overlap",
+    "a16_grouping_sets", "a17_heavy_hitters", "t9_bigram_topn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
