@@ -45,6 +45,20 @@ object Streams {
               col("window.end").as("window_end"),
               col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension table — the streaming twin of the warehouse's fact-to-dim
+    * join (market config, token metadata). The static side is planned as
+    * a BroadcastHashJoin inside every micro-batch: no stream-side shuffle,
+    * no streaming state (unlike stream-stream joins), and the dim is
+    * re-resolved per batch, so a dim REWRITE (the reference's hourly
+    * `LastPartitionMapping` refresh of daily dims) is picked up without
+    * restarting the query. Left join keeps unmatched facts (late dim
+    * arrival ⇒ null attrs now, enriched on re-materialization).
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming dedup on key columns with watermark-bounded state: replayed
     * or double-delivered events (at-least-once upstreams) are dropped so
     * the sink sees each key once. The watermark bounds the dedup state —

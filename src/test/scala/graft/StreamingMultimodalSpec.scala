@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
       s"stream=$streamTotal batch(sealed)=$batchTotal")
   }
 
+  test("enrichWithDim broadcast-joins each micro-batch against a static dim") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val events = Tables.t(spark, sfDir, "events").limit(200)
+    events.write.parquet(src)
+    val dim = events.select($"event_type").distinct()
+      .withColumn("type_class",
+        when($"event_type".isin("purchase", "refund"), "money").otherwise("telemetry"))
+      // drop one type from the dim to exercise the left-join null path
+      .filter($"event_type" =!= "click")
+    val schema = spark.read.parquet(src).schema
+    val stream = Streams.parquetStream(spark, src, schema)
+    Streams.runAvailableNow(
+      Streams.enrichWithDim(stream, dim, Seq("event_type")), out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == events.count(), "left join keeps every fact row")
+    assert(got.filter($"event_type" === "purchase" && $"type_class" === "money").count() ==
+      events.filter($"event_type" === "purchase").count())
+    assert(got.filter($"event_type" === "click").agg(
+      count(when($"type_class".isNull, 1))).head.getLong(0) ==
+      events.filter($"event_type" === "click").count(),
+      "unmatched facts survive with null dim attrs")
+  }
+
   test("second AvailableNow run is incremental (checkpoint, no reprocess)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
