@@ -384,6 +384,27 @@ object TrainingQueries {
         .select($"lang", $"bigram", $"cnt", $"rank")
     }),
 
+    // T10: repetition quality signals (the Gopher-rule family): unique-word
+    // ratio and the most-common-word share — the boilerplate/spam filter a
+    // corpus pipeline runs before training. Distinct-count signals derive
+    // map-side from the words array; the top-share needs the per-(doc,
+    // word) count, one shuffle keyed by doc_id.
+    "t10_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select($"doc_id", split(Text.normalize($"text"), " ").as("words"))
+      val flat = base.select($"doc_id", size($"words").as("n_words"),
+        explode($"words").as("word"))
+      flat.groupBy($"doc_id", $"n_words", $"word")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id", $"n_words")
+        .agg(max($"cnt").as("max_cnt"), count(lit(1)).as("n_unique"))
+        .select($"doc_id", $"n_words".cast("long").as("n_words"),
+          $"n_unique",
+          round($"n_unique" / $"n_words", 6).as("unique_ratio"),
+          round($"max_cnt" / $"n_words", 6).as("top_word_share"))
+    }),
+
     // M3: audio chunk schedule — overlapping fixed-length windows (4 s
     // chunks every 3 s) over synthetic per-doc durations; the segmentation
     // arithmetic is oracle-checked, the decode stays behind DecodeStub.
@@ -437,6 +458,19 @@ object TrainingQueries {
                            ORDER BY cnt DESC, bigram ASC) AS INTEGER) AS rank
                FROM c)
          SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5""",
+    "t10_repetition" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         c AS (SELECT doc_id, len(words) AS n_words, unnest(words) AS word FROM w),
+         g AS (SELECT doc_id, n_words, word, count(*) AS cnt
+               FROM c GROUP BY doc_id, n_words, word)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                count(*) AS n_unique,
+                round(count(*) * 1.0 / n_words, 6) AS unique_ratio,
+                round(max(cnt) * 1.0 / n_words, 6) AS top_word_share
+         FROM g GROUP BY doc_id, n_words""",
     "m3_audio_chunks" ->
       """WITH m AS (
            SELECT doc_id AS media_id,

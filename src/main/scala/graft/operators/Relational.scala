@@ -103,7 +103,11 @@ object Relational {
     require(trackCols.nonEmpty, "trackCols must be non-empty")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val changed = trackCols
+    // The first row per key must open a version even when its tracked
+    // value is null (null <=> null is TRUE, so the attribute comparison
+    // alone would drop it) — detect "first" with a lag over a constant.
+    val isFirst = lag(lit(1), 1).over(w).isNull
+    val changed = isFirst || trackCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
       .reduce(_ || _)
     val points = log.withColumn("__chg", changed)
