@@ -405,6 +405,47 @@ object TrainingQueries {
           round($"max_cnt" / $"n_words", 6).as("top_word_share"))
     }),
 
+    // T11: benchmark DECONTAMINATION — flag training docs sharing any
+    // 4-gram with a held-out benchmark set (doc_id % 100 == 0 stands in
+    // for the eval suite). The canonical pre-training leak check: shingle
+    // both sides, distinct the (small) benchmark shingle set, one
+    // broadcast-able semi-ish join on the shingle, count distinct hits
+    // per train doc. Shingles join as strings here for oracle parity; at
+    // 100 TB hash them first (xxhash64) so the exploded index is narrow.
+    "t11_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", split(Text.normalize($"text"), " ").as("words"))
+        .filter(size($"words") >= 4)
+        .select($"doc_id", explode(transform(sequence(lit(0), size($"words") - 4),
+          i => concat_ws(" ", element_at($"words", i + 1), element_at($"words", i + 2),
+            element_at($"words", i + 3), element_at($"words", i + 4)))).as("shingle"))
+      val bench = sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct()
+      sh.filter($"doc_id" % 100 =!= 0)
+        .join(bench, "shingle")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_hits"))
+    }),
+
+    // T12: unigram-LM scoring — the perplexity-proxy quality filter: score
+    // each doc by its average per-word log-probability under the corpus's
+    // own unigram model. Two aggregations (build the LM, score the docs)
+    // joined on the word; the LM is broadcast-able for real vocabularies
+    // (sublinear in corpus size), and the scalar total rides a cross join
+    // of a 1-row aggregate, never a collect.
+    "t12_unigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", explode(split(Text.normalize($"text"), " ")).as("word"))
+      val lm = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val tot = lm.agg(sum($"cnt").as("total"))
+      toks.join(broadcast(lm), "word")
+        .crossJoin(broadcast(tot))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             round(sum(log($"cnt" / $"total")) / count(lit(1)), 4).as("avg_logprob"))
+    }),
+
     // M3: audio chunk schedule — overlapping fixed-length windows (4 s
     // chunks every 3 s) over synthetic per-doc durations; the segmentation
     // arithmetic is oracle-checked, the decode stays behind DecodeStub.
@@ -471,6 +512,33 @@ object TrainingQueries {
                 round(count(*) * 1.0 / n_words, 6) AS unique_ratio,
                 round(max(cnt) * 1.0 / n_words, 6) AS top_word_share
          FROM g GROUP BY doc_id, n_words""",
+    "t11_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(words) - 2),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                       words[i+3])) AS shingle
+           FROM w WHERE len(words) >= 4),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0)
+         SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+         FROM sh s JOIN bench b USING (shingle)
+         WHERE s.doc_id % 100 <> 0
+         GROUP BY s.doc_id""",
+    "t12_unigram_logprob" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         c AS (SELECT doc_id, unnest(words) AS word FROM w),
+         lm AS (SELECT word, count(*) AS cnt FROM c GROUP BY word),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm)
+         SELECT doc_id, count(*) AS n_words,
+                round(sum(ln(cnt / total)) / count(*), 4) AS avg_logprob
+         FROM c JOIN lm USING (word) CROSS JOIN tot
+         GROUP BY doc_id""",
     "m3_audio_chunks" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
