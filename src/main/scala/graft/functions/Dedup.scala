@@ -532,32 +532,53 @@ object Dedup {
       .agg(min(col("src")).as("__mn"))
       .select(col("__v"), least(col("__v"), col("__mn")).as("cluster_id"))
       .localCheckpoint(true)
+    // FRONTIER (delta) iteration: only vertices whose label changed last
+    // round emit messages. Sound for min-label propagation because a
+    // label is (re-)sent exactly the round after it changes, and round 1's
+    // frontier is ALL connected vertices — so every vertex always folds in
+    // every neighbour's latest label, just never redundantly. Late rounds
+    // touch a collapsing frontier (at sf0.1: 4.1k → 1.1k → 65 → 2
+    // vertices) instead of re-shuffling every edge message every round —
+    // at corpus scale this is the difference between O(E) and O(frontier
+    // edges) per round after the first.
+    var frontier = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // Every message is (vertex, candidate label [, previous label]):
-      //   self     — carries the previous label for the convergence counter
-      //   nbr      — each edge forwards the dst's label to src
-      //   shortcut — label[label[v]]: valid because labels are always vertex
-      //              ids of the same component, so the self-join resolves
+      // Messages (vertex, candidate label [, previous label]):
+      //   self — every vertex keeps its label; carries `old` for the
+      //          convergence counter (rides the same aggregate)
+      //   nbr  — edges forward the label of a CHANGED dst to src
+      //   shortcut (two-sided pointer jump, label[label[v]]):
+      //     sc1 — v changed: resolve its NEW label's label
+      //     sc2 — w changed: push w's new label to every v with label = w
       val self = labels.select(col("__v"), col("cluster_id").as("lbl"),
         col("cluster_id").as("old"))
-      val nbr = und.join(labels, col("dst") === col("__v"))
+      val oldType = self.schema("old").dataType
+      val nbr = und.join(frontier, col("dst") === col("__v"))
         .select(col("src").as("__v"), col("cluster_id").as("lbl"),
-          lit(null).cast(self.schema("old").dataType).as("old"))
-      val shortcut = labels.as("x")
+          lit(null).cast(oldType).as("old"))
+      val sc1 = frontier.as("x")
         .join(labels.select(col("__v").as("j_v"), col("cluster_id").as("j_lbl")),
           col("x.cluster_id") === col("j_v"))
         .select(col("x.__v"), col("j_lbl").as("lbl"),
-          lit(null).cast(self.schema("old").dataType).as("old"))
+          lit(null).cast(oldType).as("old"))
+      val sc2 = labels.as("x")
+        .join(frontier.select(col("__v").as("j_v"), col("cluster_id").as("j_lbl")),
+          col("x.cluster_id") === col("j_v"))
+        .select(col("x.__v"), col("j_lbl").as("lbl"),
+          lit(null).cast(oldType).as("old"))
       // Eager checkpoint = the round's single materializing job; the old
       // checkpointed RDD is dereferenced here and reclaimed by the
       // ContextCleaner once GC'd (bounded by maxIter tiny label tables).
-      val step = self.union(nbr).union(shortcut)
+      val step = self.union(nbr).union(sc1).union(sc2)
         .groupBy(col("__v"))
         .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
         .localCheckpoint(true)
-      changed = step.filter(col("cluster_id") =!= col("__old")).count()
+      frontier = step.filter(col("cluster_id") =!= col("__old"))
+        .select(col("__v"), col("cluster_id"))
+        .localCheckpoint(true)
+      changed = frontier.count()
       labels = step.select(col("__v"), col("cluster_id"))
       i += 1
       System.err.println(s"[connectedComponents] round $i: $changed labels changed")
