@@ -403,6 +403,25 @@ object ExprQueries {
         .select($"o_orderkey", $"parsed.key".as("rt_key"), $"parsed.status".as("rt_status"))
     }),
 
+    // E12: array higher-order functions — collect + sort + lambda filter /
+    // transform / fold per group. Everything after the collect_list is
+    // map-side codegen'd array arithmetic; the fold walks the SORTED array
+    // so float accumulation order is deterministic cross-engine.
+    "e12_array_ops" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_quantity")).as("qtys"))
+        .select($"l_orderkey",
+          size($"qtys").cast("long").as("n_items"),
+          size(filter($"qtys", q => q > 25)).cast("long").as("n_big"),
+          round(aggregate($"qtys", lit(0.0), (acc, q) => acc + q), 4).as("total_qty"),
+          round(aggregate(transform($"qtys", q => q * q), lit(0.0),
+            (acc, q) => acc + q), 4).as("total_sq"),
+          element_at($"qtys", 1).as("min_qty"),
+          element_at($"qtys", -1).as("max_qty"))
+    }),
+
     // A5: aggregate-to-model — not-a-knot cubic spline per group, evaluated on
     // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
     // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
@@ -608,6 +627,18 @@ object ExprQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
     "e10_json_roundtrip" ->
-      """SELECT o_orderkey, o_orderkey AS rt_key, o_orderstatus AS rt_status FROM orders"""
+      """SELECT o_orderkey, o_orderkey AS rt_key, o_orderstatus AS rt_status FROM orders""",
+    "e12_array_ops" ->
+      """WITH g AS (
+           SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT l_orderkey,
+                CAST(len(qtys) AS BIGINT) AS n_items,
+                CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_big,
+                round(list_sum(qtys), 4) AS total_qty,
+                round(list_sum(list_transform(qtys, q -> q * q)), 4) AS total_sq,
+                qtys[1] AS min_qty,
+                qtys[-1] AS max_qty
+         FROM g"""
   )
 }
