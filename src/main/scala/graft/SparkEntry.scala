@@ -316,6 +316,18 @@ object SparkEntry {
           $"is_current")
     }),
 
+    // O13: global dense row ids in a total order — zipWithIndex over a
+    // range-partitioned parallel sort (per-partition offsets, stamped
+    // map-side), NOT a single-partition row_number window. The oracle IS
+    // that window — results must be identical.
+    "o13_global_row_ids" -> ((s, dir) => {
+      import s.implicits._
+      Relational.globalRowIds(
+        t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        orderCols = Seq($"o_totalprice".desc, $"o_orderkey".asc))
+        .select($"o_orderkey", $"o_custkey", $"row_id")
+    }),
+
     // W12: interval-overlap concurrency via sweep line — peak simultaneous
     // open orders per priority class. The ±1 deltas aggregate per (key,
     // day) BEFORE the running sum, so the window sorts |distinct days|
@@ -358,6 +370,10 @@ object SparkEntry {
                 (lead(o_orderdate) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)) IS NULL AS is_current
          FROM chg""",
+    "o13_global_row_ids" ->
+      """SELECT o_orderkey, o_custkey,
+                row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS row_id
+         FROM orders""",
     "w12_interval_overlap" ->
       """WITH iv AS (
            SELECT o_orderpriority AS prio,

@@ -80,6 +80,33 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Global DENSE row ids in a total order — WITHOUT the single-partition
+    * window a naive `row_number() OVER (ORDER BY ...)` plans (which funnels
+    * the whole table through one task). The parallel shape:
+    *
+    *   1. range-partitioned parallel sort on the order columns;
+    *   2. `zipWithIndex`: per-partition counts (one lightweight job), then
+    *      each partition stamps `offset + local index` map-side.
+    *
+    * Ids are contiguous 1..N and deterministic as long as `orderCols` is a
+    * total order (pass a tie-break key). This is the scalable twin of the
+    * accepted-single-partition global windows (o1 top-k, a17 heavy
+    * hitters, which run over already-tiny inputs).
+    */
+  def globalRowIds(df: DataFrame, orderCols: Seq[Column],
+                   idName: String = "row_id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idName,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** SCD TYPE-2 interval build: collapse a change log into versioned
     * dimension rows with validity ranges — the warehouse dimension-
     * versioning step (the reference keeps only latest-state models, e.g.

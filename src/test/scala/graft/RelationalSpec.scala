@@ -156,6 +156,18 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("globalRowIds matches the single-partition row_number window") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(50).toDouble))
+      .toDF("k", "v").repartition(7) // multiple input partitions
+    val got = Relational.globalRowIds(df, Seq($"v".desc, $"k".asc))
+      .select($"k", $"row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v".desc, $"k".asc)
+    val want = df.select($"k", row_number().over(w).cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("scd2 collapses a change log into validity intervals") {
     // entity 1: A(t1) A(t2) B(t4) A(t5) -> three versions (A re-opens);
     // entity 2: single state, null-tracked attr counts as a change vs null
