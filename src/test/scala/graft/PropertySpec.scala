@@ -119,6 +119,9 @@ class RunnerSpec extends SparkSpec {
   import spark.implicits._
   import graft.runner.Runner
 
+  private val rnd = new scala.util.Random(42)
+  private def trials(n: Int)(body: => Unit): Unit = (1 to n).foreach(_ => body)
+
   test("idempotent partition re-run replaces only its own partition") {
     val out = java.nio.file.Files.createTempDirectory("graft_runner").toString
     val job = Runner.Job("balances", out)((s, p) => {
@@ -147,5 +150,76 @@ class RunnerSpec extends SparkSpec {
     Runner.run(spark, job, Runner.Daily("2024-01-01"))
     Runner.run(spark, job, Runner.Daily("2024-01-01"))
     assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("scd2 reconstructs the log: intervals tile, versions match state-at-time") {
+    trials(6) {
+      val nKeys = 1 + rnd.nextInt(4)
+      val states = Seq("A", "B", "C")
+      val log = (1 to nKeys).flatMap { k =>
+        (1 to 2 + rnd.nextInt(10)).map(t =>
+          (k.toLong, t.toLong, states(rnd.nextInt(states.length))))
+      }
+      val df = log.toDF("id", "ts", "state")
+      val scd = Relational.scd2(df, Seq("id"), Seq("ts"), Seq("state"))
+        .select($"id", $"state", $"valid_from", $"valid_to", $"is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getBoolean(4)))
+      // exactly one current version per key; intervals tile without overlap
+      val byKey = scd.groupBy(_._1)
+      byKey.foreach { case (_, vs) =>
+        assert(vs.count(_._5) == 1, "exactly one open version per key")
+        val sorted = vs.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 == b._3, "valid_to chains to next valid_from")
+          case _ =>
+        }
+      }
+      // state-at-time: for every original log row, the version covering its
+      // ts must carry the state of the latest change <= ts
+      log.foreach { case (id, ts, _) =>
+        val covering = scd.filter(v => v._1 == id && v._3 <= ts && ts < v._4)
+        assert(covering.length == 1, s"exactly one version covers ($id, $ts)")
+        val lastChange = log.filter(l => l._1 == id && l._2 <= ts).maxBy(_._2)
+        assert(covering.head._2 == lastChange._3)
+      }
+    }
+  }
+
+  test("globalRowIds: contiguous 1..N, order-consistent, partition-invariant") {
+    trials(4) {
+      val n = 50 + rnd.nextInt(200)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(40).toDouble))
+      val df = rows.toDF("k", "v").repartition(1 + rnd.nextInt(8))
+      val got = Relational.globalRowIds(df, Seq($"v".asc, $"k".asc))
+        .select($"k", $"v", $"row_id").collect()
+      assert(got.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq, "ids are 1..N")
+      val inOrder = got.sortBy(_.getLong(2))
+        .map(r => (r.getDouble(1), r.getLong(0)))
+      assert(inOrder.toSeq == inOrder.sortBy(identity).toSeq, "ids follow the total order")
+    }
+  }
+
+  test("hashSampleFilter keeps a rate-proportional, re-run-stable subset") {
+    val ids = (1L to 4000L).toDF("id")
+    for (rate <- Seq(0.1, 0.5, 1.0)) {
+      val kept = ids.filter(graft.functions.Text.hashSampleFilter($"id", rate))
+        .as[Long].collect().toSet
+      val kept2 = ids.filter(graft.functions.Text.hashSampleFilter($"id", rate))
+        .as[Long].collect().toSet
+      assert(kept == kept2, "deterministic across runs")
+      if (rate == 1.0) assert(kept.size == 4000, "rate 1.0 keeps everything")
+      else {
+        val share = kept.size / 4000.0
+        assert(math.abs(share - rate) < 0.05, s"rate=$rate share=$share")
+      }
+    }
+    // monotone: a doc sampled at rate r stays sampled at any higher rate
+    val at01 = ids.filter(graft.functions.Text.hashSampleFilter($"id", 0.1))
+      .as[Long].collect().toSet
+    val at05 = ids.filter(graft.functions.Text.hashSampleFilter($"id", 0.5))
+      .as[Long].collect().toSet
+    assert(at01.subsetOf(at05), "sampling is monotone in rate")
   }
 }
