@@ -354,8 +354,12 @@ object TrainingQueries {
           col("a.source") === col("b.source") &&
           col("a.len_band") === col("b.len_band") &&
           col("a.doc_id") < col("b.doc_id"))
-        .withColumn("distance", levenshtein(col("a.head"), col("b.head")))
-        .filter(col("distance") <= 20)
+        // 3-arg banded levenshtein: the DP early-exits past the threshold
+        // (O(len·k) cells instead of O(len²)), returning -1 for pairs
+        // beyond it — exact distances for every pair the filter keeps, so
+        // the full-distance oracle is unchanged.
+        .withColumn("distance", levenshtein(col("a.head"), col("b.head"), 20))
+        .filter(col("distance") >= 0 && col("distance") <= 20)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           col("distance"))
     }),
