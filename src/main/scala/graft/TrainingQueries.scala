@@ -224,7 +224,7 @@ object TrainingQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
-        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
       val index = graft.functions.Similarity.ivfIndex(emb, "vec_id", "embedding")
       graft.functions.Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
     }),

@@ -25,7 +25,7 @@ object Prune {
   def bloomLiteral(df: DataFrame, key: Column, nItems: Long, nBits: Long): Column = {
     val bytes = df
       .agg(expr_agg(key, nItems, nBits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     lit(bytes)
   }
 

@@ -73,7 +73,13 @@ object Similarity {
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
     val planes: Array[Array[Double]] = Array.tabulate(bits, dim) { (b, i) =>
-      val h = scala.util.hashing.MurmurHash3.productHash((b, i))
+      // splitmix64 finalizer over the (b, i) cell index: an explicit,
+      // stdlib-independent mix so plane values (and thus signatures) stay
+      // bit-identical across Scala versions.
+      var z = (b.toLong << 32 | (i.toLong & 0xffffffffL)) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val h = (z ^ (z >>> 31)).toInt
       h.toDouble / Int.MaxValue.toDouble // in [-1, 1]
     }
     val f = udf((v: Seq[Double]) => {
