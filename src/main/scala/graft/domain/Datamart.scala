@@ -319,9 +319,13 @@ object Datamart {
       "ecosystem_reserve_spend", "treasury_spend")
     val idCols = Seq("collector", "chain", "market", "token", "symbol",
       "underlying_reserve", "underlying_reserve_symbol", "block_day")
+    // dropNulls: BigQuery UNPIVOT defaults to EXCLUDE NULLS
+    // (all_financials.sql:422-423) — the lead-window end_* measures are
+    // null on each partition's last day and the reference omits those
+    // measure rows entirely.
     val long = Relational.melt(
       calcs.select((idCols ++ usdMeasures ++ nativeMeasures).map(col): _*),
-      idCols, usdMeasures ++ nativeMeasures)
+      idCols, usdMeasures ++ nativeMeasures, dropNulls = true)
 
     // -- final dim joins + classification filter ---------------------------
     val txc = broadcast(in.txClassification)

@@ -111,6 +111,25 @@ class DomainSpec extends SparkSpec {
     assert(perDay(day(1)) == 37L && perDay(day(2)) == 37L)
   }
 
+  test("allFinancials: missing price -> usd measure rows EXCLUDED (BQ unpivot nulls)") {
+    // No oracle/coingecko price feed: every *_usd measure is null in the
+    // wide form, and BigQuery UNPIVOT defaults to EXCLUDE NULLS
+    // (all_financials.sql:422-423) — those rows must not appear, while the
+    // native-unit measures survive.
+    val noPrices = Datamart.allFinancials(
+      Datamart.FinancialsInputs.withDefaults(spark,
+        atokenMeasures = measures,
+        internalAddresses = Some(internalAddresses)))
+    val gotMeasures = noPrices.select("measure").distinct()
+      .as[String].collect().toSet
+    assert(gotMeasures.nonEmpty, "native measures survive without prices")
+    assert(!gotMeasures.exists(_.endsWith("_usd")),
+      s"usd rows must be excluded when price is null, got: ${gotMeasures.filter(_.endsWith("_usd"))}")
+    assert(gotMeasures.contains("start_balance") && gotMeasures.contains("atoken_interest"))
+    assert(!noPrices.filter($"value".isNull).limit(1).collect().nonEmpty,
+      "no null-valued measure rows at all")
+  }
+
   test("allFinancials: derived measure golden values (day2→day3 pair)") {
     def m(day2: Timestamp, name: String): Double =
       financials.filter($"block_day" === day2 && $"measure" === name)
