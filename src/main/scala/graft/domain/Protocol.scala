@@ -794,8 +794,12 @@ object Protocol {
                         bands: Seq[(String, Double)] = Seq(
                           "0_to_1" -> 1.0, "1_to_10" -> 10.0, "10_to_100" -> 100.0,
                           "100_to_1k" -> 1000.0, "1k_to_10k" -> 10000.0)): DataFrame = {
+    // (a, b] bands: the reference's CASE chains `balance > threshold`
+    // (sm_token_holder_distro.sql:9-15), so an exact boundary balance
+    // (e.g. a round 100.0 airdrop) belongs to the LOWER bucket — `<=`
+    // here, not `<`.
     val bucket = bands.foldRight(lit("over_" + bands.last._2.toLong): org.apache.spark.sql.Column) {
-      case ((name, ub), acc) => when(col("balance") < ub, name).otherwise(acc)
+      case ((name, ub), acc) => when(col("balance") <= ub, name).otherwise(acc)
     }
     holders
       .withColumn("balance_band", bucket)

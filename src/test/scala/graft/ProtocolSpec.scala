@@ -302,4 +302,17 @@ class ProtocolSpec extends SparkSpec {
     assert(got == Map("0_to_1" -> 1L, "1_to_10" -> 1L, "10_to_100" -> 1L,
       "over_10000" -> 1L))
   }
+
+  test("tokenHolderDistro: exact boundary balances land in the LOWER band") {
+    // Reference CASE chains `balance > threshold`
+    // (sm_token_holder_distro.sql:9-15): 100.0 is NOT > 100 → lower band.
+    val holders = Seq(
+      (day(1), "0xa", 1.0), (day(1), "0xb", 10.0),
+      (day(1), "0xc", 100.0), (day(1), "0xd", 10000.0)
+    ).toDF("block_day", "holder", "balance")
+    val got = Protocol.tokenHolderDistro(holders)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("0_to_1" -> 1L, "1_to_10" -> 1L, "10_to_100" -> 1L,
+      "1k_to_10k" -> 1L))
+  }
 }
