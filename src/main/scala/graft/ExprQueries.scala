@@ -86,6 +86,34 @@ object ExprQueries {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     }),
 
+    // P11: column profiling — the data-quality screen an ETL runs before
+    // trusting a feed (row/null counts, range, mean per column). ONE scan:
+    // all 15 aggregates ride a single map-side-combinable aggregation, and
+    // the wide 1-row result pivots to long form driver-free with an
+    // inline-table cross join (3 rows × 1).
+    "p11_column_profile" -> ((s, dir) => {
+      import s.implicits._
+      val agg = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        count($"l_quantity").as("nn_qty"), round(min($"l_quantity"), 4).as("mn_qty"),
+        round(max($"l_quantity"), 4).as("mx_qty"), round(avg($"l_quantity"), 4).as("av_qty"),
+        count($"l_extendedprice").as("nn_prc"), round(min($"l_extendedprice"), 4).as("mn_prc"),
+        round(max($"l_extendedprice"), 4).as("mx_prc"), round(avg($"l_extendedprice"), 4).as("av_prc"),
+        count($"l_discount").as("nn_dsc"), round(min($"l_discount"), 4).as("mn_dsc"),
+        round(max($"l_discount"), 4).as("mx_dsc"), round(avg($"l_discount"), 4).as("av_dsc"))
+      agg.select(explode(array(
+          struct(lit("l_quantity").as("column"), $"n".as("n_rows"),
+            ($"n" - $"nn_qty").as("n_nulls"), $"mn_qty".as("min_v"),
+            $"mx_qty".as("max_v"), $"av_qty".as("mean_v")),
+          struct(lit("l_extendedprice").as("column"), $"n".as("n_rows"),
+            ($"n" - $"nn_prc").as("n_nulls"), $"mn_prc".as("min_v"),
+            $"mx_prc".as("max_v"), $"av_prc".as("mean_v")),
+          struct(lit("l_discount").as("column"), $"n".as("n_rows"),
+            ($"n" - $"nn_dsc").as("n_nulls"), $"mn_dsc".as("min_v"),
+            $"mx_dsc".as("max_v"), $"av_dsc".as("mean_v")))).as("p"))
+        .select($"p.*")
+    }),
+
     // ---- §2.4 remaining joins ----------------------------------------------
 
     // J2: inner equi-join on composite key (data_lake.py:1045-1050)
@@ -628,6 +656,22 @@ object ExprQueries {
          FROM events""",
     "e10_json_roundtrip" ->
       """SELECT o_orderkey, o_orderkey AS rt_key, o_orderstatus AS rt_status FROM orders""",
+    "p11_column_profile" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+                count(*) - count(l_quantity) AS n_nulls,
+                round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+                round(avg(l_quantity), 4) AS mean_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+                round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+                round(avg(l_extendedprice), 4)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(*), count(*) - count(l_discount),
+                round(min(l_discount), 4), round(max(l_discount), 4),
+                round(avg(l_discount), 4)
+         FROM lineitem""",
     "e12_array_ops" ->
       """WITH g AS (
            SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
