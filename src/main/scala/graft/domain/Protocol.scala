@@ -314,6 +314,12 @@ object Protocol {
       col("reserve"), col("atoken_supply"), col("stable_debt"), col("variable_debt"))
     val joined = emission
       .join(pd, Seq("block_day", "block_height", "market", "reserve"), "left")
+      // The reference's keyless pandas merge (protocol_data_warehouse.py:
+      // 247) would also include block_height, because ITS price frame
+      // carries one; our canonical price feed (Schemas.oraclePrices) drops
+      // the height — equivalent here since prices and protocol data are
+      // snapshotted at the same per-partition height by construction, and
+      // every SQL model joins prices on (day, market, reserve) only.
       .join(oraclePrices.select(col("block_day"), col("market"), col("reserve"),
         col("usd_price")), Seq("block_day", "market", "reserve"), "left")
     def quadrant(tt: String, value: org.apache.spark.sql.Column) =
