@@ -59,6 +59,21 @@ object Streams {
                     keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Incremental-ingest dedup against the EXISTING corpus: anti-join each
+    * micro-batch against a static set of known keys (content fingerprints
+    * of already-ingested documents). Complements [[dedupStream]] (which
+    * only dedups within the stream): new data is checked against
+    * everything already accepted, with no streaming state — the known set
+    * is a broadcast (or, at corpus scale, a shuffle anti-join / bloom
+    * pre-filter via functions.Prune). Re-resolved per micro-batch, so a
+    * known-set refresh (the sink appending what each batch accepted) is
+    * picked up without restarting the query.
+    */
+  def excludeKnown(stream: DataFrame, known: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(known.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+
   /** Streaming dedup on key columns with watermark-bounded state: replayed
     * or double-delivered events (at-least-once upstreams) are dropped so
     * the sink sees each key once. The watermark bounds the dedup state —

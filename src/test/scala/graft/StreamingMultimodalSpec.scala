@@ -61,6 +61,22 @@ class StreamingSpec extends SparkSpec {
       "unmatched facts survive with null dim attrs")
   }
 
+  test("excludeKnown drops stream rows whose fingerprint is already ingested") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_known").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val events = Tables.t(spark, sfDir, "events").limit(100)
+    events.write.parquet(src)
+    // "already ingested": half the event ids
+    val known = events.filter($"event_id" % 2 === 0).select($"event_id")
+    val schema = spark.read.parquet(src).schema
+    val stream = Streams.parquetStream(spark, src, schema)
+    Streams.runAvailableNow(
+      Streams.excludeKnown(stream, known, Seq("event_id")), out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.count() == events.filter($"event_id" % 2 =!= 0).count())
+    assert(got.filter($"event_id" % 2 === 0).count() == 0, "known rows excluded")
+  }
+
   test("second AvailableNow run is incremental (checkpoint, no reprocess)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
