@@ -224,6 +224,30 @@ object AnalyticsQueries {
         .select($"o_orderkey", $"k", $"avg_price_k", $"n_k")
     }),
 
+    // W13: exponentially-weighted moving average — pandas ewm(adjust=True)
+    // semantics truncated to a 20-row window: y_i = Σ (1-α)^k x_{i-k} /
+    // Σ (1-α)^k. The frame-bounded collect_list preserves frame order, so
+    // the weighted fold is deterministic cross-engine; truncation keeps
+    // the weights exactly representable on both sides (no recursive state,
+    // no numeric blow-up of the closed-form 1/(1-α)^i trick).
+    "w13_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val alpha = 0.3
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-19, 0)
+      val xs = collect_list($"o_totalprice").over(w) // oldest..newest
+      t(s, dir, "orders")
+        .withColumn("__xs", xs)
+        .select($"o_custkey", $"o_orderkey",
+          round(
+            aggregate(transform($"__xs",
+                (x, i) => x * pow(lit(1.0 - alpha), size($"__xs") - 1 - i)),
+              lit(0.0), (acc, v) => acc + v) /
+            aggregate(transform($"__xs",
+                (_, i) => pow(lit(1.0 - alpha), size($"__xs") - 1 - i)),
+              lit(0.0), (acc, v) => acc + v), 4).as("ewma"))
+    }),
+
     // A16: arbitrary GROUPING SETS (not just the ROLLUP chain of A12) —
     // mixed-level subtotals in one pass; Spark expands the sets before the
     // shuffle so map-side partial aggregation still applies to every set.
@@ -263,6 +287,20 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "w13_ewma" ->
+      """WITH b AS (
+           SELECT o_custkey, o_orderkey,
+                  list(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+                round(
+                  list_sum(list_transform(range(1, len(xs) + 1),
+                      i -> xs[i] * pow(0.7, len(xs) - i))) /
+                  list_sum(list_transform(range(1, len(xs) + 1),
+                      i -> pow(0.7, len(xs) - i))), 4) AS ewma
+         FROM b""",
     "a16_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
                 coalesce(l_linestatus, '(all)') AS linestatus,
