@@ -248,6 +248,25 @@ object AnalyticsQueries {
               lit(0.0), (acc, v) => acc + v), 4).as("ewma"))
     }),
 
+    // A18: quantile feature binning — bucket each row by which quartile of the
+    // GLOBAL value distribution it falls in (the ML feature discretizer).
+    // Edges come from one exact-percentile aggregate (1 row, broadcast);
+    // rounded to 4dp on both engines so the edge comparison is identical.
+    "a18_quantile_bucket" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem").agg(
+        expr("round(percentile(l_extendedprice, 0.25D), 4)").as("q1"),
+        expr("round(percentile(l_extendedprice, 0.50D), 4)").as("q2"),
+        expr("round(percentile(l_extendedprice, 0.75D), 4)").as("q3"))
+      t(s, dir, "lineitem")
+        .crossJoin(broadcast(edges))
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          when($"l_extendedprice" <= $"q1", 1)
+            .when($"l_extendedprice" <= $"q2", 2)
+            .when($"l_extendedprice" <= $"q3", 3)
+            .otherwise(4).cast("int").as("bucket"))
+    }),
+
     // A16: arbitrary GROUPING SETS (not just the ROLLUP chain of A12) —
     // mixed-level subtotals in one pass; Spark expands the sets before the
     // shuffle so map-side partial aggregation still applies to every set.
@@ -287,6 +306,18 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a18_quantile_bucket" ->
+      """WITH e AS (
+           SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+                  round(quantile_cont(l_extendedprice, 0.50), 4) AS q2,
+                  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+           FROM lineitem)
+         SELECT l_orderkey, l_partkey, l_suppkey,
+                CAST(CASE WHEN l_extendedprice <= q1 THEN 1
+                          WHEN l_extendedprice <= q2 THEN 2
+                          WHEN l_extendedprice <= q3 THEN 3
+                          ELSE 4 END AS INTEGER) AS bucket
+         FROM lineitem, e""",
     "w13_ewma" ->
       """WITH b AS (
            SELECT o_custkey, o_orderkey,
