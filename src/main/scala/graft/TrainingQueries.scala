@@ -450,6 +450,33 @@ object TrainingQueries {
              round(sum(log($"cnt" / $"total")) / count(lit(1)), 4).as("avg_logprob"))
     }),
 
+    // T13: cleaning-rule chain with per-rule drop accounting (the C4/
+    // Gopher filter observability report): each rule is a predicate
+    // column, failures count per language in ONE aggregation pass, and a
+    // doc survives iff no rule fires. The per-rule tallies are what a
+    // pipeline operator actually watches — a silent rule firing on 40% of
+    // a language is a bug signal, not a cleaning success.
+    "t13_filter_stats" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"lang", $"text",
+        Text.tokenCountWs($"text").as("n_words"),
+        Text.stopwordRatio($"text").as("stop_ratio"),
+        Text.meanWordLen($"text").as("mean_wl"))
+      val rShort = $"n_words" < 20
+      val rLongWord = $"mean_wl" > 4.75
+      val rStopword = $"stop_ratio" < 0.05
+      d.withColumn("f_short", rShort)
+        .withColumn("f_long_word", rLongWord)
+        .withColumn("f_stopword", rStopword)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"f_short", 1L).otherwise(0L)).as("n_fail_short"),
+          sum(when($"f_long_word", 1L).otherwise(0L)).as("n_fail_long_word"),
+          sum(when($"f_stopword", 1L).otherwise(0L)).as("n_fail_stopword"),
+          sum(when(!$"f_short" && !$"f_long_word" && !$"f_stopword", 1L)
+            .otherwise(0L)).as("n_pass"))
+    }),
+
     // M3: audio chunk schedule — overlapping fixed-length windows (4 s
     // chunks every 3 s) over synthetic per-doc durations; the segmentation
     // arithmetic is oracle-checked, the decode stays behind DecodeStub.
@@ -543,6 +570,29 @@ object TrainingQueries {
                 round(sum(ln(cnt / total)) / count(*), 4) AS avg_logprob
          FROM c JOIN lm USING (word) CROSS JOIN tot
          GROUP BY doc_id""",
+    "t13_filter_stats" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+                  CASE WHEN len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE)
+                            / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) END AS stop_ratio,
+                  CASE WHEN len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> length(x))) AS DOUBLE)
+                            / len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) END AS mean_wl
+           FROM documents),
+         f AS (SELECT lang,
+                      n_words < 20 AS f_short,
+                      mean_wl > 4.75 AS f_long_word,
+                      stop_ratio < 0.05 AS f_stopword
+               FROM d)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+                CAST(sum(CASE WHEN f_long_word THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_long_word,
+                CAST(sum(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+                CAST(sum(CASE WHEN NOT f_short AND NOT f_long_word AND NOT f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM f GROUP BY lang""",
     "m3_audio_chunks" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
