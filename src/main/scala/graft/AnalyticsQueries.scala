@@ -267,6 +267,22 @@ object AnalyticsQueries {
             .otherwise(4).cast("int").as("bucket"))
     }),
 
+    // A19: custom typed Aggregator (UDAF rung of the custom-op ladder) —
+    // Welford/Chan streaming mean+stddev with associative partial-state
+    // merge (map-side combine like any built-in agg). Oracle = the
+    // built-in avg/stddev_samp, which the stable form must reproduce.
+    "a19_welford_udaf" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(graft.functions.Stats.welford($"l_extendedprice").as("w"),
+             count(lit(1)).as("n_rows"))
+        .select($"l_returnflag",
+          round($"w.mean", 4).as("mean_price"),
+          round($"w.stddev", 4).as("stddev_price"),
+          $"n_rows")
+    }),
+
     // A16: arbitrary GROUPING SETS (not just the ROLLUP chain of A12) —
     // mixed-level subtotals in one pass; Spark expands the sets before the
     // shuffle so map-side partial aggregation still applies to every set.
@@ -306,6 +322,12 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a19_welford_udaf" ->
+      """SELECT l_returnflag,
+                round(avg(l_extendedprice), 4) AS mean_price,
+                round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
     "a18_quantile_bucket" ->
       """WITH e AS (
            SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
