@@ -20,7 +20,10 @@ object Explain {
     "s6_kmeans_step", "t7_tfidf_top_terms", "t8_weighted_sample",
     "d8_triangle_count", "w11_zscore_outliers", "t6_stratified_sample",
     "d9_prefix_filter_pairs", "o12_scd2", "w12_interval_overlap",
-    "a16_grouping_sets", "a17_heavy_hitters", "t9_bigram_topn")
+    "a16_grouping_sets", "a17_heavy_hitters", "t9_bigram_topn",
+    "w13_ewma", "a18_quantile_bucket", "a19_welford_udaf",
+    "t11_decontaminate", "t12_unigram_logprob", "t13_filter_stats",
+    "p11_column_profile", "o13_global_row_ids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
