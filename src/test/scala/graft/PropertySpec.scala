@@ -152,6 +152,44 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("Welford UDAF is partition-invariant and matches built-in avg/stddev_samp") {
+    trials(4) {
+      val n = 100 + rnd.nextInt(400)
+      val xs = Seq.fill(n)(rnd.nextDouble() * 1e5)
+      for (parts <- Seq(1, 3, 8)) {
+        val df = xs.toDF("x").repartition(parts)
+        val got = df.agg(graft.functions.Stats.welford($"x").as("w"))
+          .select($"w.mean", $"w.stddev").head()
+        val want = df.agg(avg($"x"), stddev_samp($"x")).head()
+        assert(math.abs(got.getDouble(0) - want.getDouble(0)) < 1e-6 * 1e5)
+        assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6 * 1e5,
+          s"parts=$parts stddev ${got.getDouble(1)} vs ${want.getDouble(1)}")
+      }
+    }
+  }
+
+  test("minhash LSH recall vs exhaustive join on planted near-dup families") {
+    // Statistical guarantee behind the rows-only d2 check: at threshold
+    // 0.5 with 16 bands × 4 rows, a true pair at J=0.7 is a candidate with
+    // p = 1-(1-0.7^4)^16 ≈ 0.99 — near-total recall over a planted corpus.
+    val vocab = Vector.tabulate(80)(i => s"tok$i")
+    val base = Seq.tabulate(10)(_ => Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (0 until 60).map { i =>
+      val words = base(i % base.size).split(" ").toSeq
+      val mutated = words.map(w => if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+      (i.toLong, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exhaustive = Dedup.nearDupJaccardBlocked(
+        docs.withColumn("all", lit(1)), "text", "doc_id", Seq("all"), threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupMinhashLsh(docs, "text", "doc_id",
+        n = 1, k = 64, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exhaustive), "verify step guarantees precision 1.0")
+    val recall = if (exhaustive.isEmpty) 1.0 else lsh.size.toDouble / exhaustive.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exhaustive.size})")
+  }
+
   test("scd2 reconstructs the log: intervals tile, versions match state-at-time") {
     trials(6) {
       val nKeys = 1 + rnd.nextInt(4)
