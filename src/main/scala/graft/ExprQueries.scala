@@ -201,6 +201,21 @@ object ExprQueries {
         .select($"event_id", $"user_id", round($"value", 4).as("last_purchase_value"))
     }),
 
+    // J14: FORWARD as-of join — for each click, the NEXT purchase (the
+    // "next fill/next quote" mirror of J10's last-known lookup); same
+    // single-shuffle union+ffill plan via time negation.
+    "j14_asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_event_id"), $"value")
+      graft.operators.Temporal.asofJoinForward(
+        clicks, purchases, Seq("user_id"), "event_id", "p_event_id", Seq("value"))
+        .select($"event_id", $"user_id", round($"value", 4).as("next_purchase_value"))
+    }),
+
     // J10b: point-in-interval range join via bucketing (operators.Temporal;
     // oracle = plain inequality join, feasible in DuckDB at oracle scale)
     "j10_range_join" -> ((s, dir) => {
@@ -541,6 +556,13 @@ object ExprQueries {
               (SELECT user_id, event_id AS p_event_id, value FROM events
                WHERE event_type = 'purchase') p
          ON c.user_id = p.user_id AND c.event_id >= p.p_event_id""",
+    "j14_asof_forward" ->
+      """SELECT c.event_id, c.user_id, round(p.value, 4) AS next_purchase_value
+         FROM (SELECT event_id, user_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT user_id, event_id AS p_event_id, value FROM events
+               WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.event_id <= p.p_event_id""",
     "j10_range_join" ->
       """SELECT p.user_id, p.event_id, i.session_start
          FROM (SELECT user_id, event_id FROM events WHERE event_type = 'error') p

@@ -65,6 +65,24 @@ object Temporal {
           when(withinTol, col("__match_ts")).as("asof_match_ts"): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` per key (the "next quote/next fill" lookup —
+    * backward's mirror). Implemented by delegation: forward-asof on ts is
+    * backward-asof on −ts, so it inherits the single-shuffle union+ffill
+    * plan and the tolerance semantics (max allowed `rightTs − leftTs`)
+    * for free. `asof_match_ts` is reported in the original time domain.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTs: String, rightTs: String, valueCols: Seq[String],
+                      tolerance: Option[Long] = None): DataFrame = {
+    val negL = s"__neg_$leftTs"
+    val l2 = left.withColumn(negL, -col(leftTs).cast("long"))
+    val r2 = right.withColumn("__neg_rts", -col(rightTs).cast("long"))
+    asofJoinBackward(l2, r2, keyCols, negL, "__neg_rts", valueCols, tolerance)
+      .drop(negL)
+      .withColumn("asof_match_ts", -col("asof_match_ts"))
+  }
+
   /** Daily resample + gap-fill: expand each key's sparse day series onto a
     * continuous calendar spine ([min, max] day per key, `sequence` +
     * `explode`) and forward-fill the measure columns across the generated

@@ -37,6 +37,22 @@ class TemporalSpec extends SparkSpec {
     assert(got(2).isNullAt(0))           // gap 105 > 10 → nulled
   }
 
+  test("asofJoinForward: earliest quote at or after each trade, with tolerance") {
+    val got = Temporal.asofJoinForward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("price"))
+      .orderBy("sym", "trade_ts")
+      .select($"sym", $"trade_ts", $"price", $"asof_match_ts").collect()
+    assert(got(0).getDouble(2) == 55.0 && got(0).getLong(3) == 200L) // 100 → next 200
+    assert(got(1).getDouble(2) == 56.0 && got(1).getLong(3) == 205L) // exact ts visible
+    assert(got(2).isNullAt(2))                                      // 310 → nothing after
+    assert(got(3).getDouble(2) == 30.0)                             // COMP 150 → 400
+    val tol = Temporal.asofJoinForward(trades, quotes, Seq("sym"),
+      "trade_ts", "quote_ts", Seq("price"), tolerance = Some(100L))
+      .orderBy("sym", "trade_ts").select($"price").collect()
+    assert(tol(0).getDouble(0) == 55.0) // gap 100 ≤ 100
+    assert(tol(3).isNullAt(0))          // COMP gap 250 > 100 → nulled
+  }
+
   test("asofJoinBackward preserves left row count (no fan-out)") {
     val got = Temporal.asofJoinBackward(trades, quotes, Seq("sym"),
       "trade_ts", "quote_ts", Seq("price"))
