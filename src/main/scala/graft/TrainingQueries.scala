@@ -216,6 +216,13 @@ object TrainingQueries {
       graft.functions.Multimodal.sampleFrames(vids, "media_id", n = 4)
     }),
 
+    // S7: all-vectors kNN graph (k=3) — every vector's nearest neighbours,
+    // the input of semantic-dedup/clustering stages; broadcast corpus +
+    // per-row bounded heap, N·k output rows, no shuffle.
+    "s7_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+    }),
+
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only
     // nProbe of nLists inverted lists are scored (at 100 TB the lists are
     // bucketed files, so the probe is I/O-pruned too). Engine-specific
@@ -704,6 +711,16 @@ object TrainingQueries {
                 WHEN s_de >= s_zh THEN 'de'
                 ELSE 'zh' END AS pred_lang
          FROM s""",
+    "s7_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+                      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT id, nbr_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY id
+                           ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
+               FROM s)
+         SELECT id, nbr_id, cosine, rank FROM r WHERE rank <= 3""",
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
                     FROM embeddings WHERE vec_id < 3),

@@ -63,6 +63,58 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** All-vectors kNN graph: for EVERY vector its `k` nearest neighbours by
+    * cosine (self excluded) — the input of semantic-dedup / clustering /
+    * diversity-sampling stages. Unlike [[topKBatch]] (crossJoin + window:
+    * right for a handful of query vectors), this broadcasts the corpus
+    * once and streams it through mapPartitions with a per-row bounded
+    * heap — no shuffle, no N² row materialization; output is exactly
+    * N·k rows. Ranking is on round-6 cosine with neighbour-id tie-break
+    * (cross-engine deterministic). At corpus scale, block first with
+    * [[ivfIndex]] buckets and run this within buckets.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = Dedup.spread(df).select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val all = vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) }
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.flatMap { case (idA, vA) =>
+      val b = bc.value
+      val nA = normOf(vA)
+      // worst kept neighbour first: min cosine, then max nbr id
+      val worstFirst: Ordering[(Double, Long)] =
+        Ordering.by { case (c, id) => (-c, id) }
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+      var j = 0
+      while (j < b.length) {
+        val (idB, vB, nB) = b(j)
+        if (idB != idA) {
+          var s = 0.0; var i = 0; val n = math.min(vA.length, vB.length)
+          while (i < n) { s += vA(i) * vB(i); i += 1 }
+          val c = if (nA * nB == 0) 0.0 else s / (nA * nB)
+          val cr = Math.round(c * 1e6) / 1e6
+          if (heap.size < k) heap.enqueue((cr, idB))
+          else {
+            val w = heap.head
+            if (cr > w._1 || (cr == w._1 && idB < w._2)) {
+              heap.dequeue(); heap.enqueue((cr, idB))
+            }
+          }
+        }
+        j += 1
+      }
+      heap.toSeq.sortBy { case (c, id) => (-c, id) }.zipWithIndex
+        .map { case ((c, idB), r) => (idA, idB, c, r + 1) }
+    }.toDF("id", "nbr_id", "cosine", "rank")
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes (components derived from a
     * seeded murmur3 of (bit, dim) — reproducible across runs, no RNG state
