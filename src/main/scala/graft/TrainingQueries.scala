@@ -457,6 +457,22 @@ object TrainingQueries {
              round(sum(log($"cnt" / $"total")) / count(lit(1)), 4).as("avg_logprob"))
     }),
 
+    // T14: exact-budget deterministic sampling — exactly N docs per source
+    // (training-mix recipes specify COUNTS, not rates), chosen by md5-hash
+    // rank so the subset is a pure function of doc ids: stable across
+    // runs, engines, and partitionings, and refreshing the corpus only
+    // swaps docs whose hash rank crosses the boundary. One shuffle on the
+    // stratum key (rate-based twin: t4/t6).
+    "t14_exact_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter($"rn" <= 15)
+        .select($"doc_id", $"source", $"rn")
+    }),
+
     // T13: cleaning-rule chain with per-rule drop accounting (the C4/
     // Gopher filter observability report): each rule is a predicate
     // column, failures count per language in ONE aggregation pass, and a
@@ -577,6 +593,13 @@ object TrainingQueries {
                 round(sum(ln(cnt / total)) / count(*), 4) AS avg_logprob
          FROM c JOIN lm USING (word) CROSS JOIN tot
          GROUP BY doc_id""",
+    "t14_exact_sample" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+           FROM documents)
+         WHERE rn <= 15""",
     "t13_filter_stats" ->
       """WITH d AS (
            SELECT doc_id, lang,
