@@ -29,6 +29,15 @@ object Dedup {
     * removal, pre-partitioned edge lists) and their intermediates are
     * narrow id tables. Lazy return paths are left untouched — a caller
     * embedding them in a larger scan-heavy plan keeps AQE's benefits.
+    *
+    * CONCURRENCY CAVEAT: this mutates the SESSION-scoped conf — any query
+    * running concurrently on the same SparkSession loses AQE for the
+    * duration, and overlapping scopes on different threads can race the
+    * restore. The dedup drivers assume one pipeline per session at a time
+    * (the batch-job model they're built for); a multi-tenant session
+    * should give each concurrent pipeline its own `spark.newSession()`
+    * (shared SparkContext + cache, isolated SQLConf) and build the input
+    * DataFrames from that session.
     */
   private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
@@ -414,13 +423,20 @@ object Dedup {
         }
         cached
       } else ordered0
+    // ceil/≤ with an epsilon guard: when t·n is mathematically integral the
+    // nearest-double representation of t can land a hair ABOVE the exact
+    // product, inflating ceil(n·t) by one — a one-token-short prefix (and an
+    // over-tight size filter) that would drop exact-boundary pairs. The
+    // 1e-9 nudge only ever LENGTHENS the prefix / LOOSENS the size filter
+    // (recall-safe; the verify step keeps precision exact).
     val pref = ordered
-      .withColumn("p", (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))
+      .withColumn("p",
+        (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
       .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.n") * lit(threshold) <= col("a.n") &&
-          col("a.n") * lit(threshold) <= col("b.n"))
+          col("b.n") * lit(threshold) - lit(1e-9) <= col("a.n") &&
+          col("a.n") * lit(threshold) - lit(1e-9) <= col("b.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Verify arrays derive from the cached index, not the raw docs: the

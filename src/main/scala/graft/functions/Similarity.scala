@@ -70,8 +70,14 @@ object Similarity {
     * once and streams it through mapPartitions with a per-row bounded
     * heap — no shuffle, no N² row materialization; output is exactly
     * N·k rows. Ranking is on round-6 cosine with neighbour-id tie-break
-    * (cross-engine deterministic). At corpus scale, block first with
-    * [[ivfIndex]] buckets and run this within buckets.
+    * (cross-engine deterministic).
+    *
+    * Scale bound: the corpus is `collect()`ed to the DRIVER before being
+    * broadcast, so driver heap — not executor memory — is the hard limit
+    * (~8 GB per 10⁷ vectors × 100 dims). Past that this fails with a
+    * driver OOM rather than degrading: block first with [[ivfIndex]]
+    * buckets (or LSH bands) and run this within buckets, which also cuts
+    * the O(N²) score count to O(N²/buckets).
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -49,15 +49,47 @@ object Streams {
     * dimension table — the streaming twin of the warehouse's fact-to-dim
     * join (market config, token metadata). The static side is planned as
     * a BroadcastHashJoin inside every micro-batch: no stream-side shuffle,
-    * no streaming state (unlike stream-stream joins), and the dim is
-    * re-resolved per batch, so a dim REWRITE (the reference's hourly
-    * `LastPartitionMapping` refresh of daily dims) is picked up without
-    * restarting the query. Left join keeps unmatched facts (late dim
-    * arrival ⇒ null attrs now, enriched on re-materialization).
+    * no streaming state (unlike stream-stream joins). Left join keeps
+    * unmatched facts (late dim arrival ⇒ null attrs now, enriched on
+    * re-materialization).
+    *
+    * Dim REFRESH caveat: the static side is re-PLANNED per batch, not
+    * re-LISTED. For a file-backed `dim` the file listing is captured in
+    * its InMemoryFileIndex when the frame is analyzed, so overwriting the
+    * directory mid-query is NOT picked up (and can fail a batch with
+    * FileNotFoundException once the old files are deleted). A live refresh
+    * (the reference's hourly `LastPartitionMapping` re-read of daily dims)
+    * needs either a catalog/Delta-backed dim — whose snapshot resolves per
+    * batch — or the static side re-created per batch from its path: see
+    * [[runRefreshedAvailableNow]].
     */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
                     keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** `foreachBatch` runner that RE-CREATES the static side for every
+    * micro-batch via `dimProvider` (e.g. `() => spark.read.parquet(path)`):
+    * each batch gets a fresh file listing, so a dim rewritten between
+    * batches/runs IS seen — the refresh semantics [[enrichWithDim]] cannot
+    * give for plain file-backed dims. `transform` builds the per-batch
+    * output from (batch, freshDim) — an enrich join, an [[excludeKnown]]
+    * anti-join, etc. Each batch overwrites its own `batch_id=<n>` partition
+    * directory, so a batch replayed after a failure stays exactly-once.
+    */
+  def runRefreshedAvailableNow(stream: DataFrame, dimProvider: () => DataFrame,
+                               transform: (DataFrame, DataFrame) => DataFrame,
+                               outPath: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        transform(batch.toDF(), dimProvider())
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Incremental-ingest dedup against the EXISTING corpus: anti-join each
     * micro-batch against a static set of known keys (content fingerprints
@@ -65,9 +97,11 @@ object Streams {
     * only dedups within the stream): new data is checked against
     * everything already accepted, with no streaming state — the known set
     * is a broadcast (or, at corpus scale, a shuffle anti-join / bloom
-    * pre-filter via functions.Prune). Re-resolved per micro-batch, so a
-    * known-set refresh (the sink appending what each batch accepted) is
-    * picked up without restarting the query.
+    * pre-filter via functions.Prune). Same refresh caveat as
+    * [[enrichWithDim]]: a file-backed known-set's listing is pinned at
+    * analysis time — to pick up the sink appending what each batch
+    * accepted, use a catalog/Delta-backed table or re-read the known set
+    * per batch via [[runRefreshedAvailableNow]].
     */
   def excludeKnown(stream: DataFrame, known: DataFrame,
                    keys: Seq[String]): DataFrame =

@@ -123,7 +123,9 @@ class DedupSpec extends SparkSpec {
         if (rnd.nextInt(10) < 2 && j < 2) vocab(rnd.nextInt(vocab.size)) else w }
       (i.toLong, mutated.mkString(" "))
     }.toDF("doc_id", "text")
-    for (t <- Seq(0.5, 0.8)) {
+    // 0.75 exercises the integral-t·n boundary (12 tokens × 0.75 = 9): the
+    // epsilon-guarded ceil must keep exact-boundary pairs (Jaccard == t).
+    for (t <- Seq(0.5, 0.6, 0.7, 0.75, 0.8, 0.9)) {
       val got = Dedup.nearDupPrefixFilter(docs, "text", "doc_id", threshold = t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val exhaustive = Dedup.nearDupJaccardBlocked(

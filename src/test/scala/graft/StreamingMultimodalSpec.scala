@@ -77,6 +77,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter($"event_id" % 2 === 0).count() == 0, "known rows excluded")
   }
 
+  test("runRefreshedAvailableNow re-reads the dim per run — a rewrite IS picked up") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val dimPath = s"$tmp/dim"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0))
+      .toDF("event_id", "ts", "event_type", "value").write.mode("append").parquet(src)
+    Seq(("click", "v1")).toDF("event_type", "dim_ver").write.mode("overwrite").parquet(dimPath)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = Streams.runRefreshedAvailableNow(
+      Streams.parquetStream(spark, src, schema),
+      () => spark.read.parquet(dimPath),
+      (batch, dim) => Streams.enrichWithDim(batch, dim, Seq("event_type")),
+      out, ckpt)
+    run()
+    assert(spark.read.parquet(out).select("dim_ver").as[String].collect().toSeq == Seq("v1"))
+    // rewrite the dim (new files, old deleted) + land a new stream file:
+    // the next drain must see the NEW dim — the exact scenario a pinned
+    // InMemoryFileIndex on a static frame gets wrong.
+    Seq(("click", "v2")).toDF("event_type", "dim_ver").write.mode("overwrite").parquet(dimPath)
+    Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click", 2.0))
+      .toDF("event_id", "ts", "event_type", "value").write.mode("append").parquet(src)
+    run()
+    val byEvent = spark.read.parquet(out)
+      .select($"event_id", $"dim_ver").as[(Long, String)].collect().toMap
+    assert(byEvent == Map(1L -> "v1", 2L -> "v2"),
+      "batch 2 enriched against the rewritten dim; batch 1's output untouched")
+  }
+
   test("second AvailableNow run is incremental (checkpoint, no reprocess)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
