@@ -591,9 +591,12 @@ object Dedup {
         .groupBy(col("__v"))
         .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
         .localCheckpoint(true)
+      // The frontier is a narrow filter over the just-checkpointed step —
+      // leave it LAZY: its consumers (the count below + next round's three
+      // joins) re-run a cheap in-memory filter instead of paying a third
+      // materialization job per round.
       frontier = step.filter(col("cluster_id") =!= col("__old"))
         .select(col("__v"), col("cluster_id"))
-        .localCheckpoint(true)
       changed = frontier.count()
       labels = step.select(col("__v"), col("cluster_id"))
       i += 1
