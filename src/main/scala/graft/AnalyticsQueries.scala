@@ -248,6 +248,29 @@ object AnalyticsQueries {
               lit(0.0), (acc, v) => acc + v), 4).as("ewma"))
     }),
 
+    // W14: robust (median/MAD) outlier screen — the heavy-tail-safe twin
+    // of w11's z-score gate: mean/σ move with the outliers they're meant
+    // to find, median/MAD don't. Stats.robustOutliers supplies the
+    // per-group median + MAD (two exact grouped percentiles, broadcast
+    // back); the flag recomputes the robust z from the 4dp-ROUNDED
+    // med/mad and compares at 6dp, so the cutoff is identical across
+    // engines' percentile-interpolation ulps.
+    "w14_mad_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.functions.Stats.robustOutliers(
+        t(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice", k = 1.2)
+      scored
+        .withColumn("__z", round(
+          abs($"l_extendedprice" - round($"med", 4)) /
+            (lit(1.4826) * round($"mad", 4)), 6))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             count(when($"__z" > 1.2, 1)).as("n_outliers"),
+             round(max($"med"), 4).as("med"),
+             round(max($"mad"), 4).as("mad"))
+    }),
+
     // A18: quantile feature binning — bucket each row by which quartile of the
     // GLOBAL value distribution it falls in (the ML feature discretizer).
     // Edges come from one exact-percentile aggregate (1 row, broadcast);
@@ -458,6 +481,25 @@ object AnalyticsQueries {
                         4) AS zscore
            FROM events)
          SELECT event_id, user_id, zscore FROM z WHERE abs(zscore) > 2.0""",
+    "w14_mad_outliers" ->
+      """WITH med AS (
+           SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY 1),
+         j AS (
+           SELECT l.l_returnflag, l.l_extendedprice, m.med
+           FROM lineitem l JOIN med m USING (l_returnflag)),
+         mad AS (
+           SELECT l_returnflag, quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+           FROM j GROUP BY 1)
+         SELECT j.l_returnflag,
+                count(*) AS n_rows,
+                count(CASE WHEN round(abs(j.l_extendedprice - round(j.med, 4)) /
+                                      (1.4826 * round(d.mad, 4)), 6) > 1.2
+                           THEN 1 END) AS n_outliers,
+                round(max(j.med), 4) AS med,
+                round(max(d.mad), 4) AS mad
+         FROM j JOIN mad d USING (l_returnflag)
+         GROUP BY 1""",
     "o9_intersect" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
          INTERSECT

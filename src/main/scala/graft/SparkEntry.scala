@@ -316,6 +316,26 @@ object SparkEntry {
           $"is_current")
     }),
 
+    // O14: CDC changelog apply (Relational.applyCdc) — o11's MERGE
+    // generalized to a log with DELETES and multiple changes per key:
+    // each order is a change event for its customer (every 10th order a
+    // delete), the highest order key per customer wins, untouched
+    // customers pass through. Window-latest on the (small) changelog +
+    // one anti-join on the base.
+    "o14_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+      val changes = t(s, dir, "orders").select(
+        $"o_custkey".as("c_custkey"),
+        concat(lit("upd_"), $"o_custkey").as("c_name"),
+        round($"o_totalprice", 2).as("c_acctbal"),
+        ($"o_custkey" % 25).cast("int").as("c_nationkey"),
+        when($"o_orderkey" % 10 === 0, "D").otherwise("U").as("op"),
+        $"o_orderkey".as("seq"))
+      Relational.applyCdc(base, changes, Seq("c_custkey"), "seq", "op")
+    }),
+
     // O13: global dense row ids in a total order — zipWithIndex over a
     // range-partitioned parallel sort (per-partition offsets, stamped
     // map-side), NOT a single-partition row_number window. The oracle IS
@@ -374,6 +394,26 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS row_id
          FROM orders""",
+    "o14_cdc_apply" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd_' || CAST(o_custkey AS VARCHAR) AS c_name,
+                  round(o_totalprice, 2) AS c_acctbal,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  o_orderkey AS seq
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                          ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey
+         FROM customer c
+         WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, c_nationkey
+         FROM latest WHERE op <> 'D'""",
     "w12_interval_overlap" ->
       """WITH iv AS (
            SELECT o_orderpriority AS prio,

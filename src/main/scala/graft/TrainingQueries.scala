@@ -216,6 +216,21 @@ object TrainingQueries {
       graft.functions.Multimodal.sampleFrames(vids, "media_id", n = 4)
     }),
 
+    // M4: 2-D image tile schedule — the ViT-patching twin of m2/m3: the
+    // 224×224 grid covering each image with edge tiles clipped to the
+    // bounds (widths/heights derived from doc_id so the geometry — and
+    // hence the oracle — is deterministic). Pure per-row double explode
+    // over metadata; the pixel crop stays behind DecodeStub.
+    "m4_image_tiles" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(
+        $"doc_id".as("media_id"),
+        struct(lit("image").as("media_type"),
+          (($"doc_id" % 7 + 1) * 150 + 37).cast("int").as("width"),
+          (($"doc_id" % 5 + 1) * 120 + 53).cast("int").as("height")).as("meta"))
+      graft.functions.Multimodal.tileImages(imgs, "media_id", 224, 224)
+    }),
+
     // S7: all-vectors kNN graph (k=3) — every vector's nearest neighbours,
     // the input of semantic-dedup/clustering stages; broadcast corpus +
     // per-row bounded heap, N·k output rows, no shuffle.
@@ -802,6 +817,20 @@ object TrainingQueries {
                 CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,
                 CAST(((doc_id % 30 + 1) * 1000 * i) // 4 AS BIGINT) AS frame_ms
          FROM documents, range(4) t(i)""",
+    "m4_image_tiles" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CAST((doc_id % 7 + 1) * 150 + 37 AS INTEGER) AS width,
+                  CAST((doc_id % 5 + 1) * 120 + 53 AS INTEGER) AS height
+           FROM documents),
+         g AS (SELECT CAST(i AS INTEGER) AS i FROM range(10) t(i))
+         SELECT media_id, width, height,
+                gx.i AS tile_x, gy.i AS tile_y,
+                gx.i * 224 AS x0, gy.i * 224 AS y0,
+                least(224, width - gx.i * 224) AS tile_w,
+                least(224, height - gy.i * 224) AS tile_h
+         FROM m, g gx, g gy
+         WHERE gx.i <= (width - 1) // 224 AND gy.i <= (height - 1) // 224""",
     "d8_triangle_count" ->
       """WITH w AS (
            SELECT doc_id, lang, source,

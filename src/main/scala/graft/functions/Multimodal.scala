@@ -122,6 +122,32 @@ object Multimodal {
     * rows carry only (id, offsets): payload bytes are re-attached by the
     * decode step's partition-local join, never exploded.
     */
+  /** 2-D tile schedule for image payloads: the non-overlapping `tileW` ×
+    * `tileH` grid covering each image, edge tiles clipped to the image
+    * bounds — the patching step in front of a ViT-style encoder (the
+    * pixel crop itself stays behind [[DecodeStub]]; this is the schedule
+    * the cropper and the downstream batch-shaper consume). The spatial
+    * twin of [[chunkAudio]]: a pure per-row double explode over the
+    * metadata, no shuffle, and the tile rows carry only (id, geometry) —
+    * payload bytes are re-attached partition-locally at decode time.
+    */
+  def tileImages(media: DataFrame, idCol: String, tileW: Int, tileH: Int): DataFrame = {
+    require(tileW > 0 && tileH > 0, "tileW and tileH must be positive")
+    media.select(col(idCol), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .filter(col("width") > 0 && col("height") > 0)
+      .withColumn("tile_x",
+        explode(sequence(lit(0), floor((col("width") - 1) / tileW).cast("int"))))
+      .withColumn("tile_y",
+        explode(sequence(lit(0), floor((col("height") - 1) / tileH).cast("int"))))
+      .select(col(idCol), col("width"), col("height"),
+        col("tile_x"), col("tile_y"),
+        (col("tile_x") * tileW).as("x0"),
+        (col("tile_y") * tileH).as("y0"),
+        least(lit(tileW), col("width") - col("tile_x") * tileW).as("tile_w"),
+        least(lit(tileH), col("height") - col("tile_y") * tileH).as("tile_h"))
+  }
+
   def chunkAudio(media: DataFrame, idCol: String,
                  chunkMs: Long, strideMs: Long): DataFrame = {
     require(chunkMs > 0 && strideMs > 0, "chunkMs and strideMs must be positive")

@@ -53,4 +53,35 @@ object Stats {
   /** Column form: `welford(col)` → struct(mean, stddev). */
   def welford(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(WelfordAggregator).apply(c)
+
+  /** Robust (median/MAD) outlier flagging per group — the heavy-tail-safe
+    * twin of the z-score screen (w11): mean/stddev move with the outliers
+    * they're supposed to find; the median and the median absolute
+    * deviation don't. Flags rows with |x − median| > k · 1.4826 · MAD
+    * (1.4826 scales MAD to σ under normality, so `k` reads like a z
+    * threshold). Adds `med`, `mad`, `robust_z` (null when MAD = 0 — a
+    * constant-majority group has no robust scale) and `is_outlier`.
+    *
+    * Shape: two grouped EXACT percentile aggregates (median, then MAD over
+    * the residuals) + two broadcast joins of the tiny per-group stat
+    * tables — the fact side never shuffles. Exact `percentile` sorts each
+    * group's values inside the aggregate buffer; at extreme per-group
+    * cardinality swap `percentile` for `approx_percentile` (same plan
+    * shape, sketch-mergeable buffers).
+    */
+  def robustOutliers(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                     valueCol: String, k: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gcols = groupCols.map(col)
+    val med = df.groupBy(gcols: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(gcols: _*)
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))))
+      .withColumn("is_outlier", coalesce(col("robust_z") > k, lit(false)))
+  }
 }

@@ -217,4 +217,27 @@ object Relational {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+
+  /** Apply a CDC changelog to a base snapshot: `changes` carries the base
+    * columns plus an op column (`I`/`U` upsert, `D` delete) and a sequence
+    * column; per key the HIGHEST-sequence change wins, and the result is
+    * base rows untouched by any change + the surviving upserts — the
+    * generalization of [[upsert]] to logs with deletes and multiple
+    * changes per key (the reference's delete-then-append idempotency at
+    * row grain, driven by a log instead of a full partition).
+    *
+    * Shape: one window shuffle on the changelog keys (changelog ≪ base in
+    * any incremental pipeline) + one anti-join on base, broadcast-able
+    * when the day's key set fits. `seqCol` must totally order each key's
+    * changes (ties would make the winner nondeterministic — pass a
+    * composite `struct(ts, log_offset)` if sequence numbers repeat).
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    val latest = topPerGroup(changes, keys, Seq(col(seqCol).desc))
+    val survivors = latest.filter(upper(col(opCol)) =!= "D")
+      .select(base.columns.toSeq.map(col): _*)
+    base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
 }

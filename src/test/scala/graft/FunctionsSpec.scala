@@ -262,4 +262,19 @@ class TextSpec extends SparkSpec {
     val common = scored.filter($"term" === "common").select($"score").collect()
     assert(common.forall(_.getDouble(0) == 0.0), "df == N terms carry zero weight")
   }
+
+  test("robustOutliers: MAD flags a spike the spike itself can't hide; MAD=0 guarded") {
+    // 9 values near 10 plus one wild spike: the spike inflates mean/stddev
+    // (a z-screen would need ~3σ of its OWN inflation) but not median/MAD.
+    val g = Seq.tabulate(9)(i => ("g", 9.0 + i * 0.25)) :+ (("g", 1000.0))
+    // constant group: MAD = 0 -> robust_z null, nothing flagged
+    val c = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0))
+    val got = graft.functions.Stats.robustOutliers(
+      (g ++ c).toDF("grp", "x"), Seq("grp"), "x", k = 3.0)
+    assert(got.filter($"is_outlier").select("x").as[Double].collect().toSeq == Seq(1000.0))
+    val gRow = got.filter($"grp" === "g").select("med", "mad").head
+    assert(gRow.getDouble(0) == 10.125 && gRow.getDouble(1) == 0.625) // hand-computed
+    val cRows = got.filter($"grp" === "c")
+    assert(cRows.filter($"robust_z".isNotNull || $"is_outlier").count() == 0)
+  }
 }

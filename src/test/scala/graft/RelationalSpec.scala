@@ -111,6 +111,22 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(1L -> ("a", 10.0), 2L -> ("U", 99.0),
                       3L -> ("c", 30.0), 4L -> ("N", 40.0)))
   }
+
+  test("applyCdc: latest change wins, deletes remove, inserts land, rest pass") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "v")
+    val changes = Seq(
+      // key 1: update then DELETE (delete is latest -> row removed)
+      (1L, "x", 11.0, "U", 1L), (1L, "x", 12.0, "D", 2L),
+      // key 2: two updates -> highest seq wins
+      (2L, "u1", 21.0, "U", 1L), (2L, "u2", 22.0, "U", 5L),
+      // key 4: delete then INSERT (insert is latest -> row lands)
+      (4L, "n", 40.0, "D", 1L), (4L, "n", 41.0, "I", 3L))
+      .toDF("k", "status", "v", "op", "seq")
+    val got = Relational.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(2L -> ("u2", 22.0), 3L -> ("c", 30.0), 4L -> ("n", 41.0)))
+  }
 }
 
 class SinksSpec extends SparkSpec {

@@ -324,4 +324,30 @@ class MultimodalSpec extends SparkSpec {
     // zero-duration media emit nothing
     assert(!got.exists(_._1 == 4L))
   }
+
+  test("tileImages: full cover, clipped edge tiles, degenerate sizes") {
+    val imgs = Seq((1L, 500, 300), (2L, 224, 224), (3L, 100, 700), (4L, 0, 100))
+      .toDF("media_id", "w", "h")
+      .select($"media_id", struct(lit("image").as("media_type"),
+        $"w".as("width"), $"h".as("height")).as("meta"))
+    val got = Multimodal.tileImages(imgs, "media_id", 224, 224)
+    val rows = got.collect().map(r => (
+      r.getAs[Long]("media_id"), r.getAs[Int]("tile_x"), r.getAs[Int]("tile_y"),
+      r.getAs[Int]("x0"), r.getAs[Int]("y0"),
+      r.getAs[Int]("tile_w"), r.getAs[Int]("tile_h"))).toSet
+    // 500×300 -> 3×2 grid; right column 52 px, bottom row 76 px
+    assert(rows.count(_._1 == 1L) == 6)
+    assert(rows((1L, 2, 1, 448, 224, 52, 76)))
+    assert(rows((1L, 0, 0, 0, 0, 224, 224)))
+    // exact multiple: single unclipped tile
+    assert(rows.filter(_._1 == 2L) == Set((2L, 0, 0, 0, 0, 224, 224)))
+    // tall sliver: 1×4 grid, width clipped everywhere
+    assert(rows.count(_._1 == 3L) == 4 && rows((3L, 0, 3, 0, 672, 100, 28)))
+    // zero-width image emits nothing
+    assert(!rows.exists(_._1 == 4L))
+    // every pixel covered exactly once: Σ tile areas = image area
+    val area = got.filter($"media_id" === 1L)
+      .agg(sum($"tile_w" * $"tile_h")).head.getLong(0)
+    assert(area == 500L * 300L)
+  }
 }
