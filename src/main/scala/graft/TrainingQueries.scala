@@ -386,6 +386,28 @@ object TrainingQueries {
           col("distance"))
     }),
 
+    // D11: PARAGRAPH-level exact dedup (Dolma/C4 sub-document pass) —
+    // 10-word chunks, first corpus-wide occurrence wins (doc id, then
+    // position), docs reassembled from the survivors. Catches shared
+    // boilerplate whole-doc dedup (d1) misses.
+    "d11_paragraph_dedup" -> ((s, dir) => {
+      Dedup.paragraphDedup(t(s, dir, "documents"), "text", "doc_id", chunkSize = 10)
+    }),
+
+    // T15: winnowing fingerprints (the MOSS sub-document fingerprint):
+    // md5 char-8-grams, window-8 rightmost-min selection — any shared
+    // substring of ≥ 15 chars between docs shares a fingerprint, with
+    // selection density bounded by the window. One UDF pass per row
+    // (monotonic deque, O(n)); the oracle reproduces the selection
+    // declaratively as a per-window lexicographic argmin.
+    "t15_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          explode(Text.winnowFingerprints(8, 8)(Text.normalize($"text"))).as("f"))
+        .select($"doc_id", $"f.pos".as("pos"), $"f.fp".as("fp"))
+    }),
+
     // T9: corpus bigram statistics — top-5 word bigrams per language (the
     // n-gram LM / contamination-screen building block). Bigrams derive
     // per row (map-side), counts combine before the single shuffle, and
@@ -615,6 +637,42 @@ object TrainingQueries {
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
            FROM documents)
          WHERE rn <= 15""",
+    "d11_paragraph_dedup" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents WHERE trim(text) <> ''),
+         n AS (SELECT doc_id, w, CAST(ceil(len(w) / 10.0) AS INTEGER) AS nc FROM d),
+         c AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+                      array_to_string(w[CAST(i * 10 + 1 AS INTEGER) : CAST(i * 10 + 10 AS INTEGER)], ' ') AS chunk
+               FROM n, range(20) t(i) WHERE i < nc),
+         k AS (SELECT doc_id, idx, chunk,
+                      row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, idx) AS rn
+               FROM c)
+         SELECT doc_id,
+                count(*) AS n_chunks,
+                count(*) FILTER (WHERE rn = 1) AS n_kept,
+                CASE WHEN count(*) FILTER (WHERE rn = 1) = 0 THEN NULL
+                     ELSE string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1)
+                END AS kept_text
+         FROM k GROUP BY doc_id""",
+    "t15_winnowing" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS s
+           FROM documents),
+         n AS (SELECT doc_id, s, length(s) - 8 + 1 AS ng FROM d WHERE length(s) >= 8),
+         g AS (SELECT doc_id, CAST(j AS INTEGER) AS j, md5(substr(s, CAST(j AS INTEGER), 8)) AS fp
+               FROM n, range(1, 601) t(j) WHERE j <= ng),
+         win AS (SELECT doc_id, CAST(p AS INTEGER) AS p
+                 FROM n, range(1, 601) t(p) WHERE p BETWEEN least(8, ng) AND ng),
+         cand AS (SELECT w.doc_id, w.p, g.j, g.fp,
+                         row_number() OVER (PARTITION BY w.doc_id, w.p
+                                            ORDER BY g.fp ASC, g.j DESC) AS rn
+                  FROM win w JOIN g ON g.doc_id = w.doc_id
+                                   AND g.j BETWEEN w.p - 7 AND w.p)
+         SELECT DISTINCT doc_id, j AS pos, fp FROM cand WHERE rn = 1""",
     "t13_filter_stats" ->
       """WITH d AS (
            SELECT doc_id, lang,

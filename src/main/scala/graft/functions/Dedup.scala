@@ -226,6 +226,49 @@ object Dedup {
     }
   }
 
+  /** PARAGRAPH-level exact dedup (the Dolma/C4 sub-document pass): chunk
+    * each doc into consecutive `chunkSize`-word "paragraphs", keep only
+    * the FIRST corpus-wide occurrence of each chunk's content (ordered by
+    * doc id, then chunk position), and reassemble what survives. Catches
+    * the boilerplate exact-dedup misses — headers/footers shared across
+    * otherwise-distinct documents — without near-dup machinery.
+    *
+    * Returns one row per non-empty doc: (doc_id, n_chunks, n_kept,
+    * kept_text) with kept_text null when every chunk was seen earlier.
+    *
+    * Shape: two shuffles — a window rank partitioned BY CHUNK CONTENT
+    * (first-occurrence flag; chunk groups are dup counts, so tiny), then
+    * the per-doc reassembly groupBy. At corpus scale key the window on a
+    * 128-bit chunk fingerprint instead of the string (same plan, ~5×
+    * smaller shuffle rows) and drop reassembly if only the keep-list is
+    * needed downstream.
+    */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     chunkSize: Int = 10): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val chunks = spread(df)
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        split(Text.normalize(col(textCol)), " ").as("w"))
+      .withColumn("nc", ceil(size(col("w")) / lit(chunkSize.toDouble)).cast("int"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => concat_ws(" ", slice(col("w"), i * chunkSize + 1, lit(chunkSize))))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val firstSeen = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+    chunks.withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__rn") === 1, 1)).as("n_kept"),
+        sort_array(collect_list(when(col("__rn") === 1,
+          struct(col("idx"), col("chunk"))))).as("__kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(col("__kept"), r => r.getField("chunk")))).as("kept_text"))
+  }
+
   /** Exact Jaccard over two pre-deduped word arrays. */
   def jaccardWords(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -110,6 +110,62 @@ object Text {
     aggregate(split(normalize(text), " "), lit(0L),
       (acc, w) => acc * lit(1000003L) + crc32(w).cast("long"))
 
+  final case class WinnowFp(pos: Int, fp: String)
+
+  /** WINNOWING document fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * scheme): md5 each of the doc's character `k`-grams, slide a window of
+    * `w` consecutive gram hashes, and select each window's minimum hash —
+    * rightmost position on ties. Guarantees: any substring match of length
+    * ≥ w + k − 1 between two docs shares at least one selected
+    * fingerprint, and consecutive selections are never more than w apart —
+    * the bounded-density sub-document fingerprint that [[fingerprintMd5]]
+    * (whole-doc) can't give.
+    *
+    * One pass per row: a monotonic deque makes the sliding min O(n) (ties
+    * evicted on push, so the front is always the rightmost min). Docs
+    * shorter than w grams yield their single all-grams window; shorter
+    * than k, nothing. Hashes are md5 hex so an engine-independent oracle
+    * can reproduce the selection by lexicographic argmin.
+    */
+  def winnowFingerprints(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    udf((s: String) => {
+      if (s == null || s.length < k) Seq.empty[WinnowFp]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef"
+        val n = s.length - k + 1
+        val fps = new Array[String](n + 1) // 1-based gram positions
+        var j = 1
+        while (j <= n) {
+          md.reset()
+          val d = md.digest(s.substring(j - 1, j - 1 + k).getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var b = 0
+          while (b < d.length) {
+            sb.append(hex.charAt((d(b) >> 4) & 0xf)); sb.append(hex.charAt(d(b) & 0xf))
+            b += 1
+          }
+          fps(j) = sb.toString
+          j += 1
+        }
+        val dq = new java.util.ArrayDeque[Int]()
+        val sel = scala.collection.mutable.LinkedHashSet.empty[Int]
+        var p = 1
+        while (p <= n) {
+          // evict ties too: an equal LATER hash must win (rightmost-min)
+          while (!dq.isEmpty && fps(dq.peekLast).compareTo(fps(p)) >= 0) dq.pollLast()
+          dq.addLast(p)
+          while (dq.peekFirst <= p - w) dq.pollFirst()
+          if (p >= w) sel += dq.peekFirst
+          p += 1
+        }
+        if (n < w) sel += dq.peekFirst // short doc: one window over all grams
+        sel.toSeq.sorted.map(j2 => WinnowFp(j2, fps(j2)))
+      }
+    })
+  }
+
   /** Deterministic hash-sampling predicate: keep a row iff the md5 of its
     * id's string form falls below `rate` of the hex space (first two hex
     * chars < 256·rate). Unlike `df.sample()`, the decision is a pure

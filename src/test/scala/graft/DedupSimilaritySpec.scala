@@ -108,6 +108,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.75))) // 3 blocked away, 4 below threshold
   }
 
+  test("paragraphDedup: first corpus-wide chunk occurrence wins, docs reassembled") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // owns both its chunks
+      (2L, "a b c x y z"),   // first chunk already seen in doc 1
+      (3L, "a b c d e f"),   // entirely seen -> nothing survives
+      (4L, "p q r s"))       // partial tail chunk "s"
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "text", "doc_id", chunkSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, Some("a b c d e f"))),
+      2L -> ((2L, 1L, Some("x y z"))),
+      3L -> ((2L, 0L, None)),
+      4L -> ((2L, 2L, Some("p q r s")))))
+  }
+
   test("nearDupPrefixFilter matches the exhaustive all-pairs join exactly") {
     // Randomized corpus with planted near-dup families + noise docs; the
     // prefix-filtered join must return EXACTLY the exhaustive join's pairs

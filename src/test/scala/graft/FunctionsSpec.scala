@@ -263,6 +263,31 @@ class TextSpec extends SparkSpec {
     assert(common.forall(_.getDouble(0) == 0.0), "df == N terms carry zero weight")
   }
 
+  test("winnowFingerprints: density bound, shared-substring guarantee, edge sizes") {
+    import graft.functions.Text
+    val k = 5; val w = 4
+    val shared = "jumps over the lazy dog" // 23 chars >= w + k - 1
+    val s1 = s"the quick brown fox $shared near the river bank today"
+    val s2 = s"completely different opening text here $shared then diverges again entirely"
+    val df = Seq((1L, s1), (2L, s2), (3L, s1), (4L, "abc"), (5L, "abcde"))
+      .toDF("id", "s")
+    val fps = df.select($"id", Text.winnowFingerprints(k, w)($"s").as("f"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1))))
+      .toMap
+    // determinism: identical text -> identical selection
+    assert(fps(1L) == fps(3L))
+    // density: positions strictly increasing, consecutive gaps <= w, first <= w
+    val pos = fps(1L).map(_._1)
+    assert(pos.head <= w && pos.sliding(2).forall {
+      case Seq(a, b) => b > a && b - a <= w; case _ => true })
+    // guarantee: a shared substring of length >= w + k - 1 shares a fingerprint
+    assert(fps(1L).map(_._2).toSet.intersect(fps(2L).map(_._2).toSet).nonEmpty)
+    // shorter than k: nothing; exactly k (single gram, short window): one fp at pos 1
+    assert(fps(4L).isEmpty)
+    assert(fps(5L).map(_._1) == Seq(1))
+  }
+
   test("robustOutliers: MAD flags a spike the spike itself can't hide; MAD=0 guarded") {
     // 9 values near 10 plus one wild spike: the spike inflates mean/stddev
     // (a z-screen would need ~3σ of its OWN inflation) but not median/MAD.
