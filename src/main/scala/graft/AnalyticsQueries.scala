@@ -72,6 +72,27 @@ object AnalyticsQueries {
              countDistinct($"l_orderkey").as("exact_orders"))
     }),
 
+    // A20: count-min sketch probe — the frequency twin of a13's HLL: one
+    // sublinear mergeable sketch over the full fact table, then the
+    // heavy-hitter keys are estimated from the sketch and checked against
+    // their exact counts (CMS never undercounts — the filter is a
+    // structural invariant, not a tolerance). Engine-specific sketch →
+    // rows-only; AnalyticsSpec pins the merge linearity + error bound.
+    "a20_countmin_probe" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sk = li.agg(graft.functions.Stats.countMinSketchAgg($"l_suppkey").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val bc = s.sparkContext.broadcast(sk)
+      val est = udf((key: Long) =>
+        graft.functions.Stats.readCountMin(bc.value).estimateCount(key))
+      li.groupBy($"l_suppkey").agg(count(lit(1)).as("exact"))
+        .orderBy($"exact".desc, $"l_suppkey".asc).limit(20)
+        .withColumn("cms_est", est($"l_suppkey"))
+        .filter($"cms_est" >= $"exact")
+        .withColumn("overcount", $"cms_est" - $"exact")
+    }),
+
     // W8: cumulative running aggregates + 3-row moving average (the
     // running-balance / smoothing shape; frames are ROWS so sequential
     // float accumulation matches across engines).

@@ -251,6 +251,22 @@ object TrainingQueries {
       graft.functions.Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
     }),
 
+    // S8: product quantization + ADC probe — the memory-bound ANN scale
+    // path (8 code bytes per 64-dim vector): distributed Lloyd per
+    // subspace, map-side encode, query scored by m table lookups per
+    // vector with NO vector data read at probe time. Engine-specific
+    // codebooks → rows-only; SimilaritySpec pins determinism, code
+    // ranges, Lloyd monotonicity, and self-query recall.
+    "s8_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      Similarity.pqTopKAdc(codes, "vec_id", q, books, k = 10)
+    }),
+
     // D8: triangle enumeration over the near-dup pair graph — the classic
     // distributed graph pattern (two hash-joins over the ordered edge
     // list; a < b < c canonical form keeps each triangle counted once).

@@ -286,4 +286,105 @@ object Similarity {
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"),
       q => (q.cast("double") + 128.0) * qs.getField("scale") + qs.getField("zero"))
+
+  // ---- product quantization (the memory-bound ANN scale path) -----------
+
+  /** Train product-quantization codebooks: split the vector into `m`
+    * subspaces and run `iters` distributed Lloyd steps per subspace,
+    * seeded from the first `k` corpus vectors by id (reproducible, no RNG
+    * state). Each step assigns MAP-SIDE (the codebooks ride the task
+    * closure, like [[ivfIndex]]) and updates centroids with one shuffle
+    * keyed by (subspace, code, position); only the m·k·(dim/m) centroid
+    * table — the whole codebook is one vector's worth of doubles per
+    * codeword — is ever collected. Empty codes keep their previous
+    * centroid. Lloyd is monotone in quantization MSE, so more iters never
+    * hurt reconstruction. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    val first = corpus.orderBy(col(idCol)).limit(k)
+      .select(asDouble(col(vecCol))).collect().map(_.getSeq[Double](0).toArray)
+    require(first.nonEmpty, "pqTrain: empty corpus")
+    val dim = first.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, c) => first(c % first.length).slice(s * dsub, (s + 1) * dsub))
+    val subs = corpus.select(asDouble(col(vecCol)).as("v"))
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * dsub + 1, lit(dsub))))).toDF("sub", "sv")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val assign = udf((sub: Int, sv: Seq[Double]) => pqNearest(bc.value(sub), sv.toArray))
+      val updates = subs
+        .withColumn("code", assign(col("sub"), col("sv")))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      updates.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** Squared-L2 argmin over a subspace codebook (ties → lowest code). */
+  private def pqNearest(book: Array[Array[Double]], sv: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cv = book(c); var d = 0.0; var i = 0
+      val n = math.min(cv.length, sv.length)
+      while (i < n) { val t = sv(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode every vector to its m sub-codes (`array<int>`, values in
+    * [0, k)) — 8 bytes of code per 64-dim float vector at m=8, the 32×
+    * store compression that makes billion-vector ANN RAM-resident. One
+    * map-side scan; codebooks broadcast. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bc = corpus.sparkSession.sparkContext.broadcast(books)
+    val enc = udf((v: Seq[Double]) => {
+      val x = v.toArray
+      (0 until m).map(s => pqNearest(bc.value(s), x.slice(s * dsub, (s + 1) * dsub)))
+    })
+    corpus.select(col(idCol), enc(asDouble(col(vecCol))).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the query
+    * stays full-precision; its squared-L2 distance to every codeword is
+    * tabulated ONCE on the driver (m·k doubles, broadcast) and each
+    * encoded vector scores with m table lookups — no vector data is read
+    * at query time at all. Returns (id, adc_dist) ascending; re-rank the
+    * short list on the full-precision column when exactness matters. */
+  def pqTopKAdc(encoded: DataFrame, idCol: String, query: Seq[Double],
+                books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length; val dsub = books(0)(0).length
+    val q = query.toArray
+    val table: Array[Array[Double]] = Array.tabulate(m, books(0).length) { (s, c) =>
+      var d = 0.0; var i = 0
+      while (i < dsub) { val t = q(s * dsub + i) - books(s)(c)(i); d += t * t; i += 1 }
+      d
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(table)
+    val score = udf((codes: Seq[Int]) => {
+      var d = 0.0; var s = 0
+      while (s < codes.length) { d += bc.value(s)(codes(s)); s += 1 }
+      d
+    })
+    encoded.select(col(idCol), round(score(col("codes")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

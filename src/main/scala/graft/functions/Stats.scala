@@ -54,6 +54,25 @@ object Stats {
   def welford(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(WelfordAggregator).apply(c)
 
+  /** Mergeable count-min sketch aggregate over a key column — the
+    * frequency twin of the a13 HLL cardinality sketch: sublinear state
+    * (depth × width counters), map-side partial aggregation, and LINEAR
+    * merge (counter-wise sum), so per-partition/per-day sketches compose
+    * exactly. Point lookups via [[readCountMin]] never undercount and
+    * overcount by ≤ eps·N with probability ≥ confidence. Seed fixed →
+    * bit-identical sketches across runs. */
+  def countMinSketchAgg(c: org.apache.spark.sql.Column, eps: Double = 1e-4,
+                        confidence: Double = 0.99, seed: Int = 42): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{count_min_sketch, lit}
+    count_min_sketch(c, lit(eps), lit(confidence), lit(seed))
+  }
+
+  /** Deserialize a [[countMinSketchAgg]] result for driver/executor-side
+    * probes (`estimateCount`) and merges (`mergeInPlace`). */
+  def readCountMin(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
   /** Robust (median/MAD) outlier flagging per group — the heavy-tail-safe
     * twin of the z-score screen (w11): mean/stddev move with the outliers
     * they're supposed to find; the median and the median absolute

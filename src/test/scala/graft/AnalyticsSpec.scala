@@ -39,6 +39,31 @@ class AnalyticsSpec extends SparkSpec {
       s"sketch $merged vs exact $exact")
   }
 
+  test("count-min sketch: never undercounts, tight estimates, LINEAR merge") {
+    import graft.functions.Stats
+    val orders = Tables.t(spark, sfDir, "orders")
+    val sk = orders.agg(Stats.countMinSketchAgg($"o_custkey").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = Stats.readCountMin(sk)
+    val exact = orders.groupBy($"o_custkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    exact.foreach { case (key, c) =>
+      val e = cms.estimateCount(key)
+      // CMS structurally never undercounts; at eps=1e-4 the width dwarfs
+      // the key cardinality, so overcount stays within a few counts
+      assert(e >= c && e - c <= 2, s"key $key exact $c est $e")
+    }
+    // linearity: per-half sketches merged counter-wise == whole-corpus
+    // sketch, estimate-for-estimate (the per-day -> per-month compose)
+    val halves = orders.withColumn("half", ($"o_orderkey" % 2).cast("int"))
+      .groupBy($"half").agg(Stats.countMinSketchAgg($"o_custkey").as("sk"))
+      .select("sk").collect().map(r => Stats.readCountMin(r.getAs[Array[Byte]](0)))
+    val merged = halves.reduce((a, b) => a.mergeInPlace(b))
+    exact.foreach { case (key, _) =>
+      assert(merged.estimateCount(key) == cms.estimateCount(key))
+    }
+  }
+
   test("a12 rollup: subtotals sum to grand total, grouping flags mark levels") {
     val got = AnalyticsQueries.queries("a12_rollup")(spark, sfDir).collect()
     val grand = got.filter(r => r.getAs[Int]("g_rf") == 1 && r.getAs[Int]("g_ls") == 1)

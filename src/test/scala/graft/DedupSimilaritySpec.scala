@@ -270,4 +270,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.head.getLong(0) == 7L, "self must be in its own bucket at radius 0")
   }
+
+  test("PQ/ADC: deterministic books, code range, Lloyd monotone, self-query recall") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val m = 8; val kCodes = 16
+    val seedBooks = Similarity.pqTrain(emb, "vec_id", "embedding", m, kCodes, iters = 0)
+    val books  = Similarity.pqTrain(emb, "vec_id", "embedding", m, kCodes, iters = 2)
+    val books2 = Similarity.pqTrain(emb, "vec_id", "embedding", m, kCodes, iters = 2)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq, "deterministic")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(codes.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" >= kCodes).count() == 0)
+    // Lloyd is monotone in quantization MSE: trained books reconstruct the
+    // corpus at least as well as the raw seed codebooks
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    def mse(bk: Array[Array[Array[Double]]]): Double = {
+      val dsub = bk(0)(0).length
+      vecs.map { v =>
+        (0 until m).map { s =>
+          val sv = v.slice(s * dsub, (s + 1) * dsub)
+          bk(s).map(cw => sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    assert(mse(books) <= mse(seedBooks) + 1e-9,
+      s"trained ${mse(books)} vs seeds ${mse(seedBooks)}")
+    // self-query: querying with vector 0 must put id 0 in the ADC top-10
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val top = Similarity.pqTopKAdc(codes, "vec_id", q, books, k = 10)
+      .select("vec_id").as[Long].collect()
+    assert(top.contains(0L), s"self not in ADC top-10: ${top.mkString(",")}")
+  }
 }
