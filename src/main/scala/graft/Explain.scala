@@ -23,7 +23,10 @@ object Explain {
     "a16_grouping_sets", "a17_heavy_hitters", "t9_bigram_topn",
     "w13_ewma", "a18_quantile_bucket", "a19_welford_udaf",
     "t11_decontaminate", "t12_unigram_logprob", "t13_filter_stats",
-    "p11_column_profile", "o13_global_row_ids")
+    "p11_column_profile", "o13_global_row_ids",
+    "o14_cdc_apply", "w14_mad_outliers", "m4_image_tiles",
+    "d11_paragraph_dedup", "t15_winnowing", "t16_corpus_shuffle",
+    "s8_pq_adc", "a20_countmin_probe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

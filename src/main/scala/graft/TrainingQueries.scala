@@ -267,6 +267,21 @@ object TrainingQueries {
       Similarity.pqTopKAdc(codes, "vec_id", q, books, k = 10)
     }),
 
+    // S9: IVF-PQ probe — the billion-vector composition: IVF prunes which
+    // rows (nProbe of 16 lists), PQ prunes what is read per row (8 code
+    // bytes, no vectors). Engine-specific → rows-only; SimilaritySpec
+    // pins candidate containment and self-query recall.
+    "s9_ivfpq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding")
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      Similarity.topKIvfPq(index, codes, "vec_id", "embedding", q, books, k = 10)
+    }),
+
     // D8: triangle enumeration over the near-dup pair graph — the classic
     // distributed graph pattern (two hash-joins over the ordered edge
     // list; a < b < c canonical form keeps each triangle counted once).
@@ -400,6 +415,22 @@ object TrainingQueries {
         .filter(col("distance") >= 0 && col("distance") <= 20)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           col("distance"))
+    }),
+
+    // T16: deterministic epoch shuffle — the reproducible global corpus
+    // reordering a training run needs per epoch: order by a seeded hash
+    // of the id (new seed = new permutation, same seed = same order on
+    // any cluster/partitioning), with positions stamped by the
+    // zipWithIndex ladder of o13 — a range-partitioned parallel sort,
+    // never a single-partition row_number window.
+    "t16_corpus_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Relational.globalRowIds(
+        t(s, dir, "documents").select($"doc_id", $"lang"),
+        orderCols = Seq(md5(concat($"doc_id".cast("string"), lit("epoch1"))).asc,
+          $"doc_id".asc),
+        idName = "shuffle_pos")
+        .select($"doc_id", $"lang", $"shuffle_pos")
     }),
 
     // D11: PARAGRAPH-level exact dedup (Dolma/C4 sub-document pass) —
@@ -653,6 +684,11 @@ object TrainingQueries {
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
            FROM documents)
          WHERE rn <= 15""",
+    "t16_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+                row_number() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch1'), doc_id) AS shuffle_pos
+         FROM documents""",
     "d11_paragraph_dedup" ->
       """WITH d AS (
            SELECT doc_id,

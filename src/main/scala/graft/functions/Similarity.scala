@@ -362,6 +362,32 @@ object Similarity {
     corpus.select(col(idCol), enc(asDouble(col(vecCol))).as("codes"))
   }
 
+  /** IVF-PQ probe — the two scale paths composed, which is the standard
+    * billion-vector recipe: IVF prunes WHICH rows are considered (only
+    * `nProbe` of the inverted lists), PQ prunes WHAT is read per row
+    * (m code bytes, no vector data). `index` is [[ivfIndex]] output,
+    * `codes` is [[pqEncode]] output; at rest both live in one table
+    * partitioned by `list_id`, so the probe is partition-pruned I/O over
+    * code columns only. */
+  def topKIvfPq(index: DataFrame, codes: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], books: Array[Array[Array[Double]]],
+                k: Int, nProbe: Int = 4): DataFrame = {
+    val qLit = array(query.map(lit): _*)
+    val probeLists = index
+      .select(col("list_id"), col(idCol).as("__id"), asDouble(col(vecCol)).as("v"))
+      .groupBy(col("list_id"))
+      .agg(min_by(col("v"), col("__id")).as("v"))
+    val probed = probeLists
+      .withColumn("qdist", lit(1.0) - cosine(col("v"), qLit))
+      .orderBy(col("qdist").asc, col("list_id").asc)
+      .limit(nProbe)
+      .select(col("list_id"))
+    val candidates = index.select(col(idCol), col("list_id"))
+      .join(broadcast(probed), Seq("list_id"))
+      .join(codes, idCol)
+    pqTopKAdc(candidates, idCol, query, books, k)
+  }
+
   /** ADC (asymmetric distance computation) top-k over PQ codes: the query
     * stays full-precision; its squared-L2 distance to every codeword is
     * tabulated ONCE on the driver (m·k doubles, broadcast) and each

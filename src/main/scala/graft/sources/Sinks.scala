@@ -61,4 +61,37 @@ object Sinks {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Small-file COMPACTION — the housekeeping pass every incremental
+    * pipeline needs at scale: an append-only feed (K2) or per-partition
+    * micro-batch writer leaves thousands of KB-sized files per partition,
+    * and scan cost degrades to file-open cost (driver listing, footer
+    * reads, no intra-file parallelism). Rewrites the source as one task
+    * per partition (`repartition` on the partition columns — a single
+    * hash shuffle), with `maxRecordsPerFile` re-splitting oversized
+    * partitions into bounded files map-side.
+    *
+    * Writes to `dstPath` rather than in place: Spark refuses to overwrite
+    * a path it is reading (correctly — a mid-job failure would destroy
+    * the source). The caller swaps directories afterwards (the same
+    * publish discipline as the reference's delete-then-append, at table
+    * grain); incremental pipelines instead compact ONLY cold partitions
+    * by passing a `filter` and dynamic-overwriting them back.
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                dstPath: String, partitionCols: Seq[String],
+                maxRecordsPerFile: Long = 5000000L,
+                filter: org.apache.spark.sql.Column =
+                  org.apache.spark.sql.functions.lit(true)): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(srcPath).filter(filter)
+    val repartitioned =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+    val w = repartitioned.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dstPath)
+  }
 }

@@ -91,6 +91,60 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Maintain a keyed SNAPSHOT from a CDC change stream: each micro-batch
+    * folds its I/U/D rows into the parquet snapshot with
+    * `Relational.applyCdc` (latest sequence per key wins, deletes remove)
+    * and atomically publishes via write-to-temp + directory swap — the
+    * streaming twin of the o14 batch operator, and the incremental-view
+    * maintenance the reference approximates with partition
+    * re-materialization.
+    *
+    * Exactly-once without a transaction log: applyCdc is IDEMPOTENT for a
+    * replayed batch (re-applying the same changes to the post-batch
+    * snapshot replaces rows with themselves; deletes anti-join to
+    * nothing), so a batch repeated after a crash between swap and
+    * checkpoint-commit converges to the same snapshot. The swap keeps a
+    * `.prev` backup through the rename window, so a crash at ANY point
+    * leaves a readable base (current or previous — both converge under
+    * replay); stale temp/backup dirs are reclaimed on the next batch. At
+    * warehouse scale the full-snapshot rewrite per batch is the cost
+    * ceiling — swap the sink for a format with row-level MERGE
+    * (Delta/Iceberg) and keep the same applyCdc plan.
+    */
+  def runCdcSnapshotAvailableNow(changes: DataFrame, keys: Seq[String],
+                                 seqCol: String, opCol: String,
+                                 snapshotPath: String, checkpoint: String): Unit = {
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val snap = new org.apache.hadoop.fs.Path(snapshotPath)
+        val prev = new org.apache.hadoop.fs.Path(snapshotPath + ".prev")
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + s".tmp-$batchId")
+        val fs = snap.getFileSystem(hconf)
+        val baseCols = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+        // crash recovery: if the live dir is missing mid-swap, the .prev
+        // backup is the pre-batch base — replay converges either way
+        val base =
+          if (fs.exists(snap)) spark.read.parquet(snapshotPath)
+          else if (fs.exists(prev)) spark.read.parquet(prev.toString)
+          else batch.toDF().select(baseCols.map(col): _*).limit(0)
+        val next = graft.operators.Relational
+          .applyCdc(base, batch.toDF(), keys, seqCol, opCol)
+        next.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(prev)) fs.delete(prev, true)
+        if (fs.exists(snap)) fs.rename(snap, prev)
+        fs.rename(tmp, snap)
+        fs.delete(prev, true)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental-ingest dedup against the EXISTING corpus: anti-join each
     * micro-batch against a static set of known keys (content fingerprints
     * of already-ingested documents). Complements [[dedupStream]] (which

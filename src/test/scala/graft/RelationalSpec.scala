@@ -151,6 +151,30 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compactTo: many small files collapse to one per partition, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    // simulate an append-only feed: 12 tiny appends across 2 partitions
+    (1 to 12).foreach { i =>
+      Seq((s"2024-01-0${i % 2 + 1}", i.toLong, i * 1.5)).toDF("date", "id", "v")
+        .write.mode("append").partitionBy("date").parquet(src)
+    }
+    def dataFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0
+      else d.listFiles.map { f =>
+        if (f.isDirectory) dataFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    assert(dataFiles(src) >= 12, "setup produced small files")
+    Sinks.compactTo(spark, src, dst, Seq("date"))
+    assert(dataFiles(dst) == 2, "one file per partition after compaction")
+    val a = spark.read.parquet(src).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(dst).orderBy("id").collect().toSeq
+    assert(a == b, "compaction preserves every row")
+  }
+
   test("K1 dynamic partition overwrite only replaces incoming partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val day1 = Seq(("2024-01-01", "ethereum", 1.0), ("2024-01-01", "polygon", 2.0))

@@ -105,6 +105,32 @@ class StreamingSpec extends SparkSpec {
       "batch 2 enriched against the rewritten dim; batch 1's output untouched")
   }
 
+  test("runCdcSnapshotAvailableNow: snapshot folds I/U/D batches incrementally") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val src = s"$tmp/src"; val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      Streams.runCdcSnapshotAvailableNow(
+        Streams.parquetStream(spark, src, schema),
+        keys = Seq("k"), seqCol = "seq", opCol = "op", snap, ckpt)
+    }
+    // batch 1: two inserts + an update of key 1 within the same batch
+    Seq((1L, "a", "I", 1L), (2L, "b", "I", 2L), (1L, "a2", "U", 3L))
+      .toDF("k", "status", "op", "seq").write.mode("append").parquet(src)
+    run()
+    def state(): Map[Long, String] = spark.read.parquet(snap)
+      .select($"k", $"status").as[(Long, String)].collect().toMap
+    assert(state() == Map(1L -> "a2", 2L -> "b"))
+    // batch 2 (new run, same checkpoint): delete 2, insert 3
+    Seq((2L, "b", "D", 4L), (3L, "c", "I", 5L))
+      .toDF("k", "status", "op", "seq").write.mode("append").parquet(src)
+    run()
+    assert(state() == Map(1L -> "a2", 3L -> "c"))
+    // no new files: drain is a no-op, snapshot untouched
+    run()
+    assert(state() == Map(1L -> "a2", 3L -> "c"))
+  }
+
   test("second AvailableNow run is incremental (checkpoint, no reprocess)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
