@@ -38,17 +38,16 @@ object TrainingQueries {
         n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)
     }),
 
-    // D3: SimHash signatures + within-language Hamming≤8 near-dup pairs.
-    // Rows-only check (xxhash64 signatures are engine-specific).
+    // D3: SimHash within-language Hamming≤8 near-dup pairs, candidates via
+    // pigeonhole chunk blocking (9 disjoint signature chunks: a pair within
+    // radius 8 must agree exactly on at least one chunk) — same pairs as
+    // the naive per-language self-join (PropertySpec proves set equality),
+    // but the widest stage shuffles 9·N narrow chunk rows instead of
+    // materializing block² candidates. Rows-only check (engine-specific
+    // signature hashes).
     "d3_simhash_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val sigs = Dedup.spread(t(s, dir, "documents"))
-        .select($"doc_id", $"lang", Dedup.simHash($"text").as("sig"))
-      val a = sigs.as("a"); val b = sigs.as("b")
-      a.join(b, col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", Dedup.hamming64(col("a.sig"), col("b.sig")))
-        .filter(col("hamming") <= 8)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        radius = 8, blockCols = Seq("lang"))
     }),
 
     // D4: blocked exhaustive n-gram(1) Jaccard near-dup pairs — the

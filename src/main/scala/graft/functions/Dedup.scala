@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   *   - MinHash+LSH = per-row signature (map-side, codegen'd array exprs),
   *     explode to (band, bandHash) buckets, self-join *within buckets only*
   *     (never all-pairs), then exact-Jaccard verify on the candidates;
-  *   - SimHash = single 64-bit signature per doc, bucketed by rotated
-  *     prefixes for Hamming-radius candidate generation.
+  *   - SimHash = single 64-bit signature per doc, bucketed by pigeonhole
+  *     signature chunks for Hamming-radius candidate generation (split the
+  *     signature into radius+1 disjoint chunks: two signatures within the
+  *     radius must agree EXACTLY on at least one chunk, so joining on
+  *     (chunk_idx, chunk_value) is a lossless candidate filter).
   *
   * All signature math is Catalyst expressions (`transform`/`aggregate`/
   * `hash`/`xxhash64`) — no UDFs, fully whole-stage-codegen'd.
@@ -304,6 +307,110 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Pigeonhole chunk keys over a 64-bit SimHash signature: split the
+    * signature into `radius + 1` disjoint bit ranges and emit one
+    * (chunk_idx, chunk_val) struct per range. Two signatures with Hamming
+    * distance ≤ `radius` differ in at most `radius` bit positions, which
+    * can dirty at most `radius` of the `radius + 1` chunks — so they agree
+    * EXACTLY on at least one chunk (pigeonhole). Joining on (chunk_idx,
+    * chunk_val) is therefore a LOSSLESS candidate filter for the
+    * Hamming-radius near-dup join, with candidate volume proportional to
+    * real collisions instead of the block's pair count.
+    *
+    * Pure bit arithmetic (shift + mask) — codegen'd, no UDF. Chunk widths
+    * differ by at most one bit (64 = (radius+1)·base + rem; the first
+    * `rem` chunks take the extra bit).
+    */
+  def simhashChunks(sig: Column, radius: Int): Column = {
+    require(radius >= 0 && radius < 64, s"radius must be in [0, 64), got $radius")
+    val nChunks = radius + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    array((0 until nChunks).map { i =>
+      val width = base + (if (i < rem) 1 else 0)
+      val start = i * base + math.min(i, rem)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("chunk_idx"),
+        shiftrightunsigned(sig, start).bitwiseAND(lit(mask)).as("chunk_val"))
+    }: _*)
+  }
+
+  /** SimHash near-duplicate pairs within Hamming `radius`, candidates
+    * generated by pigeonhole chunk blocking ([[simhashChunks]]) instead of
+    * an all-pairs self-join: each doc explodes to radius+1 narrow
+    * (id, chunk_idx, chunk_val) rows, candidates join on the chunk key
+    * (plus any `blockCols`, e.g. language), and survivors Hamming-verify.
+    * The chunk filter is LOSSLESS (see [[simhashChunks]]) — output is
+    * bit-identical to the naive quadratic join, but the widest stage
+    * shuffles (radius+1)·N ids instead of materializing block² pairs: on a
+    * monolingual 100 TB corpus that is the difference between a linear-ish
+    * candidate join and a single O(N²) block.
+    *
+    * `maxBucketSize` (0 = unlimited) drops chunk buckets larger than the
+    * cap via the same broadcast anti-join as [[nearDupMinhashLsh]]. A
+    * bucket that hot means thousands of signatures share 7+ exact bits —
+    * almost always a degenerate corpus artifact (empty/boilerplate docs
+    * hashing to the same signature region). Capping is NOT lossless: a
+    * pair is kept only if it still shares an under-cap chunk, so document
+    * the recall contract when setting it.
+    *
+    * Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair.
+    */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     radius: Int = 8, blockCols: Seq[String] = Nil,
+                     maxBucketSize: Int = 0): DataFrame = {
+    val sigs = spread(df).select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+ simHash(col(textCol)).as("sig"): _*)
+    // Narrow bucket rows: the signature (one long) rides along so verify
+    // needs no re-attach join — candidate rows stay (id, sig, chunk key).
+    val buckets0 = sigs.select(
+      (col("id") +: col("sig") +: blockCols.map(col)) :+
+        explode(simhashChunks(col("sig"), radius)).as("ck"): _*)
+      .select((col("id") +: col("sig") +: blockCols.map(col)) :+
+        col("ck.chunk_idx").as("chunk_idx") :+ col("ck.chunk_val").as("chunk_val"): _*)
+    val bucketKey = Seq("chunk_idx", "chunk_val") ++ blockCols
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        val hot = buckets0.groupBy(bucketKey.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucketSize)
+          .select(bucketKey.map(col): _*)
+        buckets0.join(broadcast(hot), bucketKey, "left_anti")
+      }
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val cond = (bucketKey.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.id") < col("b.id"))).reduce(_ && _)
+    // A near-dup pair agrees on SEVERAL chunks (hamming ≤ radius out of 64
+    // dirties at most radius of radius+1 chunks — usually far fewer), so
+    // the bucket join emits it once per shared chunk. Instead of a
+    // dropDuplicates shuffle over the candidate set, keep a candidate only
+    // when its bucket's chunk_idx is the FIRST chunk the two signatures
+    // agree on — computable map-side from the two sigs riding the row, so
+    // each pair survives exactly once and no dedup exchange exists in the
+    // plan. (With maxBucketSize set, a pair whose first-matching chunk was
+    // evicted is dropped even if a later matching chunk survived — part of
+    // the cap's documented recall trade.)
+    val nChunks = radius + 1
+    val baseW = 64 / nChunks
+    val remW = 64 % nChunks
+    def chunkVal(sig: Column, i: Int): Column = {
+      val width = baseW + (if (i < remW) 1 else 0)
+      val start = i * baseW + math.min(i, remW)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(sig, start).bitwiseAND(lit(mask))
+    }
+    val firstMatch = (0 until nChunks).foldRight(lit(-1): Column) { (i, els) =>
+      when(chunkVal(col("a.sig"), i) === chunkVal(col("b.sig"), i), lit(i)).otherwise(els)
+    }
+    a.join(b, cond)
+      .filter(col("a.chunk_idx") === firstMatch)
+      .withColumn("hamming", hamming64(col("a.sig"), col("b.sig")))
+      .filter(col("hamming") <= radius)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
 
   /** Embedding-cosine near-duplicate detection: the exact all-pairs
     * baseline — most-similar `k` pairs (or all pairs ≥ `threshold` when

@@ -190,6 +190,39 @@ class RunnerSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exhaustive.size})")
   }
 
+  test("simhash pigeonhole chunk blocking is lossless vs the naive all-pairs join") {
+    // The chunk join is a pure candidate FILTER: by pigeonhole, any pair
+    // within Hamming radius r agrees exactly on one of the r+1 signature
+    // chunks, so the blocked pair set must EQUAL the naive quadratic
+    // join's — on planted near-dup families and on unrelated docs alike.
+    trials(3) {
+      val vocab = Vector.tabulate(60)(i => s"word$i")
+      val base = Seq.tabulate(6)(_ =>
+        Seq.fill(30)(vocab(rnd.nextInt(vocab.size))))
+      val docs = (0 until 50).map { i =>
+        val words = base(i % base.size)
+        val mutated = words.map(w =>
+          if (rnd.nextInt(12) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        (i.toLong, if (i % 2 == 0) "en" else "fr", mutated.mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val naive = {
+        val sigs = docs.select($"doc_id", $"lang", Dedup.simHash($"text").as("sig"))
+        sigs.as("a").join(sigs.as("b"),
+            col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("h", Dedup.hamming64(col("a.sig"), col("b.sig")))
+          .filter($"h" <= 8)
+          .select(col("a.doc_id"), col("b.doc_id"), $"h")
+          .as[(Long, Long, Int)].collect().toSet
+      }
+      val blocked = Dedup.simhashNearDup(docs, "text", "doc_id",
+          radius = 8, blockCols = Seq("lang"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked == naive,
+        s"blocked=${blocked.size} naive=${naive.size} diff=${(blocked diff naive) ++ (naive diff blocked)}")
+      assert(naive.nonEmpty, "planted families must produce at least one pair")
+    }
+  }
+
   test("scd2 reconstructs the log: intervals tile, versions match state-at-time") {
     trials(6) {
       val nKeys = 1 + rnd.nextInt(4)
