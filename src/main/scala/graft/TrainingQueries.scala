@@ -58,10 +58,15 @@ object TrainingQueries {
         blockCols = Seq("lang", "source"), threshold = 0.8)
     }),
 
-    // D5: embedding-cosine near-dup — exact all-pairs baseline, top-50
-    // most-similar pairs (deterministic: rounded cosine + id tie-breaks)
+    // D5: embedding-cosine near-dup via IVF multi-probe blocking — the
+    // scale path IS the harness path: candidates share a probed inverted
+    // list (self-join on list_id, no driver collect of the corpus),
+    // survivors score exact cosine, global top-50. The exact all-pairs
+    // form (Dedup.embeddingTopPairs) is the recall oracle in
+    // SimilaritySpec; rows-only here (IVF assignment is engine-specific).
     "d5_embedding_neardup" -> ((s, dir) => {
-      Dedup.embeddingTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", k = 50)
+      Similarity.embeddingNearDupBlocked(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 50, nLists = 16, nProbe = 4)
     }),
 
     // ---- text analysis -----------------------------------------------------
@@ -230,11 +235,17 @@ object TrainingQueries {
       graft.functions.Multimodal.tileImages(imgs, "media_id", 224, 224)
     }),
 
-    // S7: all-vectors kNN graph (k=3) — every vector's nearest neighbours,
-    // the input of semantic-dedup/clustering stages; broadcast corpus +
-    // per-row bounded heap, N·k output rows, no shuffle.
+    // S7: all-vectors kNN graph (k=3) via IVF blocking — members
+    // single-assigned, every vector probes its 8 nearest of 16 lists,
+    // candidates join on list_id: no corpus collect/broadcast anywhere,
+    // the widest stage is a bounded bucket join. The exact broadcast-heap
+    // form (Similarity.knnGraph) is the recall oracle in SimilaritySpec
+    // (~0.76 on this corpus — largely unclustered vectors put IVF on the
+    // probe-fraction floor; real embedding corpora cluster much harder);
+    // rows-only here (IVF assignment is engine-specific).
     "s7_knn_graph" -> ((s, dir) => {
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      Similarity.knnGraphBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 8)
     }),
 
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only
@@ -806,12 +817,6 @@ object TrainingQueries {
            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node AS doc_id, min(label) AS cluster_id
          FROM reach GROUP BY node""",
-    "d5_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""",
     "t1_text_metrics" ->
       """WITH n AS (
            SELECT doc_id, text,
@@ -858,16 +863,6 @@ object TrainingQueries {
                 WHEN s_de >= s_zh THEN 'de'
                 ELSE 'zh' END AS pred_lang
          FROM s""",
-    "s7_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         s AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
-                      round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         r AS (SELECT id, nbr_id, cosine,
-                      CAST(row_number() OVER (PARTITION BY id
-                           ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
-               FROM s)
-         SELECT id, nbr_id, cosine, rank FROM r WHERE rank <= 3""",
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
                     FROM embeddings WHERE vec_id < 3),

@@ -415,9 +415,10 @@ object Dedup {
   /** Embedding-cosine near-duplicate detection: the exact all-pairs
     * baseline — most-similar `k` pairs (or all pairs ≥ `threshold` when
     * set). One side broadcasts (ids + vectors), cosine is codegen'd
-    * zip_with/aggregate. This is the verification baseline; at corpus
-    * scale block first with `Similarity.hyperplaneSignature` or
-    * `Similarity.ivfIndex` buckets and run this within buckets only.
+    * zip_with/aggregate. This exact form is the RECALL ORACLE for
+    * `Similarity.embeddingNearDupBlocked` (the harness/scale path — IVF
+    * multi-probe blocked, never collects the corpus); use it directly
+    * only when one side fits the driver and exactness matters.
     */
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String,
                         k: Int = 50, threshold: Double = -1.0): DataFrame = {

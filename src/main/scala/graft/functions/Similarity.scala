@@ -75,9 +75,10 @@ object Similarity {
     * Scale bound: the corpus is `collect()`ed to the DRIVER before being
     * broadcast, so driver heap — not executor memory — is the hard limit
     * (~8 GB per 10⁷ vectors × 100 dims). Past that this fails with a
-    * driver OOM rather than degrading: block first with [[ivfIndex]]
-    * buckets (or LSH bands) and run this within buckets, which also cuts
-    * the O(N²) score count to O(N²/buckets).
+    * driver OOM rather than degrading. This exact form is the RECALL
+    * ORACLE for [[knnGraphBlocked]] (the harness/scale path, which never
+    * collects the corpus); use it directly only when the corpus fits the
+    * driver and exactness matters.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -185,6 +186,16 @@ object Similarity {
     // (The join + per-id window this replaces exchanged corpus × nLists
     // rows — a corpus-sized shuffle just to take an argmin, which is
     // exactly the shuffle IVF exists to avoid at scale.)
+    val (seeds, seedNorms) = collectSeeds(corpus, idCol, vecCol, nLists)
+    corpus.select(col(idCol), col(vecCol),
+      probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
+  }
+
+  /** Seed centroids = the first `nLists` corpus vectors by id (reproducible
+    * without RNG state), with their norms — nLists × dim doubles, the only
+    * thing the IVF family ever collects. */
+  private def collectSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                           nLists: Int): (Array[Array[Double]], Array[Double]) = {
     val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nLists)
       .select(asDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -193,17 +204,22 @@ object Similarity {
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       math.sqrt(s)
     }
-    // Same math as CosineSimilarity: dot over the common prefix, full norms
-    // both sides, cosine = 0 on zero denom; ties broken by centroid order.
-    val assign = udf((v: Seq[Double]) => {
+    (seeds, seedNorms)
+  }
+
+  /** Map-side multi-probe assignment: the `nProbe` nearest seed centroids
+    * by cosine distance (ties → lowest list id), as 1-based list ids.
+    * Same math as CosineSimilarity: dot over the common prefix, full norms
+    * both sides, cosine = 0 on zero denom. nProbe = 1 is exactly the
+    * [[ivfIndex]] single-list argmin. */
+  private def probeUdf(seeds: Array[Array[Double]], seedNorms: Array[Double],
+                       nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
       val x = v.toArray
       var nx = 0.0; var i = 0
       while (i < x.length) { nx += x(i) * x(i); i += 1 }
       nx = math.sqrt(nx)
-      var best = 1
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < seeds.length) {
+      val dists = Array.tabulate(seeds.length) { c =>
         val cv = seeds(c)
         var dot = 0.0
         val n = math.min(x.length, cv.length)
@@ -211,14 +227,73 @@ object Similarity {
         while (j < n) { dot += x(j) * cv(j); j += 1 }
         val denom = nx * seedNorms(c)
         val cos = if (denom == 0.0) 0.0 else dot / denom
-        val d = 1.0 - cos
-        if (d < bestD) { bestD = d; best = c + 1 }
-        c += 1
+        (1.0 - cos, c + 1)
       }
-      best
+      dists.sortBy(identity).take(math.min(nProbe, seeds.length)).map(_._2).toSeq
     })
-    corpus.select(col(idCol), col(vecCol),
-      assign(asDouble(col(vecCol))).as("list_id"))
+
+  /** BLOCKED kNN graph — the scale path for [[knnGraph]]: members are
+    * IVF-assigned to their single nearest list map-side, every vector
+    * probes its `nProbe` nearest lists, and candidates join ON THE LIST ID
+    * — the corpus is never collected anywhere; the only driver-side data
+    * is the nLists × dim seed-centroid table. The widest stage shuffles
+    * each vector nProbe+1 times keyed by list_id (bounded bucket joins),
+    * and the final top-k is a per-id window over narrow (id, nbr_id,
+    * cosine) triples. At rest, write the member side partitioned by
+    * list_id and the probe join becomes partition-pruned I/O.
+    *
+    * APPROXIMATE: a true neighbour assigned to a list outside the query's
+    * nProbe probes is missed — recall vs the exact graph is the IVF
+    * recall curve (SimilaritySpec pins it on the test corpus; raise
+    * nProbe/nLists to trade cost for recall). Output schema and ranking
+    * (round-6 cosine desc, nbr id asc) match [[knnGraph]] exactly.
+    */
+  def knnGraphBlocked(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spread = Dedup.spread(df)
+    val (seeds, seedNorms) = collectSeeds(spread, idCol, vecCol, nLists)
+    val members = spread.select(col(idCol).as("__mid"), asDouble(col(vecCol)).as("__mv"),
+      probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
+    val probes = spread.select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__qv"),
+      explode(probeUdf(seeds, seedNorms, nProbe)(asDouble(col(vecCol)))).as("list_id"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    probes.join(members, probes("list_id") === members("list_id") &&
+        col("__qid") =!= col("__mid"))
+      .select(col("__qid").as("id"), col("__mid").as("nbr_id"),
+        round(cosine(col("__qv"), col("__mv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** BLOCKED embedding near-dup — the scale path for
+    * [[Dedup.embeddingTopPairs]]: both sides multi-probe their `nProbe`
+    * nearest IVF lists, candidate pairs share at least one probed list
+    * (self-join keyed on list_id — never all-pairs, never a driver
+    * collect), survivors score exact cosine and the global top-k is a
+    * TakeOrdered over narrow pair rows. Approximate with the same recall
+    * contract as [[knnGraphBlocked]]; output schema/ordering (cosine
+    * desc, id_a asc, id_b asc) match the exact form.
+    */
+  def embeddingNearDupBlocked(df: DataFrame, idCol: String, vecCol: String,
+                              k: Int = 50, threshold: Double = -1.0,
+                              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spread = Dedup.spread(df)
+    val (seeds, seedNorms) = collectSeeds(spread, idCol, vecCol, nLists)
+    val assigned = spread.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      explode(probeUdf(seeds, seedNorms, nProbe)(asDouble(col(vecCol)))).as("list_id"))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a pair sharing several probed lists matches once per shared list;
+      // cosine is a pure function of the pair, so any survivor row is
+      // canonical
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
   }
 
   /** IVF probe: score only the vectors whose list belongs to the `nProbe`

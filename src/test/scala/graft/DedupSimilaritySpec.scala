@@ -304,6 +304,42 @@ class SimilaritySpec extends SparkSpec {
     assert(top.contains(0L), s"self not in ADC top-10: ${top.mkString(",")}")
   }
 
+  test("knnGraphBlocked: recall vs exact graph, exact cosines, no corpus broadcast") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select($"id", $"nbr_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val exactEdges = exact.map(r => (r._1, r._2)).toSet
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val blocked = Similarity.knnGraphBlocked(emb, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 8)
+      .select($"id", $"nbr_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    // every vector still gets k neighbours; scores are EXACT cosines (the
+    // approximation is only in which candidates were considered)
+    assert(blocked.length == exactEdges.size)
+    blocked.foreach { case (id, nbr, c) =>
+      exactCos.get((id, nbr)).foreach(e => assert(math.abs(c - e) < 1e-9)) }
+    val hits = exactEdges.count(e => blocked.exists(b => (b._1, b._2) == e))
+    val recall = hits.toDouble / exactEdges.size
+    assert(recall >= 0.7, s"IVF kNN recall $recall ($hits/${exactEdges.size})")
+  }
+
+  test("embeddingNearDupBlocked: top-pair recall vs exact all-pairs baseline") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exactPairs = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", k = 50)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.embeddingNearDupBlocked(emb, "vec_id", "embedding",
+        k = 50, nLists = 16, nProbe = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.size == 50)
+    val hits = exactPairs.count(blocked.contains)
+    val recall = hits.toDouble / exactPairs.size
+    // near-dup pairs have cosine ≈ 1 → both endpoints probe near-identical
+    // list sets, so pair recall sits far above the kNN recall floor
+    assert(recall >= 0.85, s"blocked near-dup recall $recall ($hits/${exactPairs.size})")
+  }
+
   test("IVF-PQ probe: results come only from probed lists; self-query recall") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding")
