@@ -84,8 +84,14 @@ object AnalyticsQueries {
       val sk = li.agg(graft.functions.Stats.countMinSketchAgg($"l_suppkey").as("sk"))
         .head().getAs[Array[Byte]](0)
       val bc = s.sparkContext.broadcast(sk)
-      val est = udf((key: Long) =>
-        graft.functions.Stats.readCountMin(bc.value).estimateCount(key))
+      // deserialize the sketch ONCE per executor (transient lazy val in
+      // the closure), not per probed row — readCountMin re-materializes
+      // the full depth×width table (~1 MB at these params), which a
+      // per-invocation call would pay on every row of an unlimited column
+      val est = udf(new (Long => Long) with Serializable {
+        @transient private lazy val cms = graft.functions.Stats.readCountMin(bc.value)
+        def apply(key: Long): Long = cms.estimateCount(key)
+      })
       li.groupBy($"l_suppkey").agg(count(lit(1)).as("exact"))
         .orderBy($"exact".desc, $"l_suppkey".asc).limit(20)
         .withColumn("cms_est", est($"l_suppkey"))

@@ -408,10 +408,17 @@ object TrainingQueries {
     // Wagner–Fischer, so the oracle is exact.
     "d10_levenshtein_pairs" -> ((s, dir) => {
       import s.implicits._
-      val prepared = Dedup.spread(t(s, dir, "documents")).select(
-        $"doc_id", $"lang", $"source",
-        substring(Text.normalize($"text"), 1, 120).as("head"))
-        .withColumn("len_band", floor(length($"head") / 40))
+      // Hot-block cap (Dedup.capBlocks): one dominant (lang, source,
+      // len_band) key would turn this bounded block join quadratic; blocks
+      // past the cap are dropped via broadcast anti-join (recall contract
+      // documented on capBlocks — the cap sits far above any real block
+      // here, so the sf output is unchanged and the oracle stays exact).
+      val prepared = Dedup.capBlocks(
+        Dedup.spread(t(s, dir, "documents")).select(
+          $"doc_id", $"lang", $"source",
+          substring(Text.normalize($"text"), 1, 120).as("head"))
+          .withColumn("len_band", floor(length($"head") / 40)),
+        blockCols = Seq("lang", "source", "len_band"), maxBlockSize = 10000)
       val a = prepared.as("a"); val b = prepared.as("b")
       a.join(b, col("a.lang") === col("b.lang") &&
           col("a.source") === col("b.source") &&

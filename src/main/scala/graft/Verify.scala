@@ -16,6 +16,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Corpus-geometry guard for the two oracles with static range() caps
+    // (DuckDB's range() can't take lateral column bounds): t15 enumerates
+    // up to 600 char-8-grams per doc, d11 up to 20 word-chunks per doc. A
+    // regenerated corpus with longer documents would make those oracles
+    // silently drop rows and fail (or worse, truncate-and-pass) the hash
+    // check — fail FAST here with an actionable message instead.
+    locally {
+      import org.apache.spark.sql.functions._
+      val g = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.functions.Text.normalize(col("text")).as("s"))
+        .select(max(length(col("s"))).as("max_chars"),
+          max(size(split(col("s"), " "))).as("max_words"))
+        .head()
+      val maxGrams = g.getInt(0) - 8 + 1
+      val maxChunks = math.ceil(g.getInt(1) / 10.0).toInt
+      require(maxGrams <= 600, s"t15 oracle caps grams at 600 but corpus has " +
+        s"docs with $maxGrams 8-grams — raise the range() bound in t15_winnowing")
+      require(maxChunks <= 20, s"d11 oracle caps chunks at 20 but corpus has " +
+        s"docs with $maxChunks 10-word chunks — raise the range() bound in d11_paragraph_dedup")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -272,6 +272,29 @@ object Dedup {
             transform(col("__kept"), r => r.getField("chunk")))).as("kept_text"))
   }
 
+  /** Drop rows belonging to over-full blocking groups — the hot-block
+    * guard every quadratic-within-block pair generator needs at corpus
+    * scale: one degenerate key (e.g. a dominant (lang, source) pair)
+    * turns a "bounded" block join into O(N²). The hot list is found with
+    * a map-side-combinable groupBy count and removed with a broadcast
+    * anti-join (tiny BY DEFINITION — it only holds keys with more than
+    * `maxBlockSize` members), the same shape as the LSH hot-bucket cap.
+    *
+    * RECALL CONTRACT: capping is not lossless — every pair inside a
+    * dropped block is lost. Size the cap so only degenerate blocks
+    * (boilerplate floods, empty-text classes) exceed it; pairs from such
+    * blocks are near-worthless for dedup anyway (the block key itself
+    * already marks them as one family).
+    */
+  def capBlocks(df: DataFrame, blockCols: Seq[String], maxBlockSize: Int): DataFrame = {
+    require(maxBlockSize > 0, "maxBlockSize must be positive")
+    val hot = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockSize)
+      .select(blockCols.map(col): _*)
+    df.join(broadcast(hot), blockCols, "left_anti")
+  }
+
   /** Exact Jaccard over two pre-deduped word arrays. */
   def jaccardWords(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -388,6 +388,10 @@ object Similarity {
     val subs = corpus.select(asDouble(col(vecCol)).as("v"))
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * dsub + 1, lit(dsub))))).toDF("sub", "sv")
+    // Every Lloyd iteration re-reads the sub-vector table; without a
+    // persist each extra iter re-scans and re-slices the whole corpus
+    // through lineage. The first iteration's job fills the cache.
+    if (iters > 1) subs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(books)
@@ -405,6 +409,7 @@ object Similarity {
       books = next
       it += 1
     }
+    if (iters > 1) subs.unpersist()
     books
   }
 

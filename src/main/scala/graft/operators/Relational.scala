@@ -231,11 +231,14 @@ object Relational {
     * when the day's key set fits. `seqCol` must totally order each key's
     * changes (ties would make the winner nondeterministic — pass a
     * composite `struct(ts, log_offset)` if sequence numbers repeat).
+    * A NULL op is treated as an upsert (`U`): `null =!= "D"` evaluates to
+    * null and would silently FILTER the row — i.e. treat a malformed
+    * change as a delete of its key — so the op is coalesced first.
     */
   def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
                seqCol: String, opCol: String): DataFrame = {
     val latest = topPerGroup(changes, keys, Seq(col(seqCol).desc))
-    val survivors = latest.filter(upper(col(opCol)) =!= "D")
+    val survivors = latest.filter(upper(coalesce(col(opCol), lit("U"))) =!= "D")
       .select(base.columns.toSeq.map(col): _*)
     base.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(survivors)

@@ -135,10 +135,25 @@ object Streams {
         val next = graft.operators.Relational
           .applyCdc(base, batch.toDF(), keys, seqCol, opCol)
         next.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(prev)) fs.delete(prev, true)
-        if (fs.exists(snap)) fs.rename(snap, prev)
-        fs.rename(tmp, snap)
-        fs.delete(prev, true)
+        // Hadoop FileSystem signals failure by RETURNING FALSE, not
+        // throwing — an unchecked swap could delete the only live copy
+        // (rename(tmp, snap) fails after snap moved to prev, then
+        // delete(prev) destroys the backup) while foreachBatch returns
+        // normally and the checkpoint commits the lost batch. Throwing on
+        // any false fails the batch instead, and the checkpoint replays it
+        // against whichever of snap/.prev survived (applyCdc replay is
+        // idempotent — see scaladoc).
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(
+            s"snapshot swap step failed: $what (batch $batchId, $snapshotPath)")
+        if (fs.exists(prev)) must(fs.delete(prev, true), s"delete stale $prev")
+        if (fs.exists(snap)) must(fs.rename(snap, prev), s"rename $snap -> $prev")
+        must(fs.rename(tmp, snap), s"rename $tmp -> $snap")
+        // only now is prev redundant. The swap is complete, but a failed
+        // cleanup still fails (and replays) the batch: replay against the
+        // post-swap snapshot is idempotent, and surfacing the filesystem
+        // fault beats silently accumulating undeletable backups.
+        if (fs.exists(prev)) must(fs.delete(prev, true), s"delete backup $prev")
         ()
       }
       .start()

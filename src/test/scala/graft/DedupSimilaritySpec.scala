@@ -125,6 +125,16 @@ class DedupSpec extends SparkSpec {
       4L -> ((2L, 2L, Some("p q r s")))))
   }
 
+  test("capBlocks drops only over-full blocks, keeps the rest bit-identical") {
+    val d = (1L to 20L).map(i => (i, if (i <= 15) "hot" else "cold", s"doc $i"))
+      .toDF("doc_id", "blk", "text")
+    val capped = Dedup.capBlocks(d, Seq("blk"), maxBlockSize = 10)
+    assert(capped.filter($"blk" === "hot").count() == 0, "hot block fully dropped")
+    assert(capped.filter($"blk" === "cold").count() == 5, "cold block untouched")
+    val noop = Dedup.capBlocks(d, Seq("blk"), maxBlockSize = 15)
+    assert(noop.count() == 20, "cap at the max block size drops nothing")
+  }
+
   test("nearDupPrefixFilter matches the exhaustive all-pairs join exactly") {
     // Randomized corpus with planted near-dup families + noise docs; the
     // prefix-filtered join must return EXACTLY the exhaustive join's pairs

@@ -190,6 +190,58 @@ class RunnerSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exhaustive.size})")
   }
 
+  private def pqMse(vecs: Array[Array[Double]], bk: Array[Array[Array[Double]]]): Double = {
+    val m = bk.length; val dsub = bk(0)(0).length
+    vecs.map { v =>
+      (0 until m).map { s =>
+        val sv = v.slice(s * dsub, (s + 1) * dsub)
+        bk(s).map(cw => sv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    }.sum / vecs.length
+  }
+
+  test("pqTrain: quantization MSE is monotone non-increasing in Lloyd iterations") {
+    import graft.functions.Similarity
+    // clustered corpus: 8 centers + noise, so Lloyd has real structure
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    val vecs = Array.tabulate(160) { i =>
+      centers(i % 8).map(_ + rnd.nextGaussian() * 0.3)
+    }
+    val df = vecs.toSeq.map(v => (vecs.indexOf(v).toLong, v.toSeq)).toDF("vec_id", "embedding")
+    val mses = (0 to 3).map { iters =>
+      pqMse(vecs, Similarity.pqTrain(df, "vec_id", "embedding", m = 4, k = 8, iters = iters))
+    }
+    mses.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next <= prev + 1e-9, s"MSE rose across an iteration: $mses")
+    }
+    assert(mses.last < mses.head, s"training never improved on the seeds: $mses")
+  }
+
+  test("pqTopKAdc: top-k recall vs exact cosine on clustered unit-ish vectors") {
+    import graft.functions.Similarity
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val vecs = Array.tabulate(120) { i =>
+      val raw = centers(i % 6).map(_ + rnd.nextGaussian() * 0.15)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n) // unit norm: ADC's L2 ranking ~ cosine ranking
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", books)
+    val q = vecs(0)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val exactTop = vecs.zipWithIndex.map { case (v, i) => (cos(q, v), i.toLong) }
+      .sortBy { case (c, i) => (-c, i) }.take(10).map(_._2).toSet
+    val adcTop = Similarity.pqTopKAdc(codes, "vec_id", q.toSeq, books, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = exactTop.count(adcTop.contains).toDouble / exactTop.size
+    assert(recall >= 0.6, s"ADC recall $recall (${exactTop.intersect(adcTop).size}/10)")
+    assert(adcTop.contains(0L), "self must survive quantization into the top-10")
+  }
+
   test("simhash pigeonhole chunk blocking is lossless vs the naive all-pairs join") {
     // The chunk join is a pure candidate FILTER: by pigeonhole, any pair
     // within Hamming radius r agrees exactly on one of the r+1 signature

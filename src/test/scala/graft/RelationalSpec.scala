@@ -127,6 +127,16 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
     assert(got == Map(2L -> ("u2", 22.0), 3L -> ("c", 30.0), 4L -> ("n", 41.0)))
   }
+
+  test("applyCdc: a null op is an upsert, not a silent delete") {
+    val base = Seq((1L, "a", 10.0)).toDF("k", "status", "v")
+    val changes = Seq((1L, "x", 11.0, null.asInstanceOf[String], 1L),
+                      (2L, "y", 20.0, null.asInstanceOf[String], 1L))
+      .toDF("k", "status", "v", "op", "seq")
+    val got = Relational.applyCdc(base, changes, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ("x", 11.0), 2L -> ("y", 20.0)))
+  }
 }
 
 class SinksSpec extends SparkSpec {
