@@ -34,9 +34,20 @@ object Marts {
     lsdTokenSupply.select(col("block_day"), col("block_height"), col("chain"),
       col("address"), col("symbol"), col("decimals"), col("total_supply"))
 
-  /** Port of `lm_incentives.sql`: liquidity-mining incentive passthrough
-    * of the warehouse rollup (Protocol.incentivesByDay output). */
-  def lmIncentives(incentivesByDay: DataFrame): DataFrame = incentivesByDay
+  /** Port of `lm_incentives.sql` (lm_incentives.sql:1-21): projection of
+    * the warehouse incentives rollup (Protocol.incentivesByDay output)
+    * with the model's two column renames — the *_borrow_rewards_apr
+    * measures surface as *_debt_rewards_apr to match the debt-side
+    * naming of their sibling columns. */
+  def lmIncentives(incentivesByDay: DataFrame): DataFrame =
+    incentivesByDay.select(
+      col("block_day"), col("block_height"), col("market"), col("reserve"),
+      col("symbol"), col("reward_token_address"), col("reward_token_symbol"),
+      col("supply_rewards"), col("supply_rewards_usd"), col("supply_rewards_apr"),
+      col("variable_debt_rewards"), col("variable_debt_rewards_usd"),
+      col("variable_borrow_rewards_apr").as("variable_debt_rewards_apr"),
+      col("stable_debt_rewards"), col("stable_debt_rewards_usd"),
+      col("stable_borrow_rewards_apr").as("stable_debt_rewards_apr"))
 
   /** Port of `grants_dao_token_balances_by_day.sql`: balances of the
     * Grants DAO collectors — a filtered projection of treasury balances. */

@@ -350,6 +350,62 @@ object Protocol {
         sum(col("stable_debt_rewards_usd")).as("stable_debt_rewards_usd"))
   }
 
+  /** Port of `liquidity_depth` (protocol_data_warehouse.py:332-425): the
+    * raw quote-sweep feed densified by piecewise-linear interpolation at a
+    * fixed grid of target price impacts (default 1%..5% step 0.25%, the
+    * reference's range arithmetic at :363-366) and unioned back onto the
+    * raw rows, tagged `is_interpolated`.
+    *
+    * Shape: one groupBy per (market_key, to_asset, from_asset,
+    * fetch_time) sweep collecting the knot arrays — each group is one
+    * quote sweep (~tens of points), so the collected arrays are bounded
+    * regardless of corpus size and the interpolation is the codegen'd
+    * [[graft.functions.Interp.linearInterp]] (np.interp semantics,
+    * clamped ends), evaluated map-side. Group-constant metadata columns
+    * ride the same aggregate as first() — replacing the reference's
+    * positional ffill (:408-410), which relies on exactly that
+    * within-group constancy after its global sort. Native amounts are
+    * recalculated from the USD amounts and asset prices for ALL rows
+    * (:413-415).
+    */
+  def liquidityDepth(raw: DataFrame,
+                     startImpact: Double = 0.01, endImpact: Double = 0.05,
+                     incrementImpact: Double = 0.0025): DataFrame = {
+    val keys = Seq("market_key", "to_asset", "from_asset", "fetch_time")
+    val valueCols = Set("from_amount_usd", "price_impact", "to_amount_usd",
+      "from_amount_native", "to_amount_native")
+    val metaCols = raw.columns.filterNot(c => keys.contains(c) || valueCols.contains(c))
+    val targets = {
+      val s = math.round(startImpact * 10000).toInt
+      val e = math.round(endImpact * 10000).toInt
+      val inc = math.round(incrementImpact * 10000).toInt
+      (s to e by inc).map(_ / 10000.0)
+    }
+    val qs = array(targets.map(lit): _*)
+    // sort_array on struct(price_impact, from_amount_usd) gives the
+    // ascending-xp knot order np.interp requires (the raw sweep is already
+    // monotone in impact, so this is a guard, not a reorder)
+    val aggs = sort_array(collect_list(struct(col("price_impact"), col("from_amount_usd"))))
+      .as("__pts") +: metaCols.map(c => first(col(c)).as(c))
+    val interped = raw.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__fa", Interp.linearInterp(qs,
+        col("__pts.price_impact"), col("__pts.from_amount_usd")))
+      .select((keys ++ metaCols).map(col) :+ col("__fa") :+
+        posexplode(qs).as(Seq("__i", "price_impact")): _*)
+      .withColumn("from_amount_usd", element_at(col("__fa"), col("__i") + 1))
+      .withColumn("to_amount_usd",
+        (lit(1.0) - col("price_impact")) * col("from_amount_usd"))
+      .withColumn("is_interpolated", lit(true))
+      .drop("__fa", "__i")
+    raw.withColumn("is_interpolated", lit(false))
+      .unionByName(interped, allowMissingColumns = true)
+      .withColumn("from_amount_native",
+        col("from_amount_usd") / col("from_asset_price"))
+      .withColumn("to_amount_native",
+        col("to_amount_usd") / col("to_asset_price"))
+  }
+
   /** Port of `inv_defi_ref_stable_rate_base.sql`: cross-protocol stablecoin
     * deposit comparison — Aave + Compound v2/v3 day/hour grains unioned and
     * averaged to daily, priced, lead-paired for price change, per-day

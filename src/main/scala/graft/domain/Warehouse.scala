@@ -94,6 +94,112 @@ object Warehouse {
     joined.na.fill(0.0, measureCols)
   }
 
+  /** Port of `blocks_by_day` (data_warehouse.py:44-70): the closest block
+    * to the daily 0000 UTC boundary per CHAIN — the per-market lake asset
+    * projected to chain grain and deduplicated (markets on the same chain
+    * share block numbers, so the projection collapses them; the reference
+    * picks the block_table_master market, which is the same dedup). */
+  def blocksByDay(blockNumbersByDay: DataFrame): DataFrame =
+    blockNumbersByDay
+      .select(col("block_day"), col("block_time"), col("block_height"),
+        col("end_block"), col("chain"))
+      .dropDuplicates()
+
+  /** Port of `user_rewards_by_day` (data_warehouse.py:371-407): the LM/SM
+    * claims feed widened with the not-yet-implemented owed measures as
+    * zero columns (the reference's todo placeholder, kept for schema
+    * parity with downstream SQL). */
+  def userRewardsByDay(userLmRewardsClaimed: DataFrame): DataFrame =
+    userLmRewardsClaimed
+      .withColumn("sm_stkAAVE_owed", lit(0.0))
+      .withColumn("sm_stkABPT_owed", lit(0.0))
+      .withColumn("lm_aave_v2_owed", lit(0.0))
+
+  /** Port of `treasury_incentives_by_day` (data_warehouse.py:417-460):
+    * projection of the treasury accrued-incentives feed plus the
+    * placeholder `held_rewards` zero column. */
+  def treasuryIncentivesByDay(treasuryAccruedIncentives: DataFrame): DataFrame =
+    treasuryAccruedIncentives
+      .select(col("chain"), col("market"), col("collector_contract"),
+        col("block_day"), col("rewards_token_address"),
+        col("rewards_token_symbol"), col("accrued_rewards"))
+      .withColumn("held_rewards", lit(0.0))
+
+  /** Port of `balance_group_lookup` (data_warehouse.py:604-682): the
+    * token → balance-group lookup table assembled from four sources —
+    *
+    *   - all atokens from `market_tokens_by_day` (distinct token dims);
+    *   - the ethereum_v1 twist: v1 rows repeated with the RESERVE as the
+    *     balance address (v1 collectors hold native reserves, not
+    *     atokens — data_warehouse.py:631-634);
+    *   - non-atoken measure tokens (incl. paraswap), address doubling as
+    *     its own "atoken" (:637-641);
+    *   - per-market gas tokens, wrapped address as the balance address
+    *     (:644-648);
+    *
+    * then chain attached from the market dim and each row classified by
+    * the wide balance-group seed (`balanceGroupLists`: one COLUMN per
+    * group, rows = member atoken symbols — the reference iterates columns
+    * with np.where, LAST matching column winning, :658-662). Unmatched →
+    * 'Other Token'; stable_class from the stable group set; the
+    * 'other_stables' group renames to 'Other Stables' (:664-666).
+    *
+    * Scale: every input is dimension-sized; the classifier seed melts to
+    * (symbol, group) and broadcast-joins — no corpus-scale work exists
+    * here, the function is shape-for-shape the reference's concat chain.
+    */
+  def balanceGroupLookup(marketTokensByDay: DataFrame,
+                         balanceGroupLists: DataFrame,
+                         ethBalancesByDay: DataFrame,
+                         nonAtokenMeasuresByDay: DataFrame,
+                         marketChains: DataFrame): DataFrame = {
+    val tokens = marketTokensByDay
+      .select(col("market"), col("atoken"), col("atoken_symbol"),
+        col("reserve"), col("symbol"))
+      .dropDuplicates()
+    val v1Tokens = tokens.filter(col("market") === "ethereum_v1")
+      .withColumn("atoken", col("reserve"))
+    val nonAtokens = nonAtokenMeasuresByDay
+      .select(col("market"), col("token").as("reserve"), col("symbol"))
+      .dropDuplicates()
+      .withColumn("atoken", col("reserve"))
+      .withColumn("atoken_symbol", col("symbol"))
+    val gasTokens = ethBalancesByDay
+      .select(col("market"), col("wrapped_gas_token").as("atoken"),
+        col("gas_token").as("atoken_symbol"))
+      .dropDuplicates()
+      .withColumn("reserve", col("atoken"))
+      .withColumn("symbol", col("atoken_symbol"))
+    val all = tokens
+      .unionByName(v1Tokens)
+      .unionByName(nonAtokens)
+      .unionByName(gasTokens)
+      .join(broadcast(marketChains.select(col("market"), col("chain"))),
+        Seq("market"), "left")
+    // melt the wide seed to (atoken_symbol, group, column order); the
+    // reference's sequential np.where makes the LAST matching column win
+    val groupCols = balanceGroupLists.columns
+    val membership = groupCols.zipWithIndex.map { case (g, i) =>
+      balanceGroupLists.select(col(g).as("atoken_symbol"))
+        .filter(col("atoken_symbol").isNotNull)
+        .withColumn("__grp", lit(g)).withColumn("__ord", lit(i))
+    }.reduce(_ unionByName _)
+    val winner = graft.operators.Relational.topPerGroup(
+      membership, Seq("atoken_symbol"), Seq(col("__ord").desc))
+      .select(col("atoken_symbol"), col("__grp"))
+    val stableGroups = Seq("DAI", "USDC", "USDT", "other_stables")
+    all.join(broadcast(winner), Seq("atoken_symbol"), "left")
+      .withColumn("__grp", coalesce(col("__grp"), lit("Other Token")))
+      .withColumn("stable_class",
+        when(col("__grp").isin(stableGroups: _*), "stablecoin")
+          .otherwise("unstablecoin"))
+      .withColumn("balance_group",
+        when(col("__grp") === "other_stables", "Other Stables").otherwise(col("__grp")))
+      .select(col("market"), col("atoken"), col("atoken_symbol"),
+        col("reserve"), col("symbol"), col("chain"),
+        col("balance_group"), col("stable_class"))
+  }
+
   /** Latest-day atoken dim — the port of `aave_atokens.sql`: one row per
     * atoken from the newest market_tokens_by_day partition, chain attached
     * from the block-numbers dim. */

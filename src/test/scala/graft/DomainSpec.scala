@@ -173,6 +173,100 @@ class DomainSpec extends SparkSpec {
     assert(math.abs(got - 9.0) < 1e-9)
   }
 
+  test("blocksByDay: chain-grain projection + dedup (test_data_warehouse.py:18-69)") {
+    // two markets on the same chain share block numbers → one chain row
+    val lake = Seq(
+      (day(1), Timestamp.valueOf("2024-01-01 00:00:11"), 16050438L, 16057596L,
+        "ethereum", "ethereum_v2"),
+      (day(1), Timestamp.valueOf("2024-01-01 00:00:11"), 16050438L, 16057596L,
+        "ethereum", "ethereum_v1")
+    ).toDF("block_day", "block_time", "block_height", "end_block", "chain", "market")
+    val got = Warehouse.blocksByDay(lake).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("chain") == "ethereum")
+    assert(got.head.getAs[Long]("block_height") == 16050438L)
+    assert(!Warehouse.blocksByDay(lake).columns.contains("market"))
+  }
+
+  test("userRewardsByDay: claims pass through, owed placeholders zeroed (test :527-613)") {
+    val claims = Seq(
+      (day(1), "ethereum", "ethereum_v2", "ecosystem_reserve", "0x25f2", "0x7fc6",
+        1033.82, 449.626, 0.0),
+      (day(1), "ethereum", "ethereum_v2", "incentives_controller_v2", "0xd784", "0x7fc6",
+        0.0, 0.0, 59.4723)
+    ).toDF("block_day", "chain", "market", "reward_vault", "vault_address",
+      "token_address", "sm_stkAAVE_claims", "sm_stkABPT_claims", "lm_aave_v2_claims")
+    val got = Warehouse.userRewardsByDay(claims).orderBy("reward_vault").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Double]("sm_stkAAVE_owed") == 0.0)
+      assert(r.getAs[Double]("sm_stkABPT_owed") == 0.0)
+      assert(r.getAs[Double]("lm_aave_v2_owed") == 0.0)
+    }
+    assert(got.head.getAs[Double]("sm_stkAAVE_claims") == 1033.82)
+  }
+
+  test("treasuryIncentivesByDay: projection + held_rewards placeholder (test :617-676)") {
+    val accrued = Seq(
+      ("ethereum", "ethereum_v2", "0x464c", day(1), "0x7fc6", "stkAAVE", 561.626, "extra")
+    ).toDF("chain", "market", "collector_contract", "block_day",
+      "rewards_token_address", "rewards_token_symbol", "accrued_rewards", "dropme")
+    val got = Warehouse.treasuryIncentivesByDay(accrued)
+    assert(got.columns.toSeq == Seq("chain", "market", "collector_contract",
+      "block_day", "rewards_token_address", "rewards_token_symbol",
+      "accrued_rewards", "held_rewards"))
+    val r = got.head()
+    assert(r.getAs[Double]("accrued_rewards") == 561.626)
+    assert(r.getAs[Double]("held_rewards") == 0.0)
+  }
+
+  test("balanceGroupLookup: four sources, v1 twist, group classes (data_warehouse.py:604-682)") {
+    val mkTokens = Seq(
+      ("ethereum_v2", "0xaUSDC", "aUSDC", "0xUSDC", "USDC"),
+      ("ethereum_v1", "0xaDAIv1", "aDAI", "0xDAI", "DAI")
+    ).toDF("market", "atoken", "atoken_symbol", "reserve", "symbol")
+    // wide seed: one column per balance group, rows = member symbols
+    val groupLists = Seq(
+      (Some("aUSDC"), Some("stkAAVE"), Some("sUSD")),
+      (None, None, Some("aSUSD"))
+    ).toDF("USDC", "AAVE", "other_stables")
+    val gas = Seq(("ethereum_v2", "0xC02", "ETH", day(1), 1.5))
+      .toDF("market", "wrapped_gas_token", "gas_token", "block_day", "balance")
+    val nonAtokens = Seq(("ethereum_v2", "0x4da2", "stkAAVE", day(1), 10.0))
+      .toDF("market", "token", "symbol", "block_day", "balance")
+    val mc = Seq(("ethereum_v2", "ethereum"), ("ethereum_v1", "ethereum"))
+      .toDF("market", "chain")
+    val got = Warehouse.balanceGroupLookup(mkTokens, groupLists, gas, nonAtokens, mc)
+      .collect().map(r => (r.getAs[String]("market"), r.getAs[String]("atoken")) ->
+        ((r.getAs[String]("atoken_symbol"), r.getAs[String]("balance_group"),
+          r.getAs[String]("stable_class"), r.getAs[String]("chain")))).toMap
+    // 2 market tokens + v1 twist + non-atoken + gas token = 5 rows
+    assert(got.size == 5)
+    assert(got(("ethereum_v2", "0xaUSDC")) == (("aUSDC", "USDC", "stablecoin", "ethereum")))
+    // the v1 twist: same dims but the RESERVE is the balance address
+    assert(got(("ethereum_v1", "0xDAI")) == (("aDAI", "Other Token", "unstablecoin", "ethereum")))
+    assert(got(("ethereum_v1", "0xaDAIv1"))._1 == "aDAI")
+    // non-atoken doubles as its own atoken; in the AAVE group
+    assert(got(("ethereum_v2", "0x4da2")) == (("stkAAVE", "AAVE", "unstablecoin", "ethereum")))
+    // gas token: wrapped address, unmatched symbol → Other Token
+    assert(got(("ethereum_v2", "0xC02")) == (("ETH", "Other Token", "unstablecoin", "ethereum")))
+  }
+
+  test("balanceGroupLookup: other_stables renames and last matching group column wins") {
+    val mkTokens = Seq(("m1", "0xa", "aSUSD", "0xr", "SUSD"))
+      .toDF("market", "atoken", "atoken_symbol", "reserve", "symbol")
+    // aSUSD appears in BOTH columns → the later column (other_stables) wins,
+    // then surfaces renamed 'Other Stables' with stablecoin class
+    val groupLists = Seq((Some("aSUSD"), Some("aSUSD")))
+      .toDF("AAVE", "other_stables")
+    val got = Warehouse.balanceGroupLookup(mkTokens, groupLists,
+      Seq.empty[(String, String, String)].toDF("market", "wrapped_gas_token", "gas_token"),
+      Seq.empty[(String, String, String)].toDF("market", "token", "symbol"),
+      Seq(("m1", "c1")).toDF("market", "chain")).head()
+    assert(got.getAs[String]("balance_group") == "Other Stables")
+    assert(got.getAs[String]("stable_class") == "stablecoin")
+  }
+
   test("treasury chain: balances, by-chain rollup, totals") {
     val withNames = Datamart.allFinancials(
       Datamart.FinancialsInputs.withDefaults(spark,

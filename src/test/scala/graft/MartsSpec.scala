@@ -17,6 +17,29 @@ class MartsSpec extends SparkSpec {
     assert(got.columns.toSet == Set("block_day", "market", "ltv"))
   }
 
+  test("lmIncentives projects the 16 model columns with the two apr renames") {
+    // fixture shaped like Protocol.incentivesByDay output
+    val wh = Seq((day(1), 100L, "polygon_v3", "0xres", "aUSDC", "MATIC", "0xrw",
+      0.1, 0.2, 0.3, 864.0, 691.2, 0.4, 0.0, 0.0, 0.5))
+      .toDF("block_day", "block_height", "market", "reserve", "symbol",
+        "reward_token_symbol", "reward_token_address",
+        "supply_rewards_apr", "variable_borrow_rewards_apr", "stable_borrow_rewards_apr",
+        "supply_rewards", "supply_rewards_usd",
+        "variable_debt_rewards", "variable_debt_rewards_usd",
+        "stable_debt_rewards", "stable_debt_rewards_usd")
+    val got = Marts.lmIncentives(wh)
+    // exact column list of lm_incentives.sql:3-19, in model order
+    assert(got.columns.toSeq == Seq(
+      "block_day", "block_height", "market", "reserve", "symbol",
+      "reward_token_address", "reward_token_symbol",
+      "supply_rewards", "supply_rewards_usd", "supply_rewards_apr",
+      "variable_debt_rewards", "variable_debt_rewards_usd", "variable_debt_rewards_apr",
+      "stable_debt_rewards", "stable_debt_rewards_usd", "stable_debt_rewards_apr"))
+    val r = got.head()
+    assert(r.getAs[Double]("variable_debt_rewards_apr") == 0.2)
+    assert(r.getAs[Double]("stable_debt_rewards_apr") == 0.3)
+  }
+
   test("marketConfigByTime unions grains with missing columns padded") {
     val hourly = Seq((hour(1, 5), "m", 0.8)).toDF("block_hour", "market", "ltv")
     val daily = Seq((day(1), "m", 0.8, "cat")).toDF("block_day", "market", "ltv", "emode")

@@ -206,6 +206,36 @@ class ProtocolSpec extends SparkSpec {
       emissionA * priceUsd / 1e6 * 365) < 1e-9)
   }
 
+  test("liquidityDepth: np.interp at impact grid, raw+interp union, native recalc") {
+    // one quote sweep: impact 1% → $100, 3% → $300, 5% → $500 (linear, so
+    // every interpolated point is exactly 10000·impact)
+    val raw = Seq(
+      ("eth_wsteth", "WETH", "wstETH", day(1), 0.01, 100.0, 2.0, 1.0, 0.05, 49.5),
+      ("eth_wsteth", "WETH", "wstETH", day(1), 0.03, 300.0, 2.0, 1.0, 0.15, 145.5),
+      ("eth_wsteth", "WETH", "wstETH", day(1), 0.05, 500.0, 2.0, 1.0, 0.25, 237.5)
+    ).toDF("market_key", "to_asset", "from_asset", "fetch_time",
+      "price_impact", "from_amount_usd", "from_asset_price", "to_asset_price",
+      "from_amount_native", "to_amount_native")
+    val got = Protocol.liquidityDepth(raw)
+    // 3 raw rows + 17 targets (0.01..0.05 step 0.0025)
+    assert(got.count() == 20)
+    assert(got.filter($"is_interpolated").count() == 17)
+    val at2pct = got.filter($"is_interpolated" && abs($"price_impact" - 0.02) < 1e-12).head()
+    assert(math.abs(at2pct.getAs[Double]("from_amount_usd") - 200.0) < 1e-9)
+    // to_amount_usd = (1 - impact) · from_amount_usd
+    assert(math.abs(at2pct.getAs[Double]("to_amount_usd") - 0.98 * 200.0) < 1e-9)
+    // metadata rode the group aggregate; native amounts recalc from prices
+    assert(at2pct.getAs[Double]("from_asset_price") == 2.0)
+    assert(math.abs(at2pct.getAs[Double]("from_amount_native") - 100.0) < 1e-9)
+    assert(math.abs(at2pct.getAs[Double]("to_amount_native") - 196.0) < 1e-9)
+    // raw rows survive untagged with native amounts recalculated too
+    val rawRow = got.filter(!$"is_interpolated" && $"price_impact" === 0.01).head()
+    assert(math.abs(rawRow.getAs[Double]("from_amount_native") - 50.0) < 1e-9)
+    // grid endpoints clamp to the knot values (np.interp semantics)
+    val at5 = got.filter($"is_interpolated" && abs($"price_impact" - 0.05) < 1e-12).head()
+    assert(math.abs(at5.getAs[Double]("from_amount_usd") - 500.0) < 1e-9)
+  }
+
   test("defiRefStableRateBase + defiRefRatesByDay: multi-source union, weighted rate, eth ffill") {
     val aave = Seq((day(1), "aave_v3", "USDC", 1000.0, 0.0365),
                    (day(2), "aave_v3", "USDC", 1000.0, 0.0365))
