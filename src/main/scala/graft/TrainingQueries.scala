@@ -612,10 +612,182 @@ object TrainingQueries {
           (($"doc_id" % 45 + 5) * 731).cast("long").as("duration_ms")).as("meta"))
       graft.functions.Multimodal.chunkAudio(media, "media_id",
         chunkMs = 4000L, strideMs = 3000L)
+    }),
+
+    // T17: PII scan + redaction — the compliance scrub every training
+    // corpus runs before tokenization. Synthetic PII is stitched onto the
+    // corpus deterministically from doc_id (the raw tables carry none), so
+    // the detector has real positives; patterns live in the Java∩RE2
+    // regex subset so the DuckDB oracle runs the SAME pattern strings.
+    // One codegen'd regexp pass per class — no UDF.
+    "t17_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" call +1-415-555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+              lit(".25"))).otherwise(lit(""))).as("raw"))
+      val (ne, np, ni) = Text.piiCounts($"raw")
+      raw.select($"doc_id", ne.as("n_emails"), np.as("n_phones"), ni.as("n_ips"),
+          Text.piiRedact($"raw").as("redacted"))
+        .withColumn("pii_free", $"n_emails" + $"n_phones" + $"n_ips" === 0)
+    }),
+
+    // T18: URL canonicalization + per-registrable-domain cap — the crawl
+    // diversity guard (no site dominates the mix). URLs are synthesized
+    // deterministically from (source, doc_id) with scheme/www/query noise;
+    // the operator normalizes, extracts the registrable domain, and keeps
+    // the top-3 docs per domain by n_chars (id tie-break). One shuffle on
+    // the domain key; the normalize/extract chain is pure codegen.
+    "t18_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars",
+        concat(
+          when($"doc_id" % 2 === 0, lit("https://")).otherwise(lit("http://")),
+          when($"doc_id" % 3 === 0, lit("www.")).otherwise(lit("")),
+          $"source", lit(".site"), ($"doc_id" % 7).cast("string"),
+          lit(".org/articles/"), $"doc_id".cast("string"),
+          lit("?utm_source=feed#top")).as("url"))
+      val norm = docs.withColumn("url_norm", Text.normalizeUrl($"url"))
+        .withColumn("domain", Text.registrableDomain(Text.urlHost($"url_norm")))
+      val w = Window.partitionBy($"domain").orderBy($"n_chars".desc, $"doc_id".asc)
+      norm.withColumn("rank", row_number().over(w).cast("int"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"url_norm", $"domain", $"rank")
+    }),
+
+    // T19: source-mixture reweighting — per-language sampling weights that
+    // move the corpus from its ACTUAL language shares to a TARGET recipe
+    // (weight = target/actual; expected_docs = the recipe's count at a
+    // 10k-doc budget). The whole op is one map-side-combinable aggregate;
+    // the empty-partition window runs over the 5-row POST-aggregate table,
+    // never the corpus.
+    "t19_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val target = Seq(("en", 0.3), ("de", 0.2), ("es", 0.2), ("fr", 0.2),
+        ("zh", 0.1)).toDF("lang", "target_share")
+      val actual = t(s, dir, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("actual_share",
+          $"n_docs" / sum($"n_docs").over(Window.partitionBy()))
+      actual.join(broadcast(target), "lang")
+        .select($"lang", $"n_docs",
+          round($"actual_share", 6).as("actual_share"),
+          $"target_share",
+          round($"target_share" / $"actual_share", 6).as("weight"),
+          round($"target_share" * 10000).cast("long").as("expected_docs"))
+    }),
+
+    // T20: overlapping token-window chunking — the context-window splitter
+    // (RAG indexing / long-doc training prep): 40-word windows every 30
+    // words, final window clipped to the doc end. Map-side explode, zero
+    // shuffle; the oracle reproduces the schedule with DuckDB list slices
+    // (static range cap guarded in Verify, same pattern as t15/d11).
+    "t20_chunk_windows" -> ((s, dir) => {
+      Text.chunkWindows(t(s, dir, "documents"), "text", "doc_id",
+        width = 40, stride = 30)
+    }),
+
+    // S10: Johnson–Lindenstrauss random projection 64→16 dims — the cheap
+    // front end before clustering/blocking at corpus scale. The ±1 sign
+    // matrix derives from md5 parity (engine-independent), so the DuckDB
+    // oracle recomputes the identical matrix and the check is exact;
+    // the projection itself is map-side codegen'd Catalyst (zero shuffle).
+    "s10_random_projection" -> ((s, dir) => {
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t17_pii_redact" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  text ||
+                  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END) ||
+                  (CASE WHEN doc_id % 5 = 0 THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END) AS raw
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                  CAST(len(regexp_extract_all(raw, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones,
+                  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+                  regexp_replace(regexp_replace(regexp_replace(raw,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+           FROM raw)
+         SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+                (n_emails + n_phones + n_ips = 0) AS pii_free
+         FROM c""",
+    "t18_domain_cap" ->
+      """WITH u AS (
+           SELECT doc_id, n_chars,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+                  source || '.site' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '.org/articles/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed#top' AS url
+           FROM documents),
+         n AS (
+           SELECT doc_id, n_chars,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+                      '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS url_norm
+           FROM u),
+         d AS (
+           SELECT doc_id, n_chars, url_norm,
+                  regexp_extract(regexp_extract(url_norm, '^([^/]+)', 1), '([^.]+\.[^.]+)$', 1) AS domain
+           FROM n),
+         r AS (
+           SELECT doc_id, url_norm, domain,
+                  CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+           FROM d)
+         SELECT doc_id, url_norm, domain, rank FROM r WHERE rank <= 3""",
+    "t19_mixture_weights" ->
+      """WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         t AS (SELECT * FROM (VALUES ('en', 0.3), ('de', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.1)) v(lang, target_share)),
+         s AS (
+           SELECT a.lang, a.n_docs,
+                  CAST(a.n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM a) AS actual_share,
+                  CAST(t.target_share AS DOUBLE) AS target_share
+           FROM a JOIN t USING (lang))
+         SELECT lang, n_docs, round(actual_share, 6) AS actual_share, target_share,
+                round(target_share / actual_share, 6) AS weight,
+                CAST(round(target_share * 10000) AS BIGINT) AS expected_docs
+         FROM s""",
+    "t20_chunk_windows" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         n AS (SELECT doc_id, words, len(words) AS n FROM w),
+         c AS (SELECT doc_id, words, n,
+                      CAST(1 + ceil(greatest(n - 40, 0) / 30.0) AS INTEGER) AS nc
+               FROM n)
+         SELECT doc_id,
+                CAST(i AS INTEGER) AS chunk_id,
+                CAST(i * 30 + 1 AS INTEGER) AS start_word,
+                CAST(least(40, n - i * 30) AS INTEGER) AS n_words,
+                array_to_string(words[(i * 30 + 1):(i * 30 + least(40, n - i * 30))], ' ') AS chunk_text
+         FROM c, range(8) t(i) WHERE i < nc""",
+    "s10_random_projection" ->
+      """WITH m AS (
+           SELECT j, list(CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0
+                               THEN 1.0 ELSE -1.0 END ORDER BY i) AS signs
+           FROM range(64) t(i) CROSS JOIN range(16) u(j)
+           GROUP BY j),
+         p AS (
+           SELECT e.vec_id, m.j,
+                  round(list_reduce(list_transform(range(64), k -> CAST(e.embedding[k+1] AS DOUBLE) * m.signs[k+1]),
+                                    (acc, x) -> acc + x) / sqrt(16.0), 6) AS v
+           FROM embeddings e CROSS JOIN m)
+         SELECT vec_id, list(v ORDER BY j) AS proj FROM p GROUP BY vec_id""",
     "d9_prefix_filter_pairs" ->
       """WITH w AS (
            SELECT doc_id,

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — iterate on a subset
+    // locally without paying the full 120-query dump (driver passes none)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +39,13 @@ object Verify {
         s"docs with $maxGrams 8-grams — raise the range() bound in t15_winnowing")
       require(maxChunks <= 20, s"d11 oracle caps chunks at 20 but corpus has " +
         s"docs with $maxChunks 10-word chunks — raise the range() bound in d11_paragraph_dedup")
+      val maxWindows = 1 + math.ceil(math.max(g.getInt(1) - 40, 0) / 30.0).toInt
+      require(maxWindows <= 8, s"t20 oracle caps windows at 8 but corpus has " +
+        s"docs with $maxWindows 40/30 windows — raise the range() bound in t20_chunk_windows")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -56,6 +65,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -606,11 +606,27 @@ object Dedup {
     val pref = ordered
       .withColumn("p",
         (col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + 1).cast("int"))
-      .select(col("id"), col("n"), explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+      .select(col("id"), col("n"),
+        posexplode(slice(col("toks"), lit(1), col("p"))).as(Seq("pos", "tok")))
+    // POSITIONAL filter (the "pp" of PPJoin), applied in the join condition
+    // so pruned candidates never reach the dedup/verify shuffles: common
+    // elements appear in the SAME relative order in both ranked arrays, so
+    // for the pair's FIRST common token (at 0-based prefix positions pa,
+    // pb) the overlap is ≤ 1 + min(n_a − pa − 1, n_b − pb − 1), while
+    // J ≥ t needs overlap ≥ t/(1+t)·(n_a+n_b). The bound only provably
+    // holds for the first common token — which is exactly enough: a
+    // qualifying pair always SURVIVES via that token's row (prefix theorem
+    // puts it inside both prefixes), and any row the filter drops could
+    // only re-emit a pair some other row already emits. Same epsilon
+    // convention as the prefix/size bounds (loosen, never tighten).
+    val minInter = ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold))
+      - lit(1e-9))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("b.n") * lit(threshold) - lit(1e-9) <= col("a.n") &&
-          col("a.n") * lit(threshold) - lit(1e-9) <= col("b.n"))
+          col("a.n") * lit(threshold) - lit(1e-9) <= col("b.n") &&
+          lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1) >= minInter)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Verify arrays derive from the cached index, not the raw docs: the

@@ -362,6 +362,44 @@ object Similarity {
     transform(qs.getField("q"),
       q => (q.cast("double") + 128.0) * qs.getField("scale") + qs.getField("zero"))
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to `outDim` dimensions — the
+    * cheap dimensionality-reduction front end for clustering / blocking at
+    * corpus scale (pairwise distances preserved within 1±ε w.h.p. for
+    * outDim = O(log n / ε²)). The projection matrix is the Achlioptas ±1
+    * sign matrix, derived DETERMINISTICALLY from md5("i_j") parity — no RNG
+    * state, so the same matrix materializes on any engine (the DuckDB
+    * oracle recomputes it from the same md5 strings) and on every run.
+    *
+    * Scale: the matrix is outDim×dim doubles (16×64 here — bytes, not
+    * gigabytes) computed once on the driver and shipped as a literal into
+    * the task closure; the projection itself is a pure Catalyst
+    * transform/zip_with/aggregate chain — map-side, zero shuffle, codegen'd.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      md.reset()
+      val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      // first hex char parity = high nibble of byte 0
+      if (((h(0) >> 4) & 0x1) == 0) 1.0 else -1.0
+    }
+    // divide by sqrt(outDim) (not multiply by a precomputed reciprocal) so
+    // the float ops sequence exactly matches the SQL oracle's `/ sqrt(k)`
+    val nrm = math.sqrt(outDim.toDouble)
+    // one literal array<double> per output dim (16 columns of 64 signs)
+    val rows: IndexedSeq[Column] = (0 until outDim).map { j =>
+      array((0 until inDim).map(i => lit(sign(i, j))): _*)
+    }
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol),
+      array(rows.map { signs =>
+        round(aggregate(zip_with(v, signs, (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x) / nrm, 6)
+      }: _*).as("proj"))
+  }
+
   // ---- product quantization (the memory-bound ANN scale path) -----------
 
   /** Train product-quantization codebooks: split the vector into `m`

@@ -166,6 +166,88 @@ object Text {
     })
   }
 
+  /** PII detector/redactor patterns. Written in the common subset of Java
+    * regex (Spark) and RE2 (DuckDB, for the oracle): no backreferences, no
+    * lookaround, `\d`/`\b` only — so the same pattern string drives both
+    * engines. Pattern scope is the classic training-data scrub list:
+    * emails, E.164-ish phone numbers, IPv4 addresses.
+    */
+  val piiEmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe: String = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+  val piiIpv4Re: String  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-class PII match counts — one codegen'd regexp pass per class, no
+    * UDF. Order matters for redaction (emails contain no phone/IP shapes and
+    * vice versa, so the classes here are disjoint and count independently).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(piiEmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(piiPhoneRe), lit(0))),
+    size(regexp_extract_all(text, lit(piiIpv4Re), lit(0))))
+
+  /** Redact all three PII classes with typed placeholder tokens (the form
+    * downstream tokenizers can keep as single units). Spark `regexp_replace`
+    * is replace-ALL; the DuckDB oracle needs the explicit 'g' flag. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "[EMAIL]"),
+        piiPhoneRe, "[PHONE]"),
+      piiIpv4Re, "[IP]")
+
+  /** Canonical URL form for dedup/cap keys: lowercase, strip scheme and a
+    * leading www., strip query/fragment, strip one trailing slash. Pure
+    * regexp_replace chain (codegen'd). */
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^[a-z][a-z0-9+.-]*://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
+  /** Host of a normalized URL (everything before the first '/'). */
+  def urlHost(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^([^/]+)", 1)
+
+  /** Registrable domain approximated as the last two host labels — the
+    * per-site key a crawl pipeline caps on. (A full public-suffix list is a
+    * lookup-table join; two labels is the deterministic engine-independent
+    * core the oracle can reproduce.) */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Overlapping token-window chunking — the context-window splitter for
+    * RAG indexing / long-doc training prep: fixed `width`-word windows
+    * every `stride` words over the normalized text, the final window
+    * clipped to the doc end (never empty, never past the end). Pure
+    * Catalyst sequence→transform→explode — map-side, zero shuffle; the
+    * chunk count per doc is 1 + ⌈max(0, n−width)/stride⌉ so a doc shorter
+    * than one window still yields exactly one chunk.
+    */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, width: Int, stride: Int
+                  ): org.apache.spark.sql.DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width (gaps would drop words)")
+    val words = split(normalize(col(textCol)), " ")
+    val n = size(words)
+    val nChunks = (lit(1) +
+      ceil(greatest(n - width, lit(0)).cast("double") / stride)).cast("int")
+    df.select(col(idCol), words.as("__w"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), col("__nc") - 1), i => struct(
+          i.cast("int").as("chunk_id"),
+          (i * stride + 1).cast("int").as("start_word"),
+          least(lit(width), col("__n") - i * stride).cast("int").as("n_words")
+        ))).as("__c"), col("__w"))
+      .select(col(idCol),
+        col("__c.chunk_id"), col("__c.start_word"), col("__c.n_words"),
+        concat_ws(" ",
+          slice(col("__w"), col("__c.start_word"), col("__c.n_words"))).as("chunk_text"))
+  }
+
   /** Deterministic hash-sampling predicate: keep a row iff the md5 of its
     * id's string form falls below `rate` of the hex space (first two hex
     * chars < 256·rate). Unlike `df.sample()`, the decision is a pure

@@ -302,4 +302,60 @@ class TextSpec extends SparkSpec {
     val cRows = got.filter($"grp" === "c")
     assert(cRows.filter($"robust_z".isNotNull || $"is_outlier").count() == 0)
   }
+
+  test("chunkWindows: coverage, overlap, clipped tail, short-doc single chunk") {
+    val doc = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "just three words"), (3L, "")).toDF("doc_id", "t")
+    val got = Text.chunkWindows(df, "t", "doc_id", width = 40, stride = 30)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    // 95 words @ 40/30 -> 1 + ceil(55/30) = 3 chunks: [1..40],[31..70],[61..95]
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1, 40), (1, 31, 40), (2, 61, 35)))
+    assert(d1(2).getString(4).endsWith("w95"), "tail chunk reaches doc end")
+    assert(d1(0).getString(4).startsWith("w1 ") && d1(1).getString(4).startsWith("w31 "))
+    // consecutive chunks overlap by width - stride = 10 words
+    assert(d1(0).getString(4).split(" ").drop(30).toSeq ==
+      d1(1).getString(4).split(" ").take(10).toSeq)
+    val d2r = got.filter(_.getLong(0) == 2L)
+    assert(d2r.length == 1 && d2r(0).getInt(3) == 3 &&
+      d2r(0).getString(4) == "just three words")
+    assert(got.count(_.getLong(0) == 3L) == 1, "empty doc still yields one chunk")
+  }
+
+  test("piiCounts/piiRedact: all three classes, replace-all, clean text untouched") {
+    val s = "mail a@b.org and c.d+e@f.co.uk call +1-415-555-0123 " +
+      "or +44-207-946-0958 from 10.0.3.25 and 192.168.1.1"
+    val df = Seq(s, "no pii here at all").toDF("t")
+    val (ne, np, ni) = Text.piiCounts($"t")
+    val rows = df.select(ne, np, ni, Text.piiRedact($"t")).collect()
+    assert(rows(0).getInt(0) == 2 && rows(0).getInt(1) == 2 && rows(0).getInt(2) == 2)
+    assert(rows(0).getString(3) ==
+      "mail [EMAIL] and [EMAIL] call [PHONE] or [PHONE] from [IP] and [IP]")
+    assert(rows(1).getInt(0) == 0 && rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0)
+    assert(rows(1).getString(3) == "no pii here at all")
+  }
+
+  test("piiRedact is idempotent (placeholders match no pattern)") {
+    val df = Seq("x a@b.org +1-415-555-0123 1.2.3.4").toDF("t")
+    val once = df.select(Text.piiRedact($"t").as("t"))
+    val twice = once.select(Text.piiRedact($"t").as("t"))
+    assert(once.head.getString(0) == twice.head.getString(0))
+  }
+
+  test("normalizeUrl strips scheme/www/query/fragment/trailing slash; domain extract") {
+    val cases = Seq(
+      "https://www.Site3.ORG/Articles/9?utm=x#top" -> "site3.org/articles/9",
+      "http://sub.site.org/a/b/" -> "sub.site.org/a/b",
+      "ftp://www.x.co" -> "x.co",
+      "site.org/p" -> "site.org/p", // already schemeless
+      "https://www.site.org/" -> "site.org")
+    val got = cases.map(_._1).toDF("u")
+      .select(Text.normalizeUrl($"u")).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+    val dom = Seq("src12.site3.org", "x.co", "deep.sub.example.com")
+      .toDF("h").select(Text.registrableDomain($"h"))
+      .collect().map(_.getString(0))
+    assert(dom.toSeq == Seq("site3.org", "x.co", "example.com"))
+  }
 }

@@ -345,4 +345,49 @@ class RunnerSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(at01.subsetOf(at05), "sampling is monotone in rate")
   }
+
+  test("randomProjection: deterministic, and JL-preserves pairwise distance ranks") {
+    import graft.functions.Similarity
+    val dim = 64; val outDim = 16; val n = 40
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    def proj(): Map[Long, Seq[Double]] =
+      Similarity.randomProjection(df, "id", "v", dim, outDim)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p1 = proj()
+    assert(p1 == proj(), "projection is a pure function of the input")
+    // JL distortion: with outDim=16 the per-pair bound is loose, so assert
+    // the AGGREGATE property a blocking/clustering consumer relies on —
+    // squared distances are preserved on average (E[|Px-Py|²] = |x-y|²)
+    // and no pair collapses to zero or explodes.
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val ratios = for {
+      i <- 0L until n.toLong; j <- (i + 1) until n.toLong
+    } yield d2(p1(i), p1(j)) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.25, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"pairwise distortion bounded: min=${ratios.min} max=${ratios.max}")
+  }
+
+  test("mixture weights rebalance: weighted actual shares land on the target recipe") {
+    // resampling each lang with weight w_l = target_l / actual_l turns the
+    // realized mix into the target mix: sum_l actual_l·w_l = 1 and each
+    // lang's weighted share = target_l. Checked over the real sf corpus
+    // through the harness query itself.
+    val q = TrainingQueries.queries("t19_mixture_weights")(spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    val weightedShares = rows.map(r =>
+      r.getAs[String]("lang") ->
+        r.getAs[Double]("actual_share") * r.getAs[Double]("weight")).toMap
+    rows.foreach { r =>
+      val target = r.getAs[Double]("target_share")
+      assert(math.abs(weightedShares(r.getAs[String]("lang")) - target) < 1e-4,
+        s"weighted share of ${r.getAs[String]("lang")} hits its target")
+    }
+  }
 }
