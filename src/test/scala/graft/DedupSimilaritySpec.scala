@@ -333,6 +333,16 @@ class SimilaritySpec extends SparkSpec {
     val hits = exactEdges.count(e => blocked.exists(b => (b._1, b._2) == e))
     val recall = hits.toDouble / exactEdges.size
     assert(recall >= 0.7, s"IVF kNN recall $recall ($hits/${exactEdges.size})")
+    // Lloyd-trained centroids + multiple assignment (the s7 harness
+    // config, scaled to this corpus): recall must beat the plain config —
+    // this is the knob pair the operator exists to expose.
+    val trained = Similarity.knnGraphBlocked(emb, "vec_id", "embedding",
+        k = 3, nLists = 16, nProbe = 4, trainIters = 2, memberAssign = 3)
+      .select($"id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val tHits = exactEdges.count(trained.contains)
+    val tRecall = tHits.toDouble / exactEdges.size
+    assert(tRecall >= 0.85,
+      s"trained multi-assign kNN recall $tRecall ($tHits/${exactEdges.size})")
   }
 
   test("embeddingNearDupBlocked: top-pair recall vs exact all-pairs baseline") {
