@@ -691,6 +691,20 @@ object TrainingQueries {
           round($"target_share" * 10000).cast("long").as("expected_docs"))
     }),
 
+    // D12: INCREMENTAL exact dedup — the batch-ingest path: docs with
+    // doc_id % 10 == 0 arrive as the "new batch" against the rest as the
+    // indexed corpus; a new doc survives iff its content fingerprint is
+    // unseen in the corpus AND it's the first (min id) holder within the
+    // batch. Anti-join + min-groupBy, both keyed on the fingerprint.
+    "d12_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.filter($"doc_id" % 10 === 0),
+        docs.filter($"doc_id" % 10 =!= 0),
+        "text", "doc_id")
+    }),
+
     // T20: overlapping token-window chunking — the context-window splitter
     // (RAG indexing / long-doc training prep): 40-word windows every 30
     // words, final window clipped to the doc end. Map-side explode, zero
@@ -768,6 +782,17 @@ object TrainingQueries {
                 round(target_share / actual_share, 6) AS weight,
                 CAST(round(target_share * 10000) AS BIGINT) AS expected_docs
          FROM s""",
+    "d12_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+           FROM documents),
+         batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+         corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 0)
+         SELECT min(doc_id) AS doc_id, fingerprint
+         FROM batch
+         WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+         GROUP BY fingerprint""",
     "t20_chunk_windows" ->
       """WITH w AS (
            SELECT doc_id,

@@ -75,6 +75,28 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** INCREMENTAL exact dedup — the batch-ingest path: a new batch is
+    * deduped (a) against the EXISTING corpus (drop any doc whose content
+    * fingerprint is already indexed) and (b) within itself (first id per
+    * fingerprint wins, deterministic). Production dedup is always
+    * incremental — re-clustering 100 TB per daily batch is not a plan; at
+    * scale the existing side is just the (fingerprint) index table,
+    * re-read from its sink, and both steps are fingerprint-keyed shuffles
+    * (the anti-join and the min-groupBy co-partition — one exchange each
+    * side). Returns the surviving new docs as (idCol, fingerprint).
+    */
+  def incrementalExact(newDocs: DataFrame, existing: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val fp = Text.fingerprintMd5(col(textCol))
+    val existingFps = spread(existing).select(fp.as("fingerprint")).distinct()
+    val batch = spread(newDocs).select(col(idCol), fp.as("fingerprint"))
+    val unseen = batch.join(existingFps, Seq("fingerprint"), "left_anti")
+    unseen
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fingerprint"))
+  }
+
   /** MinHash signature: array of `k` 32-bit min-hashes over word n-gram
     * shingles (murmur3 with seed = permutation index).
     *
@@ -777,17 +799,35 @@ object Dedup {
       // Eager checkpoint = the round's single materializing job; the old
       // checkpointed RDD is dereferenced here and reclaimed by the
       // ContextCleaner once GC'd (bounded by maxIter tiny label tables).
+      // The convergence counter rides the SAME job as an observed metric
+      // (CollectMetrics evaluates during the checkpoint's materialization)
+      // — no separate count job per round. coalesce: sum over an empty
+      // step (no connected vertices) is null, which must read as 0.
+      // no-arg Observation generates a unique name — CC may run several
+      // times per session (d6 and d7 both call it), and observed-metric
+      // names must not collide across live executions
+      val obs = org.apache.spark.sql.Observation()
       val step = self.union(nbr).union(sc1).union(sc2)
         .groupBy(col("__v"))
         .agg(min(col("lbl")).as("cluster_id"), max(col("old")).as("__old"))
+        .observe(obs,
+          coalesce(sum(when(col("cluster_id") =!= col("__old"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint(true)
       // The frontier is a narrow filter over the just-checkpointed step —
-      // leave it LAZY: its consumers (the count below + next round's three
-      // joins) re-run a cheap in-memory filter instead of paying a third
-      // materialization job per round.
+      // leave it LAZY: next round's three joins re-run a cheap in-memory
+      // filter instead of paying a second materialization job per round.
       frontier = step.filter(col("cluster_id") =!= col("__old"))
         .select(col("__v"), col("cluster_id"))
-      changed = frontier.count()
+      // metric delivery is listener-bus async — bounded wait, with the
+      // old count() as the (never-expected) fallback rather than a hang
+      changed = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        try Await.result(Future(obs.get.apply("changed").asInstanceOf[Long]), 30.seconds)
+        catch { case _: java.util.concurrent.TimeoutException => frontier.count() }
+      }
       labels = step.select(col("__v"), col("cluster_id"))
       i += 1
       System.err.println(s"[connectedComponents] round $i: $changed labels changed")

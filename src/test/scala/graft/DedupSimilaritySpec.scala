@@ -22,6 +22,26 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 3L)
   }
 
+  test("incrementalExact: corpus-seen dropped, within-batch first id wins, novel kept") {
+    val existing = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different content about spark and scala")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "THE  quick   brown fox jumps over the lazy dog!!"), // seen (normalized)
+      (21L, "a genuinely novel document body"),
+      (22L, "a genuinely  NOVEL document body"),                 // batch dup of 21
+      (23L, "another novel one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, existing, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(21L, 23L))
+    // idempotent: re-ingesting the survivors against corpus ∪ batch yields nothing
+    val again = Dedup.incrementalExact(
+      batch.filter($"doc_id".isin(21L, 23L)), existing.union(batch), "text", "doc_id")
+    assert(again.count() == 0)
+  }
+
   test("minhash signatures are equal for identical text, close for near-dups") {
     val sigs = docs.select($"doc_id", Dedup.minHashSignature($"text", n = 2, k = 64).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
