@@ -715,6 +715,33 @@ object TrainingQueries {
         width = 40, stride = 30)
     }),
 
+    // T21: PACK MANIFEST — the materialized form of t5's packing decision:
+    // per (lang, pack), the concatenated window text, the ordered doc ids,
+    // and each doc's token-offset boundary within the pack (what the
+    // trainer needs to mask cross-document attention). Offsets are an
+    // exclusive prefix sum inside the pack — one window over the same
+    // (group, order) shuffle the pack assignment already made.
+    "t21_pack_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text",
+          Text.tokenCountWs($"text").cast("long").as("n_tokens"))
+      val packed = Text.packSequences(docs, "lang", "doc_id", "n_tokens",
+        budget = 2048L)
+      val wPack = Window.partitionBy($"lang", $"pack_id").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      packed
+        .withColumn("offset", coalesce(sum($"n_tokens").over(wPack), lit(0L)))
+        .groupBy($"lang", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          sort_array(collect_list(struct($"doc_id", $"offset", $"text"))).as("__items"))
+        .select($"lang", $"pack_id", $"n_docs", $"total_tokens",
+          transform($"__items", x => x.getField("doc_id")).as("doc_ids"),
+          transform($"__items", x => x.getField("offset")).as("boundaries"),
+          concat_ws("\n\n", transform($"__items", x => x.getField("text"))).as("pack_text"))
+    }),
+
     // S10: Johnson–Lindenstrauss random projection 64→16 dims — the cheap
     // front end before clustering/blocking at corpus scale. The ±1 sign
     // matrix derives from md5 parity (engine-independent), so the DuckDB
@@ -808,6 +835,29 @@ object TrainingQueries {
                 CAST(least(40, n - i * 30) AS INTEGER) AS n_words,
                 array_to_string(words[(i * 30 + 1):(i * 30 + least(40, n - i * 30))], ' ') AS chunk_text
          FROM c, range(8) t(i) WHERE i < nc""",
+    "t21_pack_manifest" ->
+      """WITH d AS (
+           SELECT doc_id, lang, text,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT *, CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                     / 2048) AS BIGINT) AS pack_id
+           FROM d),
+         q AS (
+           SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang, pack_id ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM p)
+         SELECT lang, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                list(doc_id ORDER BY doc_id) AS doc_ids,
+                list(off ORDER BY doc_id) AS boundaries,
+                string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS pack_text
+         FROM q GROUP BY lang, pack_id""",
     "s10_random_projection" ->
       """WITH m AS (
            SELECT j, list(CASE WHEN strpos('02468ace', substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) > 0

@@ -287,6 +287,37 @@ object Streams {
       }
   }
 
+  case class FpDoc(doc_id: Long, fingerprint: String)
+
+  /** Streaming INCREMENTAL corpus dedup — the live-tail twin of
+    * `Dedup.incrementalExact`: state is the set of content fingerprints
+    * EVER seen (`NoTimeout` — corpus dedup state is permanent by
+    * definition, unlike [[dedupWithinWatermark]]'s bounded redelivery
+    * horizon: a duplicate document must drop no matter how much later it
+    * arrives), and exactly the first document per fingerprint is emitted
+    * (min doc_id within a micro-batch, first-batch-wins across batches —
+    * the same winner rule as the batch path). Append-mode safe.
+    *
+    * Scale: state is one boolean per distinct fingerprint, hash-partitioned
+    * by the groupByKey shuffle — RocksDB state-store territory at corpus
+    * size. Reprocessing history belongs to the batch path (d12); this
+    * operator is for keeping an already-deduped corpus clean as batches
+    * land.
+    */
+  def dedupIncremental(docs: Dataset[FpDoc]): Dataset[FpDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[Boolean, FpDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(FpDoc(it.minBy(_.doc_id).doc_id, fp))
+          }
+      }
+  }
+
   /** Drain-available-and-exit run — the cron-batch replacement. Append-mode
     * parquet file sink: correct for watermarked windowed aggregations
     * (sealed windows append) and stateless transforms. NOT for

@@ -174,6 +174,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("dedupIncremental: permanent fingerprint state dedups across micro-batch runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // batch 1: a dup within the batch (min doc_id wins)
+    Seq((11L, "fpA"), (10L, "fpA"), (20L, "fpB"))
+      .toDF("doc_id", "fingerprint").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val stream = Streams.parquetStream(spark, src, schema).as[Streams.FpDoc]
+      Streams.runAvailableNow(Streams.dedupIncremental(stream).toDF(), out, ckpt)
+    }
+    run()
+    val got1 = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got1 == Set((10L, "fpA"), (20L, "fpB")))
+    // batch 2 (separate run, same checkpoint): fpA re-arrives much later —
+    // still dropped (state has no watermark horizon); fpC is novel
+    Seq((5L, "fpA"), (30L, "fpC"))
+      .toDF("doc_id", "fingerprint").write.mode("append").parquet(src)
+    run()
+    val got2 = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got2 == Set((10L, "fpA"), (20L, "fpB"), (30L, "fpC")),
+      s"fpA must stay first-batch-wins, got $got2")
+  }
+
   test("intervalJoin pairs events within the time bound, drops out-of-window") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
     val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
