@@ -374,6 +374,28 @@ class RunnerSpec extends SparkSpec {
       s"pairwise distortion bounded: min=${ratios.min} max=${ratios.max}")
   }
 
+  test("chunkWindows: full word coverage, stride spacing, exact reconstruction") {
+    trials(6) {
+      val width = 5 + rnd.nextInt(40)
+      val stride = 1 + rnd.nextInt(width) // stride <= width, no gaps
+      val n = 1 + rnd.nextInt(150)
+      val words = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "t")
+      val chunks = graft.functions.Text.chunkWindows(df, "t", "doc_id", width, stride)
+        .orderBy("chunk_id")
+        .select("chunk_id", "start_word", "n_words", "chunk_text").collect()
+      val expected = 1 + math.ceil(math.max(0, n - width) / stride.toDouble).toInt
+      assert(chunks.length == expected, s"n=$n w=$width s=$stride")
+      // every word covered; chunk i starts at i*stride + 1; union reconstructs
+      val covered = chunks.flatMap { r =>
+        assert(r.getInt(1) == r.getInt(0) * stride + 1)
+        assert(r.getString(3).split(" ").length == r.getInt(2))
+        (r.getInt(1) until r.getInt(1) + r.getInt(2))
+      }.toSet
+      assert(covered == (1 to n).toSet, s"coverage gap: n=$n w=$width s=$stride")
+    }
+  }
+
   test("mixture weights rebalance: weighted actual shares land on the target recipe") {
     // resampling each lang with weight w_l = target_l / actual_l turns the
     // realized mix into the target mix: sum_l actual_l·w_l = 1 and each
