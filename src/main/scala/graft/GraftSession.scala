@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the
+      // bounded top-k heap) falls back to SORT-based aggregation after only
+      // 128 distinct in-memory groups by default — which re-sorts the whole
+      // candidate stream and defeats the point of a k-bounded buffer. Heap
+      // states here are tiny (k entries), so let the hash map grow.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (4 * 1024 * 1024).toString)
       // testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it as
       // LongType epoch-nanos under this flag (convert via timestamp_micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

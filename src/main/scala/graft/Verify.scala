@@ -15,6 +15,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the
+      // bounded top-k heap) falls back to SORT-based aggregation after only
+      // 128 distinct in-memory groups by default — which re-sorts the whole
+      // candidate stream and defeats the point of a k-bounded buffer. Heap
+      // states here are tiny (k entries), so let the hash map grow.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (4 * 1024 * 1024).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

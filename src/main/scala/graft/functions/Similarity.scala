@@ -31,6 +31,17 @@ object Similarity {
   /** Cosine similarity — single-pass native expression; 0.0 on zero norm. */
   def cosine(a: Column, b: Column): Column = asCol(CosineSimilarity(asExpr(a), asExpr(b)))
 
+  /** Bounded per-group top-k: keeps the k best `(score DESC, id ASC)` pairs
+    * per group INSIDE partial aggregation (map-side), so the shuffle carries
+    * `groups × k` entries instead of every candidate row — the scale
+    * replacement for `row_number().over(window) <= k` when the candidate
+    * set dwarfs the result (see [[graft.expressions.TopKPairs]]). Exact
+    * duplicates (same id and score) collapse, which absorbs multi-probe
+    * candidate duplication with no separate distinct pass. */
+  def topKPairsAgg(score: Column, id: Column, k: Int): Column =
+    asCol(graft.expressions.TopKPairs(asExpr(score), asExpr(id), k)
+      .toAggregateExpression())
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Brute-force cosine top-k neighbours for ONE query vector.
@@ -301,20 +312,23 @@ object Similarity {
       explode(probeUdf(seeds, seedNorms, memberAssign)(asDouble(col(vecCol)))).as("list_id"))
     val probes = spread.select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__qv"),
       explode(probeUdf(seeds, seedNorms, nProbe)(asDouble(col(vecCol)))).as("list_id"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cosine").desc, col("nbr_id").asc)
     val cands = probes.join(members, probes("list_id") === members("list_id") &&
         col("__qid") =!= col("__mid"))
-      .select(col("__qid").as("id"), col("__mid").as("nbr_id"),
+      .select(col("__qid").cast("long").as("id"), col("__mid").cast("long").as("nbr_id"),
         round(cosine(col("__qv"), col("__mv")), 6).as("cosine"))
-    // with multiple assignment a (query, member) pair sharing several
-    // lists matches once per list; identical rows would burn duplicate
-    // rank slots in the top-k window. memberAssign = 1 can't duplicate
-    // (each member lives in exactly one list) — skip the extra shuffle.
-    val deduped = if (memberAssign > 1) cands.dropDuplicates("id", "nbr_id") else cands
-    deduped
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // Candidates fold into k-bounded heaps DURING partial aggregation: the
+    // exchange carries <= partitions × queries × k entries, independent of
+    // how many candidate pairs the probe join generated (the window
+    // formulation instead shuffles and sorts every candidate row). The
+    // heap's exact-duplicate collapse also absorbs the (query, member)
+    // pairs that share several lists under multiple assignment — the
+    // cosine is rounded BEFORE the aggregate, so duplicates are
+    // bit-identical; no separate dropDuplicates pass.
+    cands.groupBy(col("id"))
+      .agg(topKPairsAgg(col("cosine"), col("nbr_id"), k).as("__nbrs"))
+      .select(col("id"), posexplode(col("__nbrs")).as(Seq("__r", "__e")))
+      .select(col("id"), col("__e.id").as("nbr_id"), col("__e.score").as("cosine"),
+        (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** BLOCKED embedding near-dup — the scale path for

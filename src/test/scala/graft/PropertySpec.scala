@@ -374,6 +374,34 @@ class RunnerSpec extends SparkSpec {
       s"pairwise distortion bounded: min=${ratios.min} max=${ratios.max}")
   }
 
+  test("topKPairsAgg: equals deduped window top-k; invariant to partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, posexplode, row_number}
+    trials(6) {
+      val n = 50 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(5)
+      // coarse score grid + small id range force ties AND exact duplicates
+      val rows = Seq.fill(n)((rnd.nextInt(8).toLong,
+        math.floor(rnd.nextDouble() * 20) / 20.0, rnd.nextInt(40).toLong))
+      val df = rows.toDF("g", "score", "id")
+      def run(parts: Int): Set[(Long, Long, Double, Int)] =
+        df.repartition(parts)
+          .groupBy(col("g"))
+          .agg(graft.functions.Similarity.topKPairsAgg(col("score"), col("id"), k).as("t"))
+          .select(col("g"), posexplode(col("t")).as(Seq("r", "e")))
+          .select(col("g"), col("e.id"), col("e.score"), (col("r") + 1).cast("int"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id").asc)
+      val expected = df.dropDuplicates("g", "score", "id")
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("g"), col("id"), col("score"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val one = run(1)
+      assert(one == expected, s"agg != window reference (n=$n k=$k)")
+      assert(run(7) == one, s"partitioning changed the result (n=$n k=$k)")
+    }
+  }
+
   test("chunkWindows: full word coverage, stride spacing, exact reconstruction") {
     trials(6) {
       val width = 5 + rnd.nextInt(40)
