@@ -750,10 +750,51 @@ object TrainingQueries {
     "s10_random_projection" -> ((s, dir) => {
       Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
         "embedding", inDim = 64, outDim = 16)
+    }),
+
+    // D13: end-to-end semantic dedup (SemDeDup shape): blocked kNN-graph
+    // edges ≥ 0.45 cosine → connected components → lowest-id
+    // representative per cluster; one row per vector with its cluster and
+    // keep flag. Engine-specific ANN blocking → rows-only; DedupSpec
+    // proves planted clusters are recovered exactly.
+    "d13_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, k = 5, nLists = 64, nProbe = 16,
+        trainIters = 2, memberAssign = 3)
+    }),
+
+    // S11: one distributed logistic-regression gradient step — train a
+    // quality/importance classifier in-engine (y = [label == 0], fixed
+    // deterministic init, lr 0.1). Margin is a codegen'd dot against a
+    // literal weight array; the only shuffle carries `dim` partial sums.
+    "s11_logreg_step" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.logisticGradientStep(t(s, dir, "embeddings"), "embedding",
+        when($"label" === 0, 1.0).otherwise(0.0), dim = 64,
+        w0 = j => ((j % 7) - 3) / 10.0, lr = 0.1)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s11_logreg_step" ->
+      """WITH e AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS x,
+                  CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+           FROM embeddings),
+         s AS (
+           SELECT x, y,
+                  1.0 / (1.0 + exp(-(list_reduce(
+                    list_transform(range(64), j ->
+                      ((CAST(j AS INTEGER) % 7) - 3) / 10.0 * x[CAST(j AS INTEGER) + 1]),
+                    (a, b) -> a + b)))) AS p
+           FROM e),
+         g AS (
+           SELECT CAST(j + 1 AS BIGINT) AS dim,
+                  ((CAST(j AS INTEGER) % 7) - 3) / 10.0 AS w0,
+                  round(avg((p - y) * x[CAST(j AS INTEGER) + 1]), 6) AS grad
+           FROM s, range(64) t(j)
+           GROUP BY j)
+         SELECT dim, grad, round(w0 - 0.1 * grad, 6) AS w_new FROM g""",
     "t17_pii_redact" ->
       """WITH raw AS (
            SELECT doc_id,

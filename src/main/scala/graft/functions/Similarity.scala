@@ -599,4 +599,79 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** END-TO-END semantic dedup (the SemDeDup shape): embedding near-dup
+    * EDGES from the blocked kNN graph (IVF multi-probe — never all-pairs,
+    * never a driver collect), cosine-thresholded, then connected
+    * components, then a lowest-id representative per cluster. Returns one
+    * row per input vector: (id, cluster_id, cluster_size, keep) — filter
+    * `keep` for the deduplicated corpus, or join cluster_id back for
+    * cluster-aware sampling.
+    *
+    * Every stage is the scale path of a component proven elsewhere:
+    * candidate generation is [[knnGraphBlocked]] (exchange bounded by
+    * groups × k via the heap aggregate), clustering is
+    * [[Dedup.connectedComponents]] (pointer-jumping, O(log diameter)
+    * rounds), and the final size/representative pass shuffles bare
+    * (id, cluster_id) pairs only. Recall contract: a near-dup pair missed
+    * by the ANN probe (IVF recall < 1) can split a cluster — the same
+    * contract as every blocked near-dup here; DedupSpec checks planted
+    * clusters are recovered exactly.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 5, nLists: Int = 16,
+                    nProbe: Int = 4, trainIters: Int = 0,
+                    memberAssign: Int = 1): DataFrame = {
+    val edges = knnGraphBlocked(df, idCol, vecCol, k, nLists, nProbe,
+        trainIters, memberAssign)
+      .filter(col("cosine") >= threshold)
+      // the kNN graph is directed (A's top-k may include B without the
+      // converse); CC needs each undirected edge once
+      .select(least(col("id"), col("nbr_id")).as("id_a"),
+        greatest(col("id"), col("nbr_id")).as("id_b"))
+      .distinct()
+    val clusters = Dedup.connectedComponents(
+      df.select(col(idCol).cast("long").as(idCol)), idCol,
+      edges, "id_a", "id_b")
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("__rep"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("__rep")).as("keep"))
+  }
+
+  /** One distributed logistic-regression gradient step over an embedding
+    * column — the supervised twin of the k-means step (s6): train a
+    * quality/importance classifier (fastText-style filtering, document
+    * scoring) directly inside the engine, no ML library.
+    *
+    * For weights w (given as a deterministic per-dimension init so the
+    * step is reproducible and oracle-checkable), computes per dimension j
+    *   grad_j  = avg_i (sigmoid(w·x_i) − y_i) · x_ij
+    *   w_new_j = w_j − lr · grad_j
+    * returning (dim [1-based], grad, w_new) — `iterate` by feeding w_new
+    * back in as the next init.
+    *
+    * Plan shape (the point at 100 TB): the margin w·x is a codegen'd
+    * native dot product against a LITERAL weight array (weights live in
+    * the plan, nothing broadcast), the residual is map-side, and the only
+    * shuffle carries partially-aggregated (dim, sum, count) for `dim`
+    * groups — the corpus is scanned exactly once per step and no row
+    * ever moves. Mini-batching at scale = compose with
+    * Text.hashSampleFilter, same as trainSeeds.
+    */
+  def logisticGradientStep(df: DataFrame, vecCol: String, label: Column,
+                           dim: Int, w0: Int => Double,
+                           lr: Double): DataFrame = {
+    val wLit = array((0 until dim).map(j => lit(w0(j))): _*)
+    val residual = df
+      .select(asDouble(col(vecCol)).as("__x"), label.cast("double").as("__y"))
+      .withColumn("__r", lit(1.0) / (lit(1.0) + exp(-dot(col("__x"), wLit))) - col("__y"))
+    residual
+      .select(posexplode(col("__x")).as(Seq("__pos0", "__xj")), col("__r"))
+      .groupBy((col("__pos0") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("__r") * col("__xj")), 6).as("grad"))
+      .withColumn("w_new",
+        round(element_at(wLit, col("dim").cast("int")) - lit(lr) * col("grad"), 6))
+  }
 }

@@ -182,6 +182,50 @@ class DedupSpec extends SparkSpec {
         s"t=$t: prefix-filter ${got.size} pairs vs exhaustive ${exhaustive.size}")
     }
   }
+
+  test("semanticDedup recovers planted clusters end-to-end") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cents = Array.fill(5)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val planted = scala.collection.mutable.Map[Int, Set[Long]]()
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    var id = 0L
+    for (c <- 0 until 5) {
+      val members = (0 until 3 + rnd.nextInt(3)).map { _ =>
+        val v = unit(cents(c).map(x => x + rnd.nextGaussian() * 0.02))
+        rows += ((id, v.map(_.toFloat).toSeq)); id += 1; id - 1
+      }
+      planted(c) = members.toSet
+    }
+    val singletons = (0 until 10).map { _ =>
+      rows += ((id, unit(Array.fill(dim)(rnd.nextGaussian())).map(_.toFloat).toSeq))
+      id += 1; id - 1
+    }.toSet
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    // nProbe == nLists makes the IVF probe exhaustive -> recall 1, so the
+    // blocked pipeline must recover the planted partition EXACTLY (0.02
+    // noise keeps within-cluster cosine ~0.999; cross-cluster stays well
+    // under the 0.9 threshold for this seed).
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, k = 5, nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val gotPartition = byCluster.values.filter(_.size > 1).toSet
+    assert(gotPartition == planted.values.toSet,
+      s"clusters $gotPartition != planted ${planted.values.toSet}")
+    // singletons are their own cluster and kept
+    val singleRows = got.filter(r => singletons(r._1))
+    assert(singleRows.forall(r => r._3 == 1L && r._4), "singletons must be kept, size 1")
+    // exactly one representative per cluster: the lowest id, sizes consistent
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1 && kept.head._1 == members.map(_._1).min)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
