@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Similarity, Text}
+import graft.functions.{Dedup, Prune, Similarity, Text}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * corpus tables: deduplication, text analysis, similarity search, and
@@ -16,6 +16,18 @@ object TrainingQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
+
+  /** Word-4-gram shingles of every document — shared by the
+    * decontamination pair (t11 exact join, t22 bloom pre-filter). */
+  private def shingles4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split(Text.normalize($"text"), " ").as("words"))
+      .filter(size($"words") >= 4)
+      .select($"doc_id", explode(transform(sequence(lit(0), size($"words") - 4),
+        i => concat_ws(" ", element_at($"words", i + 1), element_at($"words", i + 2),
+          element_at($"words", i + 3), element_at($"words", i + 4)))).as("shingle"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -533,17 +545,36 @@ object TrainingQueries {
     // 100 TB hash them first (xxhash64) so the exploded index is narrow.
     "t11_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val sh = t(s, dir, "documents")
-        .select($"doc_id", split(Text.normalize($"text"), " ").as("words"))
-        .filter(size($"words") >= 4)
-        .select($"doc_id", explode(transform(sequence(lit(0), size($"words") - 4),
-          i => concat_ws(" ", element_at($"words", i + 1), element_at($"words", i + 2),
-            element_at($"words", i + 3), element_at($"words", i + 4)))).as("shingle"))
+      val sh = shingles4(s, dir)
       val bench = sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct()
       sh.filter($"doc_id" % 100 =!= 0)
         .join(bench, "shingle")
         .groupBy($"doc_id")
         .agg(countDistinct($"shingle").as("n_hits"))
+    }),
+
+    // T22: Bloom-sketch decontamination — the SCALE path for T11. The
+    // benchmark's shingle set folds into a KB–MB bloom sketch (one
+    // small-side aggregate, inlined as a literal), and the corpus side is
+    // a map-side codegen'd probe + per-doc aggregate: NO shuffle of the
+    // corpus shingles at all, vs T11's shingle-keyed join. Bloom gives no
+    // false negatives, so `clean = true` is PROVEN uncontaminated; false
+    // positives only send extra docs to the exact re-check (T11) — run
+    // t22 as the 100 TB pre-filter, t11 on the flagged sliver.
+    // Sketch-dependent counts → rows-only; FunctionsSpec proves the
+    // no-false-negative contract against the exact join.
+    "t22_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles4(s, dir)
+      val bench = sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct()
+      val bloom = Prune.bloomLiteral(bench, $"shingle",
+        nItems = 100000L, nBits = 800000L)
+      sh.filter($"doc_id" % 100 =!= 0)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(Prune.mightContain(bloom, $"shingle"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .withColumn("clean", $"n_flagged" === 0)
     }),
 
     // T12: unigram-LM scoring — the perplexity-proxy quality filter: score
@@ -758,9 +789,12 @@ object TrainingQueries {
     // keep flag. Engine-specific ANN blocking → rows-only; DedupSpec
     // proves planted clusters are recovered exactly.
     "d13_semantic_dedup" -> ((s, dir) => {
+      // lighter probe than s7: edge recall only needs the HIGH-cosine
+      // pairs (threshold 0.45 is far above the corpus bulk), which
+      // multi-assignment finds with a fraction of the candidate work
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, k = 5, nLists = 64, nProbe = 16,
-        trainIters = 2, memberAssign = 3)
+        threshold = 0.45, k = 5, nLists = 64, nProbe = 8,
+        trainIters = 2, memberAssign = 2)
     }),
 
     // S11: one distributed logistic-regression gradient step — train a

@@ -32,6 +32,24 @@ class BloomSpec extends SparkSpec {
     assert(a == b, "bloom pruning must never drop a true match")
   }
 
+  test("bloom decontamination never marks a truly contaminated doc clean") {
+    val exact = SparkEntry.queries("t11_decontaminate")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet // docs with >= 1 true benchmark hit
+    val sketch = SparkEntry.queries("t22_bloom_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2) /* n_flagged */, r.getBoolean(3) /* clean */)).toMap
+    exact.foreach { id =>
+      val (flagged, clean) = sketch(id)
+      assert(flagged >= 1 && !clean,
+        s"doc $id has true contamination but the bloom pass marked it clean")
+    }
+    // the pre-filter is useful, not vacuous: most uncontaminated docs pass
+    val trulyClean = sketch.keySet -- exact
+    val fp = trulyClean.count(id => !sketch(id)._2)
+    assert(fp.toDouble / math.max(trulyClean.size, 1) < 0.1,
+      s"false-positive rate $fp/${trulyClean.size} too high for the sketch size")
+  }
+
   test("SQL surface: graft_bloom_agg scalar subquery + graft_might_contain") {
     Tables.t(spark, sfDir, "customer").createOrReplaceTempView("bloom_cust")
     Tables.t(spark, sfDir, "orders").createOrReplaceTempView("bloom_ord")
