@@ -308,14 +308,26 @@ object Similarity {
     // (where a query's neighbours sit just across Voronoi boundaries) this
     // multiplies recall at the cost of an m× larger member table, the
     // standard IVF recall knob when raising nProbe alone plateaus.
-    val members = spread.select(col(idCol).as("__mid"), asDouble(col(vecCol)).as("__mv"),
+    // Pre-normalize ONCE per row (guarding zero vectors, whose cosine
+    // contract is 0.0 — a zero vector stays zero and dots to 0): pair
+    // scoring then needs a single dot product instead of dot + two norm
+    // passes. Per-pair arithmetic is the one cost that scales with the
+    // candidate count, so a 3-passes→1-pass cut is a direct ~3× on the
+    // probe join's innermost loop.
+    def unit(v: Column): Column = {
+      val n = sqrt(dot(v, v))
+      when(n === 0.0, v).otherwise(transform(v, x => x / n))
+    }
+    val members = spread.select(col(idCol).as("__mid"),
+      unit(asDouble(col(vecCol))).as("__mv"),
       explode(probeUdf(seeds, seedNorms, memberAssign)(asDouble(col(vecCol)))).as("list_id"))
-    val probes = spread.select(col(idCol).as("__qid"), asDouble(col(vecCol)).as("__qv"),
+    val probes = spread.select(col(idCol).as("__qid"),
+      unit(asDouble(col(vecCol))).as("__qv"),
       explode(probeUdf(seeds, seedNorms, nProbe)(asDouble(col(vecCol)))).as("list_id"))
     val cands = probes.join(members, probes("list_id") === members("list_id") &&
         col("__qid") =!= col("__mid"))
       .select(col("__qid").cast("long").as("id"), col("__mid").cast("long").as("nbr_id"),
-        round(cosine(col("__qv"), col("__mv")), 6).as("cosine"))
+        round(dot(col("__qv"), col("__mv")), 6).as("cosine"))
     // Candidates fold into k-bounded heaps DURING partial aggregation: the
     // exchange carries <= partitions × queries × k entries, independent of
     // how many candidate pairs the probe join generated (the window

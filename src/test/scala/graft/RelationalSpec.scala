@@ -185,6 +185,33 @@ class SinksSpec extends SparkSpec {
     assert(a == b, "compaction preserves every row")
   }
 
+  test("writeRangeSorted: per-file key ranges are disjoint and rows sorted in-file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangesort").toString
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    Sinks.writeRangeSorted(li, dir, Seq("l_orderkey"), nRanges = 5)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perFile.length >= 2, "range write should produce multiple files")
+    // disjoint [lo, hi] intervals across files => parquet min/max stats can
+    // prune whole files for any range/point predicate on the sort key
+    val sorted = perFile.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"overlapping ranges: $a vs $b")
+      case _           =>
+    }
+    assert(spark.read.parquet(dir).count() == li.count())
+    // in-file ordering: rows of one file are ascending on the sort key
+    val oneFile = sorted.head._1
+    val rows = spark.read.parquet(dir)
+      .filter(input_file_name() === oneFile)
+      .select($"l_orderkey").collect().map(_.getLong(0))
+    assert(rows.sameElements(rows.sorted), "rows inside a file must be sorted")
+  }
+
   test("K1 dynamic partition overwrite only replaces incoming partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val day1 = Seq(("2024-01-01", "ethereum", 1.0), ("2024-01-01", "polygon", 2.0))
