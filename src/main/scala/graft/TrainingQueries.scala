@@ -783,6 +783,18 @@ object TrainingQueries {
         "embedding", inDim = 64, outDim = 16)
     }),
 
+    // G1: one PageRank power-iteration step over a supplier→part-class
+    // edge set — joins/aggs only (degrees: one src groupBy; contributions:
+    // src-keyed join then dst-keyed partial-sum agg; N derived in-plan via
+    // scalar-aggregate crossJoin, never a driver scalar).
+    "g1_pagerank_step" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("src"), ($"l_partkey" % 200).as("dst"))
+        .distinct()
+      graft.functions.Graph.pageRankStep(edges, "src", "dst", damping = 0.85)
+    }),
+
     // D13: end-to-end semantic dedup (SemDeDup shape): blocked kNN-graph
     // edges ≥ 0.45 cosine → connected components → lowest-id
     // representative per cluster; one row per vector with its cluster and
@@ -810,6 +822,21 @@ object TrainingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g1_pagerank_step" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                           CAST(l_partkey % 200 AS BIGINT) AS dst
+           FROM lineitem),
+         v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         n AS (SELECT count(*) AS n FROM v),
+         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+         r0 AS (SELECT node, 1.0 / n.n AS rank FROM v, n),
+         m AS (SELECT e.dst AS node, sum(r0.rank / deg.out_deg) AS in_mass
+               FROM e JOIN r0 ON r0.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst)
+         SELECT v.node AS node,
+                round(0.15 / n.n + 0.85 * coalesce(m.in_mass, 0), 6) AS rank
+         FROM v LEFT JOIN m ON m.node = v.node, n""",
     "s11_logreg_step" ->
       """WITH e AS (
            SELECT CAST(embedding AS DOUBLE[]) AS x,

@@ -358,4 +358,27 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(dom.toSeq == Seq("site3.org", "x.co", "example.com"))
   }
+
+  test("pageRankStep iterates: two fed-back steps match the hand-rolled power method") {
+    import graft.functions.Graph
+    // 1→2, 2→3, 3→1, 1→3 : out_deg(1)=2, out_deg(2)=1, out_deg(3)=1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L)
+    // reference: exact same recurrence with per-step 6-decimal rounding
+    var ref = nodes.map(_ -> 1.0 / 3).toMap
+    val deg = Map(1L -> 2.0, 2L -> 1.0, 3L -> 1.0)
+    val in = Map(1L -> Seq(3L), 2L -> Seq(1L), 3L -> Seq(2L, 1L))
+    (1 to 2).foreach { _ =>
+      ref = nodes.map { v =>
+        val mass = in(v).map(u => ref(u) / deg(u)).sum
+        v -> math.floor((0.15 / 3 + 0.85 * mass) * 1e6 + 0.5) / 1e6
+      }.toMap
+    }
+    val step1 = Graph.pageRankStep(edges, "src", "dst")
+    val step2 = Graph.pageRankStep(edges, "src", "dst", ranks = Some(step1))
+    val got = step2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - ref(v)) < 2e-6, s"node $v: ${got(v)} vs ${ref(v)}")
+    }
+  }
 }
