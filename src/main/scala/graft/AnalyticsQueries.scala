@@ -282,6 +282,15 @@ object AnalyticsQueries {
     // back); the flag recomputes the robust z from the 4dp-ROUNDED
     // med/mad and compares at 6dp, so the cutoff is identical across
     // engines' percentile-interpolation ulps.
+    // W15: time-weighted average — holding-duration weights for
+    // irregularly-sampled series (ts is the parquet-nanos long; durations
+    // are ns deltas to the next observation). One key-window + one
+    // key-grouped aggregate: the single-shuffle W-family shape.
+    "w15_twap" -> ((s, dir) => {
+      graft.operators.Temporal.timeWeightedAvg(t(s, dir, "events"),
+        Seq("user_id"), "ts", "value", tieCols = Seq("event_id"))
+    }),
+
     "w14_mad_outliers" -> ((s, dir) => {
       import s.implicits._
       val scored = graft.functions.Stats.robustOutliers(
@@ -508,6 +517,18 @@ object AnalyticsQueries {
                         4) AS zscore
            FROM events)
          SELECT event_id, user_id, zscore FROM z WHERE abs(zscore) > 2.0""",
+    "w15_twap" ->
+      """WITH x AS (
+           SELECT user_id, epoch_ns(ts) AS tn, value, event_id FROM events),
+         d AS (
+           SELECT user_id, value,
+                  CAST(lead(tn) OVER (PARTITION BY user_id
+                         ORDER BY tn, event_id) - tn AS DOUBLE) AS dur
+           FROM x),
+         g AS (
+           SELECT user_id, sum(value * dur) AS num, sum(dur) AS den
+           FROM d WHERE dur IS NOT NULL GROUP BY user_id)
+         SELECT user_id, round(num / den, 6) AS twap FROM g WHERE den > 0""",
     "w14_mad_outliers" ->
       """WITH med AS (
            SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med

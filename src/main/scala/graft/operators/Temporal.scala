@@ -136,4 +136,32 @@ object Temporal {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Time-weighted average (TWAP shape): each observation is weighted by
+    * its HOLDING duration — the time until the key's next observation —
+    * so irregularly-sampled series average correctly (a price held for an
+    * hour counts 60× one held for a minute; a plain avg() overweights
+    * bursts). The final open-ended observation carries no weight; keys
+    * whose observations all share one timestamp (zero total duration)
+    * are dropped rather than returning 0/0.
+    *
+    * One window (single exchange on the key) for the durations, then a
+    * key-grouped partial-sum aggregate — same single-shuffle shape as
+    * the W-family lead/lag ops. `tieCols` break equal-timestamp ordering
+    * deterministically.
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String,
+                      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+    df.withColumn("__dur",
+        (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("double"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol) * col("__dur")).as("__num"),
+        sum(col("__dur")).as("__den"))
+      .filter(col("__den") > 0)
+      .select(keys.map(col) :+ round(col("__num") / col("__den"), 6).as("twap"): _*)
+  }
 }
