@@ -44,6 +44,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    var sinceGc = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
@@ -53,6 +54,19 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  ($n rows)")
+      // Cross-query hygiene (r7 lesson: the official number inflated 3×
+      // from interference that a clean rerun didn't reproduce). Each timed
+      // query starts from a clean slate: drop any cached plans the query
+      // left behind, unpersist leftover RDDs (dedup drivers persist
+      // intermediates; localCheckpoint blocks otherwise wait on the
+      // ContextCleaner's weak-reference queue), and periodically force a
+      // full GC so BlockManager memory is actually reclaimed rather than
+      // accumulating until an allocation stall lands inside a later
+      // query's timed region.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 20) { sinceGc = 0; System.gc() }
       name -> dt
     }.toMap
     // The driver captures only the final 2000 bytes of output, and sbt's

@@ -767,9 +767,12 @@ object TrainingQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens").as("total_tokens"),
           sort_array(collect_list(struct($"doc_id", $"offset", $"text"))).as("__items"))
+        // doc_ids/boundaries as comma-joined strings (a4_collect_list idiom):
+        // the external oracle compare sorts cells in pandas, which cannot
+        // hash array-valued cells — scalar columns only in checked outputs.
         .select($"lang", $"pack_id", $"n_docs", $"total_tokens",
-          transform($"__items", x => x.getField("doc_id")).as("doc_ids"),
-          transform($"__items", x => x.getField("offset")).as("boundaries"),
+          concat_ws(",", transform($"__items", x => x.getField("doc_id"))).as("doc_ids"),
+          concat_ws(",", transform($"__items", x => x.getField("offset"))).as("boundaries"),
           concat_ws("\n\n", transform($"__items", x => x.getField("text"))).as("pack_text"))
     }),
 
@@ -778,9 +781,13 @@ object TrainingQueries {
     // matrix derives from md5 parity (engine-independent), so the DuckDB
     // oracle recomputes the identical matrix and the check is exact;
     // the projection itself is map-side codegen'd Catalyst (zero shuffle).
+    // Checked in LONG form (vec_id, pos, value) — posexplode is a narrow
+    // generate, and the oracle compare requires scalar cells (see t21).
     "s10_random_projection" -> ((s, dir) => {
+      import s.implicits._
       Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
         "embedding", inDim = 64, outDim = 16)
+        .select($"vec_id", posexplode($"proj").as(Seq("pos", "value")))
     }),
 
     // G1: one PageRank power-iteration step over a supplier→part-class
@@ -956,8 +963,8 @@ object TrainingQueries {
            FROM p)
          SELECT lang, pack_id, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                list(doc_id ORDER BY doc_id) AS doc_ids,
-                list(off ORDER BY doc_id) AS boundaries,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+                array_to_string(list(off ORDER BY doc_id), ',') AS boundaries,
                 string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS pack_text
          FROM q GROUP BY lang, pack_id""",
     "s10_random_projection" ->
@@ -971,7 +978,7 @@ object TrainingQueries {
                   round(list_reduce(list_transform(range(64), k -> CAST(e.embedding[k+1] AS DOUBLE) * m.signs[k+1]),
                                     (acc, x) -> acc + x) / sqrt(16.0), 6) AS v
            FROM embeddings e CROSS JOIN m)
-         SELECT vec_id, list(v ORDER BY j) AS proj FROM p GROUP BY vec_id""",
+         SELECT vec_id, CAST(j AS INTEGER) AS pos, v AS value FROM p""",
     "d9_prefix_filter_pairs" ->
       """WITH w AS (
            SELECT doc_id,

@@ -52,8 +52,28 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's oracle compare sorts cells in pandas, which cannot
+        // hash array/map/struct cells (r7: s10/t21 errored on exactly
+        // this). Fail FAST here on any non-scalar column in an
+        // oracle-checked output instead of silently shipping a query the
+        // gate will mark `err`. Rows-only (no_oracle) outputs are exempt —
+        // the driver only counts their rows.
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          val bad = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[ArrayType] ||
+                      f.dataType.isInstanceOf[MapType] ||
+                      f.dataType.isInstanceOf[StructType] =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          require(bad.isEmpty, s"oracle-checked query $name emits non-scalar " +
+            s"column(s) ${bad.mkString(", ")} — the driver's pandas compare " +
+            "cannot hash array cells; emit long-form rows or concat_ws strings")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

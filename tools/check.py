@@ -43,16 +43,10 @@ for name in sorted(oracle):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}")
             n_fail += 1
             continue
-        # list/ndarray cells (array columns) are unhashable/unsortable in
-        # pandas — canonicalize to tuples so sort_values and == work
-        import numpy as np
-        def _tup(df):
-            for c in df.columns:
-                if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-                    df[c] = df[c].map(
-                        lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-            return df
-        got, exp = _tup(got), _tup(exp)
+        # NOTE: deliberately NO canonicalization of array cells here — the
+        # external driver's compare chokes on them (r7: s10/t21), so this
+        # replica must too; Verify.scala now rejects non-scalar columns in
+        # oracle-checked outputs before they ever reach a compare.
         got = got.sort_values(g_cols).reset_index(drop=True)
         exp = exp.sort_values(g_cols).reset_index(drop=True)
         # normalize dtypes for compare (duckdb may give int32/category etc.)
