@@ -567,8 +567,21 @@ object TrainingQueries {
       import s.implicits._
       val sh = shingles4(s, dir)
       val bench = sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct()
+      // Size the sketch FROM THE DATA: a fixed nItems silently degrades
+      // toward FP→1 the moment the benchmark outgrows the assumption,
+      // turning the pre-filter vacuous (every doc flagged). The count is
+      // one small-side job over the already-distinct benchmark shingles —
+      // the side that is sublinear in corpus size by construction. The
+      // budget is 24 bits/item, NOT the textbook 8–10: the unit of
+      // decision is the DOC, which probes one shingle per position, so
+      // doc-level FP ≈ shingles_per_doc × per-shingle FP. 24 bits/item
+      // (k≈17 derived by Spark from the ratio) gives per-shingle FP
+      // ≈ 1e-5 — docs of up to ~10^4 shingles stay under ~10% spurious
+      // flagging, and the sketch is still KBs per million benchmark
+      // shingles.
+      val nBench = math.max(1L, bench.count())
       val bloom = Prune.bloomLiteral(bench, $"shingle",
-        nItems = 100000L, nBits = 800000L)
+        nItems = nBench, nBits = math.max(1024L, 24L * nBench))
       sh.filter($"doc_id" % 100 =!= 0)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shingles"),

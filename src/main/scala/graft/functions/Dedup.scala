@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Run `body` (an EAGER, self-contained materialization) with AQE
-    * disabled, restoring the prior setting afterwards. AQE turns every
+  /** Rebind `df` onto a fresh ISOLATED child session (`spark.newSession()`:
+    * shared SparkContext + shared cache manager, private SQLConf) with AQE
+    * disabled — so the eager materializations inside the dedup drivers run
+    * AQE-free WITHOUT mutating the caller's session conf. AQE turns every
     * shuffle/broadcast stage into its own materialization job, each with
     * fresh per-stage planning and codegen — across a pipeline of many
     * small stages that fixed per-job cost dominates (measured 22 s vs
@@ -33,20 +35,27 @@ object Dedup {
     * narrow id tables. Lazy return paths are left untouched — a caller
     * embedding them in a larger scan-heavy plan keeps AQE's benefits.
     *
-    * CONCURRENCY CAVEAT: this mutates the SESSION-scoped conf — any query
-    * running concurrently on the same SparkSession loses AQE for the
-    * duration, and overlapping scopes on different threads can race the
-    * restore. The dedup drivers assume one pipeline per session at a time
-    * (the batch-job model they're built for); a multi-tenant session
-    * should give each concurrent pipeline its own `spark.newSession()`
-    * (shared SparkContext + cache, isolated SQLConf) and build the input
-    * DataFrames from that session.
+    * Concurrency: safe. Each call gets its own session, so concurrent
+    * pipelines on one SparkSession (d2 + d6 on different threads, a
+    * multi-tenant notebook) never see each other's conf and the caller's
+    * AQE setting is never touched (DedupSpec pins this). Persisted child
+    * plans are matched by canonical form in the SHARED cache manager, so
+    * a cache filled through the isolated session serves the caller too.
     */
-  private def withoutAqe[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+  private def noAqe(df: DataFrame): DataFrame = {
+    val iso = df.sparkSession.newSession()
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    org.apache.spark.sql.GraftColumns.rebind(df, iso)
+  }
+
+  /** Eagerly localCheckpoint `df` with AQE scoped off on an isolated child
+    * session (see [[noAqe]]), returning the materialized result REBOUND to
+    * the caller's session — downstream composition stays single-session
+    * and the checkpointed LogicalRDD carries no trace of the child. */
+  private def checkpointNoAqe(df: DataFrame): DataFrame = {
+    val caller = df.sparkSession
+    org.apache.spark.sql.GraftColumns.rebind(
+      noAqe(df).localCheckpoint(true), caller)
   }
 
   /** Fan a narrow input out to the session's default parallelism before
@@ -194,9 +203,7 @@ object Dedup {
         // NOT deduplicated across jobs that start before the first fill
         // lands — every one of them would re-run the scan+tokenize+minhash
         // pass in parallel. One foreachPartition job pins the cache first.
-        withoutAqe(df.sparkSession) {
-          cached.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-        }
+        noAqe(cached).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
         cached
       } else withSig0
     // Bucket join carries ONLY (id, band, band_hash): candidate pairs are
@@ -244,8 +251,8 @@ object Dedup {
       // Materialize the (small) verified pair set, then RELEASE the cached
       // signature table — otherwise it leaks into the session cache for
       // every call with reuseSignatures = true. AQE is scoped OFF for the
-      // materialization (see withoutAqe).
-      val out = withoutAqe(df.sparkSession) { verified.localCheckpoint(true) }
+      // materialization (see noAqe).
+      val out = checkpointNoAqe(verified)
       withSig.unpersist()
       out
     }
@@ -614,9 +621,7 @@ object Dedup {
     val ordered =
       if (reuseIndex) {
         val cached = ordered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        withoutAqe(df.sparkSession) {
-          cached.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-        }
+        noAqe(cached).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
         cached
       } else ordered0
     // ceil/≤ with an epsilon guard: when t·n is mathematically integral the
@@ -667,7 +672,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     if (!reuseIndex) verified
     else {
-      val out = withoutAqe(df.sparkSession) { verified.localCheckpoint(true) }
+      val out = checkpointNoAqe(verified)
       ordered.unpersist()
       out
     }
@@ -747,7 +752,11 @@ object Dedup {
     // label tables, where AQE's per-stage materialization jobs only
     // multiply fixed per-job cost — so the loop runs with it scoped off.
     und.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-    withoutAqe(vertices.sparkSession) {
+    // The whole label loop runs on an ISOLATED AQE-off child session (see
+    // noAqe): rebinding the persisted edge table moves only the plan
+    // pointer — the shared cache manager serves the just-filled cache to
+    // the child session by canonical-plan match.
+    val undI = noAqe(und)
     // Labels for connected vertices only, SEEDED with min(v, min neighbour):
     // the same single shuffle a bare distinct() would cost, but it folds the
     // first propagation hop into initialization — one fewer loop round. The
@@ -755,7 +764,7 @@ object Dedup {
     // on __v as a flat LogicalRDD — the same shape every later round
     // produces. (Every endpoint appears as dst because `und` holds both
     // directions, so this covers all connected vertices.)
-    var labels = und.select(col("dst").as("__v"), col("src"))
+    var labels = undI.select(col("dst").as("__v"), col("src"))
       .groupBy(col("__v"))
       .agg(min(col("src")).as("__mn"))
       .select(col("__v"), least(col("__v"), col("__mn")).as("cluster_id"))
@@ -783,7 +792,7 @@ object Dedup {
       val self = labels.select(col("__v"), col("cluster_id").as("lbl"),
         col("cluster_id").as("old"))
       val oldType = self.schema("old").dataType
-      val nbr = und.join(frontier, col("dst") === col("__v"))
+      val nbr = undI.join(frontier, col("dst") === col("__v"))
         .select(col("src").as("__v"), col("cluster_id").as("lbl"),
           lit(null).cast(oldType).as("old"))
       val sc1 = frontier.as("x")
@@ -819,13 +828,15 @@ object Dedup {
       // filter instead of paying a second materialization job per round.
       frontier = step.filter(col("cluster_id") =!= col("__old"))
         .select(col("__v"), col("cluster_id"))
-      // metric delivery is listener-bus async — bounded wait, with the
-      // old count() as the (never-expected) fallback rather than a hang
+      // metric delivery is listener-bus async — bounded wait on the
+      // Observation's OWN future (no spawned thread: a Future wrapping the
+      // blocking get would leak one permanently-parked global-EC thread
+      // per timeout), with the old count() as the (never-expected)
+      // fallback rather than a hang
       changed = {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Await
         import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        try Await.result(Future(obs.get.apply("changed").asInstanceOf[Long]), 30.seconds)
+        try Await.result(obs.future, 30.seconds).getAs[Long]("changed")
         catch { case _: java.util.concurrent.TimeoutException => frontier.count() }
       }
       labels = step.select(col("__v"), col("cluster_id"))
@@ -842,13 +853,14 @@ object Dedup {
     // Stitch isolated vertices back (their own id is their cluster), detach
     // from the iterative lineage (localCheckpoint materializes), then
     // release the edge cache so nothing leaks into the session cache for
-    // long-lived sessions.
+    // long-lived sessions. Built on the CALLER's session — `labels` is a
+    // checkpointed LogicalRDD by now, so no child-session state leaks into
+    // the returned plan.
     val result = vertices.select(col(idCol))
       .join(labels.withColumnRenamed("__v", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .localCheckpoint(true)
     und.unpersist()
     result
-    }
   }
 }

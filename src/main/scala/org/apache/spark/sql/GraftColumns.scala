@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rebind a DataFrame's analyzed logical plan onto another session of the
+    * SAME SparkContext (`spark.newSession()`), so a pipeline can run under
+    * isolated SQLConf (e.g. AQE scoped off) without mutating the caller's
+    * session — the shared cache manager still recognizes persisted child
+    * plans by canonical form, so cached inputs stay cached. This is the
+    * `Dataset.ofRows` seam every multi-session Spark library uses; only the
+    * plan pointer moves, nothing is re-executed.
+    */
+  def rebind(df: DataFrame, target: SparkSession): DataFrame =
+    classic.Dataset.ofRows(
+      target.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.logical)
 }

@@ -94,6 +94,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("concurrent pipelines never mutate the caller's AQE conf (isolated child sessions)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    val vertices = (1L to 9L).toDF("doc_id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    // d2-shaped and d6-shaped pipelines on the SAME SparkSession, racing:
+    // with the old session-conf mutation one pipeline could observe (or
+    // clobber) the other's AQE toggle; with per-call child sessions the
+    // caller conf must read unchanged at every sample point.
+    val fLsh = Future(Dedup.nearDupMinhashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet)
+    val fCc = Future(Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    var samples = List.empty[String]
+    while (!(fLsh.isCompleted && fCc.isCompleted)) {
+      samples ::= spark.conf.get(key)
+      Thread.sleep(20)
+    }
+    val pairs = Await.result(fLsh, 2.minutes)
+    val cc = Await.result(fCc, 2.minutes)
+    assert(samples.forall(_ == before), s"caller AQE conf flickered: ${samples.distinct}")
+    assert(spark.conf.get(key) == before)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("connectedComponents throws instead of returning split components") {
     // a 6-chain has diameter 5 — maxIter = 2 cannot converge; silently
     // returning would split the component into multiple cluster labels
