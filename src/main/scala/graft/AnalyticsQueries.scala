@@ -61,23 +61,33 @@ object AnalyticsQueries {
     // A13: HLL cardinality sketch vs exact — the 100 TB distinct-count
     // path: approx_count_distinct is a fixed-size mergeable sketch (no
     // per-key state explosion, single map-side-combinable aggregate),
-    // where countDistinct shuffles every distinct key. Engine-specific
-    // estimates → rows-only driver check; AnalyticsSpec asserts the
-    // estimate lands within HLL++ error of the exact twin.
+    // where countDistinct shuffles every distinct key. The raw estimate
+    // is engine-specific, so the DRIVER-CHECKED output is the exact twin
+    // plus the error-bound VERDICT (|approx − exact| ≤ 3·rsd·exact,
+    // computed in-plan): the oracle emits `true`, so any out-of-bound
+    // estimate fails the hash compare — the sketch's accuracy contract
+    // itself is what's gate-verified (upgraded from rows-only, round 8).
     "a13_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
              countDistinct($"l_orderkey").as("exact_orders"))
+        .select($"l_returnflag", $"exact_orders",
+          (abs($"approx_orders" - $"exact_orders") <=
+            $"exact_orders" * lit(0.06)).as("within_bound"))
     }),
 
     // A20: count-min sketch probe — the frequency twin of a13's HLL: one
     // sublinear mergeable sketch over the full fact table, then the
     // heavy-hitter keys are estimated from the sketch and checked against
-    // their exact counts (CMS never undercounts — the filter is a
-    // structural invariant, not a tolerance). Engine-specific sketch →
-    // rows-only; AnalyticsSpec pins the merge linearity + error bound.
+    // their exact counts. The estimates are sketch-internal, so the
+    // DRIVER-CHECKED output carries the exact counts plus both contract
+    // VERDICTS in-plan — never_undercount (structural: CMS can only
+    // overcount) and within_eps (overcount ≤ eps·N, N derived in-plan) —
+    // against an oracle that emits `true`/`true`: a violated bound fails
+    // the hash compare (upgraded from rows-only, round 8; merge linearity
+    // stays in AnalyticsSpec).
     "a20_countmin_probe" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -95,8 +105,10 @@ object AnalyticsQueries {
       li.groupBy($"l_suppkey").agg(count(lit(1)).as("exact"))
         .orderBy($"exact".desc, $"l_suppkey".asc).limit(20)
         .withColumn("cms_est", est($"l_suppkey"))
-        .filter($"cms_est" >= $"exact")
-        .withColumn("overcount", $"cms_est" - $"exact")
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("__n"))))
+        .select($"l_suppkey", $"exact",
+          ($"cms_est" >= $"exact").as("never_undercount"),
+          ($"cms_est" - $"exact" <= ceil($"__n" * lit(1e-4))).as("within_eps"))
     }),
 
     // W8: cumulative running aggregates + 3-row moving average (the
@@ -381,6 +393,18 @@ object AnalyticsQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a13_approx_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                true AS within_bound
+         FROM lineitem GROUP BY l_returnflag""",
+    "a20_countmin_probe" ->
+      """SELECT l_suppkey, exact,
+                true AS never_undercount,
+                true AS within_eps
+         FROM (SELECT l_suppkey, count(*) AS exact
+               FROM lineitem GROUP BY l_suppkey
+               ORDER BY exact DESC, l_suppkey ASC LIMIT 20)""",
     "a19_welford_udaf" ->
       """SELECT l_returnflag,
                 round(avg(l_extendedprice), 4) AS mean_price,

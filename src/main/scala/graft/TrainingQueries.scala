@@ -838,10 +838,152 @@ object TrainingQueries {
       Similarity.logisticGradientStep(t(s, dir, "embeddings"), "embedding",
         when($"label" === 0, 1.0).otherwise(0.0), dim = 64,
         w0 = j => ((j % 7) - 3) / 10.0, lr = 0.1)
+    }),
+
+    // G2: PageRank run THREE power iterations by the loop driver — the
+    // multi-round face of g1, oracle-checked against DuckDB's unrolled
+    // 3-step closure. Vertices/N/degrees are hoisted and materialized
+    // once; per-round ranks round to 1e-6 on both engines, so the
+    // iterated fixpoint is exactly hash-comparable.
+    "g2_pagerank_iter" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("src"), ($"l_partkey" % 200).as("dst"))
+        .distinct()
+      graft.functions.Graph.pageRank(edges, "src", "dst", iters = 3)
+    }),
+
+    // S12: k-means TRAINED two strict-Lloyd rounds (Euclidean argmin +
+    // mean update) by the loop driver — the multi-round face of s6,
+    // oracle-checked against DuckDB's unrolled closure. Centroids round
+    // to 1e-6 after every update on both engines, so Voronoi boundaries
+    // cannot drift between engines across iterations; distances fold j
+    // ascending on both, so assignment ties break identically. Output in
+    // long form (list_id, pos, c) for the scalar-cell compare.
+    "s12_kmeans_train" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, roundTo = 6)
+        .select($"list_id",
+          posexplode($"centroid").as(Seq("pos0", "c")))
+        .select($"list_id", ($"pos0" + 1).cast("long").as("pos"), $"c")
+    }),
+
+    // S13: logistic regression TRAINED three full-batch gradient steps by
+    // the loop driver — the multi-round face of s11, oracle-checked
+    // against DuckDB's unrolled closure. The update is branch-free, so
+    // per-round weight rounding (1e-6, both engines) is sufficient to
+    // keep the engines in lockstep; the corpus is scanned once per round
+    // and only `dim` doubles ever reach the driver.
+    "s13_logreg_train" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.logisticRegression(t(s, dir, "embeddings"), "embedding",
+        when($"label" === 0, 1.0).otherwise(0.0), dim = 64,
+        w0 = j => ((j % 7) - 3) / 10.0, lr = 0.1, iters = 3, roundTo = 6)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "g2_pagerank_iter" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                           CAST(l_partkey % 200 AS BIGINT) AS dst
+           FROM lineitem),
+         v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         n AS (SELECT count(*) AS n FROM v),
+         deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM v, n),
+         m1 AS (SELECT e.dst AS node, sum(r0.rank / deg.out_deg) AS im
+                FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst),
+         r1 AS (SELECT v.node,
+                       round(CAST(0.15 AS DOUBLE) / n.n + 0.85 * coalesce(m1.im, 0), 6) AS rank
+                FROM v LEFT JOIN m1 ON m1.node = v.node, n),
+         m2 AS (SELECT e.dst AS node, sum(r1.rank / deg.out_deg) AS im
+                FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst),
+         r2 AS (SELECT v.node,
+                       round(CAST(0.15 AS DOUBLE) / n.n + 0.85 * coalesce(m2.im, 0), 6) AS rank
+                FROM v LEFT JOIN m2 ON m2.node = v.node, n),
+         m3 AS (SELECT e.dst AS node, sum(r2.rank / deg.out_deg) AS im
+                FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+                GROUP BY e.dst),
+         r3 AS (SELECT v.node,
+                       round(CAST(0.15 AS DOUBLE) / n.n + 0.85 * coalesce(m3.im, 0), 6) AS rank
+                FROM v LEFT JOIN m3 ON m3.node = v.node, n)
+         SELECT node, rank FROM r3""",
+    "s12_kmeans_train" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id,
+                       list_transform(x, e -> round(e, 6)) AS c
+                FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 8)),
+         d1 AS (SELECT v.vec_id, c0.list_id,
+                       list_reduce(list_transform(range(64),
+                         j -> (x[CAST(j AS INT) + 1] - c[CAST(j AS INT) + 1])
+                                * (x[CAST(j AS INT) + 1] - c[CAST(j AS INT) + 1])),
+                         (a, b) -> a + b) AS dist
+                FROM v CROSS JOIN c0),
+         a1 AS (SELECT vec_id, list_id FROM (
+                  SELECT vec_id, list_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+                  FROM d1) WHERE rn = 1),
+         p1 AS (SELECT a1.list_id, CAST(j AS BIGINT) + 1 AS pos,
+                       round(avg(x[CAST(j AS INT) + 1]), 6) AS mv
+                FROM a1 JOIN v USING (vec_id), range(64) t(j)
+                GROUP BY a1.list_id, j),
+         c1 AS (SELECT list_id, list(mv ORDER BY pos) AS c FROM p1 GROUP BY list_id),
+         c1f AS (SELECT c0.list_id, coalesce(c1.c, c0.c) AS c
+                 FROM c0 LEFT JOIN c1 USING (list_id)),
+         d2 AS (SELECT v.vec_id, c1f.list_id,
+                       list_reduce(list_transform(range(64),
+                         j -> (x[CAST(j AS INT) + 1] - c[CAST(j AS INT) + 1])
+                                * (x[CAST(j AS INT) + 1] - c[CAST(j AS INT) + 1])),
+                         (a, b) -> a + b) AS dist
+                FROM v CROSS JOIN c1f),
+         a2 AS (SELECT vec_id, list_id FROM (
+                  SELECT vec_id, list_id,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+                  FROM d2) WHERE rn = 1),
+         p2 AS (SELECT a2.list_id, CAST(j AS BIGINT) + 1 AS pos,
+                       round(avg(x[CAST(j AS INT) + 1]), 6) AS mv
+                FROM a2 JOIN v USING (vec_id), range(64) t(j)
+                GROUP BY a2.list_id, j),
+         c2 AS (SELECT list_id, list(mv ORDER BY pos) AS c FROM p2 GROUP BY list_id),
+         c2f AS (SELECT c1f.list_id, coalesce(c2.c, c1f.c) AS c
+                 FROM c1f LEFT JOIN c2 USING (list_id))
+         SELECT list_id, CAST(j AS BIGINT) + 1 AS pos, c[CAST(j AS INT) + 1] AS c
+         FROM c2f, range(64) t(j)""",
+    "s13_logreg_train" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                           CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+                    FROM embeddings),
+         xl AS (SELECT vec_id, y, CAST(j AS BIGINT) + 1 AS dim,
+                        x[CAST(j AS INT) + 1] AS xj
+                FROM e, range(64) t(j)),
+         w0 AS (SELECT CAST(j AS BIGINT) + 1 AS dim,
+                       CAST((CAST(j AS INT) % 7) - 3 AS DOUBLE) / 10.0 AS w
+                FROM range(64) t(j)),
+         m1 AS (SELECT xl.vec_id, any_value(xl.y) AS y, sum(w0.w * xl.xj) AS mg
+                FROM xl JOIN w0 USING (dim) GROUP BY xl.vec_id),
+         r1 AS (SELECT vec_id, 1.0 / (1.0 + exp(-mg)) - y AS r FROM m1),
+         g1 AS (SELECT xl.dim, avg(r1.r * xl.xj) AS g
+                FROM xl JOIN r1 USING (vec_id) GROUP BY xl.dim),
+         w1 AS (SELECT w0.dim, round(w0.w - 0.1 * g1.g, 6) AS w
+                FROM w0 JOIN g1 USING (dim)),
+         m2 AS (SELECT xl.vec_id, any_value(xl.y) AS y, sum(w1.w * xl.xj) AS mg
+                FROM xl JOIN w1 USING (dim) GROUP BY xl.vec_id),
+         r2 AS (SELECT vec_id, 1.0 / (1.0 + exp(-mg)) - y AS r FROM m2),
+         g2 AS (SELECT xl.dim, avg(r2.r * xl.xj) AS g
+                FROM xl JOIN r2 USING (vec_id) GROUP BY xl.dim),
+         w2 AS (SELECT w1.dim, round(w1.w - 0.1 * g2.g, 6) AS w
+                FROM w1 JOIN g2 USING (dim)),
+         m3 AS (SELECT xl.vec_id, any_value(xl.y) AS y, sum(w2.w * xl.xj) AS mg
+                FROM xl JOIN w2 USING (dim) GROUP BY xl.vec_id),
+         r3 AS (SELECT vec_id, 1.0 / (1.0 + exp(-mg)) - y AS r FROM m3),
+         g3 AS (SELECT xl.dim, avg(r3.r * xl.xj) AS g
+                FROM xl JOIN r3 USING (vec_id) GROUP BY xl.dim),
+         w3 AS (SELECT w2.dim, round(w2.w - 0.1 * g3.g, 6) AS w
+                FROM w2 JOIN g3 USING (dim))
+         SELECT dim, w FROM w3""",
     "g1_pagerank_step" ->
       """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
                            CAST(l_partkey % 200 AS BIGINT) AS dst

@@ -234,24 +234,146 @@ object Similarity {
     * corpus is only ever scanned by the final map-side assignment. */
   private def trainSeeds(corpus: DataFrame, idCol: String, vecCol: String,
                          nLists: Int, iters: Int): (Array[Array[Double]], Array[Double]) = {
-    var (seeds, norms) = collectSeeds(corpus, idCol, vecCol, nLists)
+    // Persist the narrow (id, vec) projection across iterations: every
+    // Lloyd step plus the seeding pass re-reads it, and without a persist
+    // each pass re-runs the full corpus scan + cast through lineage (the
+    // pqTrain sub-vector trade, round 7).
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vecs = corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .persist(MEMORY_AND_DISK)
+    var seeds: Array[Array[Double]] = vecs.orderBy(col("__id")).limit(nLists)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    var norms = seeds.map(normOf)
     var it = 0
     while (it < iters) {
-      val updated = corpus
-        .select(probeUdf(seeds, norms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"),
-          posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v")).as("mean_v"))
-        .groupBy(col("list_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("mean_v")))).as("pts"))
-        .select(col("list_id"), col("pts.mean_v").as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val updated = lloydUpdate(vecs.select(
+        probeUdf(seeds, norms, 1)(col("__v")).getItem(0).as("list_id"),
+        posexplode(col("__v")).as(Seq("pos", "v"))))
       seeds = Array.tabulate(seeds.length)(c => updated.getOrElse(c + 1, seeds(c)))
       norms = seeds.map(normOf)
       it += 1
     }
+    vecs.unpersist()
     (seeds, norms)
+  }
+
+  /** One distributed Lloyd mean-update: (list_id, pos, v) rows in → the
+    * per-list element-wise mean centroids out, collected as a
+    * nLists × dim map (the only driver-side data in the k-means family). */
+  private def lloydUpdate(assigned: DataFrame): Map[Int, Array[Double]] =
+    assigned
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("list_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean_v")))).as("pts"))
+      .select(col("list_id"), col("pts.mean_v").as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+
+  /** Map-side nearest-centroid assignment by SQUARED EUCLIDEAN distance
+    * (ties → lowest 1-based list id) — the strict-Lloyd twin of
+    * [[probeUdf]]'s cosine assignment: Euclidean argmin + mean update is
+    * the pair for which Lloyd's monotone-MSE guarantee actually holds
+    * (cosine argmin + mean does not minimize any single objective). The
+    * distance loop runs j ascending, so the fold order — and therefore
+    * boundary ties — is bit-identical to an engine that evaluates the
+    * same sequential sum, which is what lets a multi-iteration run be
+    * hash-compared against an unrolled SQL oracle. */
+  private def euclidUdf(seeds: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      val x = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < seeds.length) {
+        val cv = seeds(c)
+        var d = 0.0
+        val n = math.min(x.length, cv.length)
+        var j = 0
+        while (j < n) { val t = x(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best + 1
+    })
+
+  /** K-MEANS TRAINING DRIVER — `iters` strict Lloyd rounds (Euclidean
+    * argmin assignment + element-wise mean update) over an embedding
+    * column, returning the final (list_id [1-based], centroid) table.
+    * The multi-iteration face of the s6 single step, with the loop
+    * discipline of connectedComponents/pageRank:
+    *
+    *   - the narrow (id, vec) projection is persisted ONCE; every
+    *     iteration is one cached-columnar pass (assignment is map-side
+    *     against literal centroids, the only shuffle carries
+    *     (list, pos) partial means — nLists × dim groups);
+    *   - only the nLists × dim centroid table ever reaches the driver
+    *     (once per iteration), same size class as the IVF seed collect;
+    *   - empty lists keep their previous centroid (standard Lloyd
+    *     degeneracy handling, matches trainSeeds);
+    *   - `roundTo` ≥ 0 rounds centroids to that many decimals after
+    *     every update — opt-in determinism for cross-engine oracle
+    *     comparison (assignment then sees identical centroids on both
+    *     engines, so Voronoi boundaries can't drift between iterations).
+    *
+    * Monotonicity (SimilaritySpec): the quantization MSE of the returned
+    * centroids never increases with `iters`. At 100 TB: train on a
+    * deterministic hash-sample (Text.hashSampleFilter) — centroids
+    * converge on a sample; only a final single-pass assignment needs the
+    * full corpus.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  iters: Int, roundTo: Int = -1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vecs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .persist(MEMORY_AND_DISK)
+    var seeds: Array[Array[Double]] = vecs.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    def maybeRound(c: Array[Double]): Array[Double] =
+      if (roundTo < 0) c
+      else c.map(x => BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    seeds = seeds.map(maybeRound)
+    var it = 0
+    while (it < iters) {
+      val updated = lloydUpdate(vecs.select(
+        euclidUdf(seeds)(col("__v")).as("list_id"),
+        posexplode(col("__v")).as(Seq("pos", "v"))))
+      seeds = Array.tabulate(seeds.length)(c =>
+        updated.get(c + 1).map(maybeRound).getOrElse(seeds(c)))
+      it += 1
+    }
+    vecs.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    seeds.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toIndexedSeq) }
+      .toDF("list_id", "centroid")
+  }
+
+  /** The k-means objective for a trained centroid table: mean over the
+    * corpus of the squared Euclidean distance to the NEAREST centroid —
+    * one map-side pass (centroids ride the task closure), one scalar
+    * aggregate. Pins [[kmeansTrain]]'s Lloyd monotonicity in the spec. */
+  def kmeansCost(df: DataFrame, vecCol: String, centroids: DataFrame): Double = {
+    val seeds = centroids.orderBy(col("list_id"))
+      .select(asDouble(col("centroid")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val costUdf = udf((v: Seq[Double]) => {
+      val x = v.toArray
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < seeds.length) {
+        val cv = seeds(c)
+        var d = 0.0
+        val n = math.min(x.length, cv.length)
+        var j = 0
+        while (j < n) { val t = x(j) - cv(j); d += t * t; j += 1 }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      bestD
+    })
+    df.select(avg(costUdf(asDouble(col(vecCol)))).as("mse")).head().getDouble(0)
   }
 
   /** Map-side multi-probe assignment: the `nProbe` nearest seed centroids
@@ -685,5 +807,72 @@ object Similarity {
       .agg(round(avg(col("__r") * col("__xj")), 6).as("grad"))
       .withColumn("w_new",
         round(element_at(wLit, col("dim").cast("int")) - lit(lr) * col("grad"), 6))
+  }
+
+  /** LOGISTIC-REGRESSION TRAINING DRIVER — `iters` full-batch gradient
+    * steps of [[logisticGradientStep]]'s objective, returning the final
+    * (dim [1-based], w) weight table. Loop discipline:
+    *
+    *   - the narrow (x, y) projection is persisted ONCE; each iteration
+    *     is one cached pass whose only shuffle carries `dim` partial
+    *     (sum, count) pairs — the corpus never moves;
+    *   - weights live on the DRIVER between iterations (dim doubles —
+    *     the only collected data) and re-enter each pass as a literal
+    *     array in the plan, so the margin stays a codegen'd native dot;
+    *   - `roundTo` ≥ 0 rounds the updated weights each iteration —
+    *     opt-in determinism for cross-engine oracle comparison (the
+    *     update is branch-free, so rounding is the only thing needed to
+    *     keep engines in lockstep across iterations).
+    *
+    * SimilaritySpec pins strict log-loss descent across iterations. At
+    * 100 TB: mini-batch by composing with Text.hashSampleFilter per
+    * iteration, same as the k-means sampling note.
+    */
+  def logisticRegression(df: DataFrame, vecCol: String, label: Column,
+                         dim: Int, w0: Int => Double, lr: Double,
+                         iters: Int, roundTo: Int = -1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val data = df.select(asDouble(col(vecCol)).as("__x"), label.cast("double").as("__y"))
+      .persist(MEMORY_AND_DISK)
+    val w = Array.tabulate(dim)(w0)
+    def maybeRound(x: Double): Double =
+      if (roundTo < 0) x
+      else BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var it = 0
+    while (it < iters) {
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
+      val grads = data
+        .withColumn("__r",
+          lit(1.0) / (lit(1.0) + exp(-dot(col("__x"), wLit))) - col("__y"))
+        .select(posexplode(col("__x")).as(Seq("__j", "__xj")), col("__r"))
+        .groupBy(col("__j"))
+        .agg(avg(col("__r") * col("__xj")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val j = r.getInt(0)
+        if (j < dim) w(j) = maybeRound(w(j) - lr * r.getDouble(1))
+      }
+      it += 1
+    }
+    data.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    w.toIndexedSeq.zipWithIndex
+      .map { case (wj, j) => ((j + 1).toLong, wj) }
+      .toDF("dim", "w")
+  }
+
+  /** Mean log-loss of weights `w` over the corpus — one map-side pass +
+    * scalar aggregate; pins [[logisticRegression]]'s descent in the spec.
+    * Clamped away from 0/1 so a confidently-wrong prediction scores a
+    * large finite penalty instead of infinity. */
+  def logisticLoss(df: DataFrame, vecCol: String, label: Column,
+                   w: Seq[Double]): Double = {
+    val wLit = array(w.toIndexedSeq.map(lit): _*)
+    val p0 = lit(1.0) / (lit(1.0) + exp(-dot(asDouble(col(vecCol)), wLit)))
+    val p = least(greatest(p0, lit(1e-12)), lit(1.0 - 1e-12))
+    val y = label.cast("double")
+    df.select(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))).as("loss"))
+      .head().getDouble(0)
   }
 }

@@ -381,4 +381,79 @@ class TextSpec extends SparkSpec {
       assert(math.abs(got(v) - ref(v)) < 2e-6, s"node $v: ${got(v)} vs ${ref(v)}")
     }
   }
+
+  test("pageRank loop driver == composed pageRankStep, across checkpoint cadences") {
+    import graft.functions.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    var stepped = Graph.pageRankStep(edges, "src", "dst")
+    (2 to 5).foreach { _ =>
+      stepped = Graph.pageRankStep(edges, "src", "dst", ranks = Some(stepped))
+    }
+    val want = stepped.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // cadence 1 checkpoints every round; cadence 4 leaves rounds 1-3 and 5
+    // lazy — both must produce the identical fixpoint
+    Seq(1, 4).foreach { every =>
+      val got = Graph.pageRank(edges, "src", "dst", iters = 5, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"checkpointEvery=$every: $got vs $want")
+    }
+  }
+
+  test("pageRank tol stops early once the rank delta converges") {
+    import graft.functions.Graph
+    // symmetric 2-cycle converges almost immediately; iters=50 with a
+    // loose tol must stop far earlier AND still return the fixpoint
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val got = Graph.pageRank(edges, "src", "dst", iters = 50,
+      tol = 1e-7, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.5))
+    // not a timing assertion — just a sanity ceiling that 50 full rounds
+    // of jobs did not run (they would take far longer than 60 s here)
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
+  test("kmeansTrain: quantization MSE is monotone non-increasing in iters (strict Lloyd)") {
+    import graft.functions.Similarity
+    // three planted blobs + noise, ids interleaved so first-k seeding is bad
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Array(5.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 5.0))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, Seq(c(0) + rnd.nextGaussian(), c(1) + rnd.nextGaussian(),
+        c(2) + rnd.nextGaussian()))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val costs = (0 to 3).map { iters =>
+      Similarity.kmeansCost(df, "embedding",
+        Similarity.kmeansTrain(df, "vec_id", "embedding", k = 3, iters = iters))
+    }
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"Lloyd MSE went UP: $costs")
+    }
+    // and training actually helps from the (bad) first-k seeding
+    assert(costs.last < costs.head, s"training never improved MSE: $costs")
+  }
+
+  test("logisticRegression: log-loss strictly decreases across gradient steps") {
+    import graft.functions.Similarity
+    // linearly separable-ish: y = 1 iff x1 + x2 > 0
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val x = Seq(rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+      (i.toLong, x, if (x(0) + x(1) > 0) 0 else 1) // label 0 -> y=1 convention below
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val y = when($"label" === 0, 1.0).otherwise(0.0)
+    val losses = (0 to 3).map { iters =>
+      val w = Similarity.logisticRegression(df, "embedding", y, dim = 3,
+        w0 = _ => 0.0, lr = 0.5, iters = iters)
+        .orderBy($"dim").collect().map(_.getDouble(1)).toSeq
+      Similarity.logisticLoss(df, "embedding", y, w)
+    }
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"log-loss did not descend: $losses")
+    }
+  }
 }
