@@ -26,7 +26,8 @@ object Explain {
     "p11_column_profile", "o13_global_row_ids",
     "o14_cdc_apply", "w14_mad_outliers", "m4_image_tiles",
     "d11_paragraph_dedup", "t15_winnowing", "t16_corpus_shuffle",
-    "s8_pq_adc", "a20_countmin_probe")
+    "s8_pq_adc", "a20_countmin_probe", "g2_pagerank_iter",
+    "s12_kmeans_train", "s13_logreg_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -47,7 +47,10 @@ object IvfTune {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     println(f"d5 exact: $tExactPairs%6.2f s (driver-broadcast baseline)")
-    combos.foreach { case (l, p, ti, _) =>
+    // d5 has no memberAssign knob — dedupe combos that differ only in m,
+    // or the default ladder re-times the identical configuration and
+    // prints indistinguishable lines
+    combos.map { case (l, p, ti, _) => (l, p, ti) }.distinct.foreach { case (l, p, ti) =>
       val (got, t) = timed {
         Similarity.embeddingNearDupBlocked(emb, "vec_id", "embedding",
           k = 50, nLists = l, nProbe = p, trainIters = ti)

@@ -256,15 +256,19 @@ object TrainingQueries {
     // probe-fraction floor; real embedding corpora cluster much harder);
     // rows-only here (IVF assignment is engine-specific).
     "s7_knn_graph" -> ((s, dir) => {
-      // Lloyd-trained centroids + MULTIPLE ASSIGNMENT (each member indexed
-      // in its 3 nearest lists): measured on this corpus (structureless
-      // uniform vectors — the IVF worst case), recall vs the exact graph
-      // is 0.94 where single-assignment first-N-seed IVF plateaus at
-      // ~0.5–0.6. Candidate fraction per query = nProbe·m/nLists (0.75
-      // here; on clustered real-world embeddings the same recall needs a
-      // far smaller fraction — tune with graft.IvfTune).
-      Similarity.knnGraphBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 3, nLists = 64, nProbe = 16, trainIters = 2, memberAssign = 3)
+      // COST-BOUNDED auto path (round 8): (nProbe, memberAssign) are
+      // derived from the trained occupancy histogram under a hard
+      // candidate budget of 0.4× all-pairs, instead of the round-7
+      // hardcoded (16, 3) that sat at 0.75× — the guard against silent
+      // brute-force-via-join degeneration. Measured on this corpus
+      // (structureless uniform vectors — the IVF worst case) the budget
+      // buys recall ≈ 0.81–0.84 vs the exact graph for HALF the round-7
+      // candidate volume (0.94 needed 0.75×; recall tracks the p·m
+      // product, IvfTune 2026-08-13). On clustered real-world embeddings
+      // Σc² concentrates and the same budget buys far more recall.
+      Similarity.knnGraphBlockedAuto(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, nLists = 64, trainIters = 2,
+        maxCandidateFraction = 0.4)
     }),
 
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only
@@ -821,12 +825,13 @@ object TrainingQueries {
     // keep flag. Engine-specific ANN blocking → rows-only; DedupSpec
     // proves planted clusters are recovered exactly.
     "d13_semantic_dedup" -> ((s, dir) => {
-      // lighter probe than s7: edge recall only needs the HIGH-cosine
-      // pairs (threshold 0.45 is far above the corpus bulk), which
-      // multi-assignment finds with a fraction of the candidate work
+      // lighter budget than s7: edge recall only needs the HIGH-cosine
+      // pairs (threshold 0.45 is far above the corpus bulk). The 0.25×
+      // all-pairs budget matches round 7's hand-picked (8, 2) candidate
+      // volume — now derived from the occupancy histogram instead.
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, k = 5, nLists = 64, nProbe = 8,
-        trainIters = 2, memberAssign = 2)
+        threshold = 0.45, k = 5, nLists = 64,
+        trainIters = 2, maxCandidateFraction = 0.25)
     }),
 
     // S11: one distributed logistic-regression gradient step — train a

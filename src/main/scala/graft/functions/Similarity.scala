@@ -424,6 +424,90 @@ object Similarity {
     val (seeds, seedNorms) =
       if (trainIters > 0) trainSeeds(spread, idCol, vecCol, nLists, trainIters)
       else collectSeeds(spread, idCol, vecCol, nLists)
+    knnGraphWithSeeds(spread, idCol, vecCol, k, seeds, seedNorms,
+      nProbe, memberAssign)
+  }
+
+  /** COST-BOUNDED blocked kNN graph — [[knnGraphBlocked]] with the probe
+    * budget DERIVED, not hardcoded: after training, the home-list
+    * occupancy histogram (one nLists-row aggregate — already driver-sized)
+    * feeds [[chooseProbeBudget]], which picks the highest-recall
+    * (nProbe, memberAssign) whose estimated candidate volume stays within
+    * `maxCandidateFraction` of the all-pairs join. This is the guard
+    * against the structureless-corpus failure mode where hand-tuned
+    * parameters silently degenerate toward brute-force-via-join (round-7
+    * s7 sat at 0.75 of all-pairs); on a clustered real-world corpus the
+    * same budget buys far more recall because Σc² — and with it the
+    * estimate — reflects the actual blocking power of the trained lists.
+    */
+  def knnGraphBlockedAuto(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nLists: Int = 64, trainIters: Int = 2,
+                          maxCandidateFraction: Double = 0.4,
+                          maxProbe: Int = 32, maxAssign: Int = 4): DataFrame = {
+    val spread = Dedup.spread(df)
+    val (seeds, seedNorms) =
+      if (trainIters > 0) trainSeeds(spread, idCol, vecCol, nLists, trainIters)
+      else collectSeeds(spread, idCol, vecCol, nLists)
+    val counts = homeCounts(spread, vecCol, seeds, seedNorms)
+    val (p, m, frac) = chooseProbeBudget(counts, maxCandidateFraction,
+      math.min(maxProbe, nLists), maxAssign)
+    System.err.println(f"[knnGraphBlockedAuto] nLists=$nLists -> nProbe=$p " +
+      f"memberAssign=$m estCandidateFraction=$frac%.3f (budget $maxCandidateFraction%.2f)")
+    knnGraphWithSeeds(spread, idCol, vecCol, k, seeds, seedNorms, p, m)
+  }
+
+  /** Home-list occupancy histogram for trained seeds: (1-based list) →
+    * member count, one map-side assignment + nLists-group aggregate. */
+  private def homeCounts(sp: DataFrame, vecCol: String,
+                         seeds: Array[Array[Double]],
+                         norms: Array[Double]): Array[Long] = {
+    val rows = sp
+      .select(probeUdf(seeds, norms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("c"))
+      .collect()
+    val arr = Array.fill(seeds.length)(0L)
+    rows.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
+    arr
+  }
+
+  /** Pick the (nProbe, memberAssign) with the best recall proxy whose
+    * ESTIMATED candidate fraction fits the budget.
+    *
+    * Model: probes land on lists in proportion to list mass (a query's
+    * nearest lists are where the data is), and multiple assignment
+    * scales every list's member mass by m — so
+    *   E[candidates] ≈ Σ_l (p·c_l)·(m·c_l) = p·m·Σ c_l²,
+    * and fraction = E[candidates]/N². Uniform occupancy reduces this to
+    * p·m/L (the round-7 s7 config lands at 16·3/64 = 0.75 — exactly the
+    * measured degeneration this knob exists to cap). Recall under the
+    * same independence model depends on the p·m product, so the proxy is
+    * p·m, tie-broken toward larger p: probe fan-out is transient
+    * query-side work, while memberAssign multiplies the STORED index and
+    * every byte of its build shuffle.
+    */
+  def chooseProbeBudget(homeCounts: Array[Long], maxCandidateFraction: Double,
+                        maxProbe: Int, maxAssign: Int): (Int, Int, Double) = {
+    require(maxCandidateFraction > 0, "maxCandidateFraction must be positive")
+    val n = homeCounts.map(_.toDouble).sum
+    val sumSq = homeCounts.map(c => c.toDouble * c.toDouble).sum
+    def frac(p: Int, m: Int): Double =
+      if (n == 0) 0.0 else p * m * sumSq / (n * n)
+    val fits = for {
+      m <- 1 to math.max(1, maxAssign)
+      p <- 1 to math.max(1, maxProbe)
+      if frac(p, m) <= maxCandidateFraction
+    } yield (p, m)
+    val (p, m) =
+      if (fits.isEmpty) (1, 1) // floor: below-budget may be impossible; 1×1 is the minimum useful probe
+      else fits.maxBy { case (pp, mm) => (pp.toLong * mm, pp) }
+    (p, m, frac(p, m))
+  }
+
+  private def knnGraphWithSeeds(spread: DataFrame, idCol: String,
+                                vecCol: String, k: Int,
+                                seeds: Array[Array[Double]],
+                                seedNorms: Array[Double],
+                                nProbe: Int, memberAssign: Int): DataFrame = {
     // MULTIPLE ASSIGNMENT (memberAssign > 1): index each vector into its m
     // nearest lists, not just its home list. A true neighbour is missed
     // only if NONE of its m lists is probed — on weakly-clustered corpora
@@ -755,9 +839,17 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int = 5, nLists: Int = 16,
                     nProbe: Int = 4, trainIters: Int = 0,
-                    memberAssign: Int = 1): DataFrame = {
-    val edges = knnGraphBlocked(df, idCol, vecCol, k, nLists, nProbe,
-        trainIters, memberAssign)
+                    memberAssign: Int = 1,
+                    maxCandidateFraction: Double = 0.0): DataFrame = {
+    // maxCandidateFraction > 0 switches the edge stage to the
+    // cost-bounded auto path: (nProbe, memberAssign) are derived from the
+    // trained occupancy histogram instead of taken from the arguments —
+    // same budget guard as knnGraphBlockedAuto.
+    val edges = (if (maxCandidateFraction > 0)
+        knnGraphBlockedAuto(df, idCol, vecCol, k, nLists, trainIters,
+          maxCandidateFraction)
+      else knnGraphBlocked(df, idCol, vecCol, k, nLists, nProbe,
+        trainIters, memberAssign))
       .filter(col("cosine") >= threshold)
       // the kNN graph is directed (A's top-k may include B without the
       // converse); CC needs each undirected edge once

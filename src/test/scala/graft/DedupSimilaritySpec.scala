@@ -440,6 +440,50 @@ class SimilaritySpec extends SparkSpec {
       s"trained multi-assign kNN recall $tRecall ($tHits/${exactEdges.size})")
   }
 
+  test("chooseProbeBudget: maximal within budget, skew-aware, floor") {
+    // uniform occupancy, 64 lists: fraction = p*m/64, budget 0.4 -> the
+    // product must be the max <= 25.6 and the estimate must respect it
+    val uniform = Array.fill(64)(100L)
+    val (p, m, frac) = Similarity.chooseProbeBudget(uniform, 0.4,
+      maxProbe = 32, maxAssign = 4)
+    assert(frac <= 0.4, s"estimate $frac over budget")
+    assert(p * m == 25, s"not maximal: p=$p m=$m (${p * m})")
+    assert(p >= m, "ties must prefer probe fan-out over index multiplication")
+    // one hot list holding half the corpus: sum(c^2) quadruples vs
+    // uniform, so the same budget must buy a smaller probe product
+    val skewed = Array.fill(64)(50L); skewed(0) = 3250L
+    val (ps, ms, fracS) = Similarity.chooseProbeBudget(skewed, 0.4,
+      maxProbe = 32, maxAssign = 4)
+    assert(fracS <= 0.4)
+    assert(ps * ms < p * m, s"skew ignored: uniform ${p * m}, skewed ${ps * ms}")
+    // budget below the minimum configuration: fall to the (1,1) floor
+    val (pf, mf, _) = Similarity.chooseProbeBudget(uniform, 1e-9,
+      maxProbe = 32, maxAssign = 4)
+    assert((pf, mf) == (1, 1))
+  }
+
+  test("knnGraphBlockedAuto: bounded candidates still deliver recall, exact cosines") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .select($"id", $"nbr_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val exactEdges = exact.map(r => (r._1, r._2)).toSet
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val auto = Similarity.knnGraphBlockedAuto(emb, "vec_id", "embedding",
+        k = 3, nLists = 16, trainIters = 2, maxCandidateFraction = 0.4)
+      .select($"id", $"nbr_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    // full k per vector, candidate scores are EXACT cosines
+    assert(auto.length == exactEdges.size)
+    auto.foreach { case (id, nbr, c) =>
+      exactCos.get((id, nbr)).foreach(e => assert(math.abs(c - e) < 1e-9)) }
+    val recall = exactEdges.count(e => auto.exists(b => (b._1, b._2) == e))
+      .toDouble / exactEdges.size
+    // structureless corpus at 0.4x all-pairs: the budget must still buy
+    // useful recall (sf0.1 measures 0.81-0.84; this corpus is smaller)
+    assert(recall >= 0.7, s"auto kNN recall $recall under 0.4 budget")
+  }
+
   test("embeddingNearDupBlocked: top-pair recall vs exact all-pairs baseline") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val exactPairs = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", k = 50)
