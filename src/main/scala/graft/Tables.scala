@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test corpus (TESTDATA.md).
   *
@@ -13,8 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The engine's event-time contract is integer epoch-NANOS (exact gap /
+    // bucket / as-of arithmetic cross-engine; DuckDB twins use epoch_ns(ts)).
+    // Early corpus drops wrote `events.ts` as parquet TIMESTAMP(NANOS), which
+    // Spark surfaces as epoch-nanos LongType under nanosAsLong; later drops
+    // write TIMESTAMP(MICROS), which surfaces as TimestampType. Normalize at
+    // the only read point so the contract is schema-drift-proof. unix_micros
+    // is a pure Catalyst cast — it folds into the scan projection, costs no
+    // shuffle, and parquet column pruning/pushdown still apply.
+    if (name == "events") {
+      val norm: Seq[Column] = df.schema.fields.toSeq.map { f =>
+        // timestamp[us] parquet surfaces as TIMESTAMP_NTZ (no tz annotation)
+        // or TIMESTAMP depending on the writer; session TZ is pinned UTC, so
+        // the NTZ→TZ cast is the identity on the underlying micros value.
+        if (f.name == "ts" &&
+            (f.dataType == TimestampType || f.dataType == TimestampNTZType))
+          (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts")
+        else col(f.name)
+      }
+      df.select(norm: _*)
+    } else df
+  }
 
   /** Register every corpus table as a temp view (for spark.sql query bodies). */
   def registerAll(spark: SparkSession, dir: String): Unit =
