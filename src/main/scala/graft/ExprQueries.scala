@@ -467,8 +467,15 @@ object ExprQueries {
 
     // A5: aggregate-to-model — not-a-knot cubic spline per group, evaluated on
     // a fixed grid (protocol_data_warehouse.py:537-564). Knots: avg value
-    // per quantity bucket; eval at midpoints. Oracle: rows-only (model fit
-    // is not SQL-expressible).
+    // per quantity bucket; eval at midpoints. HASH-GATED (round 9, the
+    // a13/a20 pattern — the model fit itself is not SQL-expressible):
+    // payload = the deterministic knot table (x, round-6 y — DuckDB
+    // recomputes it as a plain group-avg), verdicts = at_knot_ok (the
+    // fitted spline INTERPOLATES its knots: max |spline(x_i) − y_i| ≤
+    // 1e-6 — an interpolating-spline identity, measured exactly 0.0; any
+    // solver/eval regression breaks it) and finite_on_grid (every grid
+    // eval is a finite double). The grid evaluation stays in-plan — the
+    // verdicts are functions of it.
     "a5_spline_eval" -> ((s, dir) => {
       import s.implicits._
       val knots = t(s, dir, "lineitem")
@@ -480,13 +487,28 @@ object ExprQueries {
           $"pts.x".as("xs"), $"pts.y".as("ys"),
           transform(sequence(lit(5), lit(45), lit(5)), i => i.cast("double") + 0.5).as("qs"))
       knots
+        .withColumn("atKnots", Interp.splineUdf($"xs", $"ys", $"xs"))
         .withColumn("fitted", Interp.splineUdf($"xs", $"ys", $"qs"))
-        .select($"l_returnflag", explode(arrays_zip($"qs", $"fitted")).as("z"))
-        .select($"l_returnflag", $"z.qs".as("q"), round($"z.fitted", 4).as("yhat"))
+        .withColumn("maxResid",
+          aggregate(zip_with($"ys", $"atKnots", (a, b) => abs(a - b)),
+            lit(0.0), (acc, r) => greatest(acc, r)))
+        .withColumn("gridFinite",
+          forall($"fitted", v => !isnan(v) && abs(v) < lit(Double.MaxValue)))
+        .select($"l_returnflag", explode(arrays_zip($"xs", $"ys")).as("z"),
+          $"maxResid", $"gridFinite")
+        .select($"l_returnflag", $"z.xs".as("x"), round($"z.ys", 6).as("y"),
+          ($"maxResid" <= 1e-6).as("at_knot_ok"), $"gridFinite".as("finite_on_grid"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a5_spline_eval" ->
+      """SELECT l_returnflag,
+                CAST(CAST(l_quantity AS INT) AS DOUBLE) AS x,
+                round(avg(l_extendedprice), 6) AS y,
+                true AS at_knot_ok, true AS finite_on_grid
+         FROM lineitem
+         GROUP BY l_returnflag, CAST(l_quantity AS INT)""",
     "p1_project_filter_isin" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
          FROM lineitem WHERE l_discount > 0.05 AND l_returnflag IN ('A','R')""",

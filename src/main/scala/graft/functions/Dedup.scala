@@ -119,6 +119,18 @@ object Dedup {
   def minHashSignature(text: Column, n: Int = 2, k: Int = 64): Column =
     minhashUdf(n, k)(split(Text.normalize(text), " "))
 
+  /** The n-gram shingle set of a document as Catalyst columns — the EXACT
+    * token universe [[minhashUdf]] signs (same truncation rule: a doc
+    * shorter than `n` words contributes its whole word sequence as one
+    * shingle), for verification / exact-twin paths that must measure
+    * Jaccard in the signature's own space. */
+  def shingleTokens(text: Column, n: Int): Column = {
+    val w = split(Text.normalize(text), " ")
+    if (n == 1) w
+    else transform(sequence(lit(0), greatest(size(w) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+  }
+
   /** Builds shingles AND the signature in one row pass: the Catalyst
     * ngram form (sequence+transform+slice+concat_ws) costs more than the
     * whole rest of the near-dup pipeline at corpus scale. */
@@ -186,13 +198,18 @@ object Dedup {
     // corpus is tokenized/hashed ONCE — the right call on a cluster when
     // the token arrays fit the aggregate cache+disk; leave false to trade
     // recompute for zero storage (small corpora, memory-tight executors).
-    // Word sets as sorted 64-bit hash arrays (the d4 trick): the verify
-    // join then merge-counts primitive longs instead of re-hashing boxed
-    // strings per candidate pair.
+    // Verification happens in the SAME n-gram shingle space the minhash
+    // signatures approximate (candidate recall is the LSH S-curve over
+    // shingle Jaccard, so verifying in a different token space would make
+    // the threshold semantics incoherent — rounds 1-8 verified on word
+    // sets, which on dense shared-vocabulary corpora is nearly vacuous at
+    // low thresholds). Shingle sets as sorted 64-bit hash arrays (the d4
+    // trick): the verify join merge-counts primitive longs instead of
+    // re-hashing boxed strings per candidate pair.
     val withSig0 = spread(df).select(
       col(idCol).as("id"),
       sort_array(array_distinct(
-        transform(split(Text.normalize(col(textCol)), " "), w => xxhash64(w)))).as("words"),
+        transform(shingleTokens(col(textCol), n), s => xxhash64(s)))).as("words"),
       minHashSignature(col(textCol), n, k).as("sig"))
     val withSig =
       if (reuseSignatures) {
@@ -472,6 +489,100 @@ object Dedup {
     * multi-probe blocked, never collects the corpus); use it directly
     * only when one side fits the driver and exactness matters.
     */
+  /** ALL pairs with round-6 cosine ≥ `threshold` — the exact EDGE oracle
+    * for thresholded semantic-dedup graphs ([[graft.functions.Similarity.semanticDedup]]).
+    * Same broadcast + mapPartitions shape as [[embeddingTopPairs]] but
+    * with no top-k heap (edge sets are small by construction at any
+    * sensible threshold: the bound is the true edge count, not N²), and
+    * no `limit` — a huge-k TakeOrdered would preallocate its bounded
+    * queue at k. Driver-bounded like every exact-oracle form here; the
+    * scale path for the same edges is the IVF-blocked graph.
+    */
+  def embeddingEdgesAbove(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = spread(df).select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val withNorms = all.map { case (id, v) => (id, v, normOf(v)) }
+    val bc = spark.sparkContext.broadcast(withNorms)
+    vecs.mapPartitions { rows =>
+      val b = bc.value
+      rows.flatMap { case (idA, vA) =>
+        val nA = normOf(vA)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < b.length) {
+          val (idB, vB, nB) = b(j)
+          if (idA < idB) {
+            var s = 0.0; var i = 0; val n = math.min(vA.length, vB.length)
+            while (i < n) { s += vA(i) * vB(i); i += 1 }
+            val c = if (nA * nB == 0) 0.0 else s / (nA * nB)
+            val cRounded = Math.round(c * 1e6) / 1e6
+            if (cRounded >= threshold) out += ((idA, idB, cRounded))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "cosine")
+  }
+
+  /** ALL pairs with n-gram-shingle Jaccard ≥ `threshold` — the exact PAIR
+    * oracle for [[nearDupMinhashLsh]], measured in the signature's own
+    * shingle space. Shingle sets are hashed once per doc to sorted 64-bit
+    * arrays and broadcast; each of the N²/2 pairs costs one primitive
+    * merge-count (no join, no shuffle, no pair-row materialization).
+    * Driver-bounded (the hash-array table must fit the driver) — the
+    * scale path is [[nearDupPrefixFilter]] with the same `ngram`, which
+    * is provably lossless but pays its index shuffles; this form exists
+    * so verdict queries can afford an exact twin in-plan.
+    */
+  def jaccardAllPairsAbove(df: DataFrame, textCol: String, idCol: String,
+                           threshold: Double, ngram: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = spread(df).select(col(idCol).cast("long").as("id"),
+      sort_array(array_distinct(
+        transform(shingleTokens(col(textCol), ngram), s => xxhash64(s)))).as("hs"))
+      .as[(Long, Array[Long])]
+    val all = sets.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    sets.mapPartitions { rows =>
+      val b = bc.value
+      rows.flatMap { case (idA, hA) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < b.length) {
+          val (idB, hB) = b(j)
+          if (idA < idB) {
+            // merge-count over two sorted distinct arrays
+            var ia = 0; var ib = 0; var inter = 0
+            while (ia < hA.length && ib < hB.length) {
+              val x = hA(ia); val y = hB(ib)
+              if (x == y) { inter += 1; ia += 1; ib += 1 }
+              else if (x < y) ia += 1
+              else ib += 1
+            }
+            val union = hA.length + hB.length - inter
+            val jac = if (union == 0) 0.0 else inter.toDouble / union
+            if (jac >= threshold)
+              out += ((idA, idB, Math.round(jac * 1e6) / 1e6))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("id_a", "id_b", "jaccard")
+  }
+
   def embeddingTopPairs(df: DataFrame, idCol: String, vecCol: String,
                         k: Int = 50, threshold: Double = -1.0): DataFrame = {
     // A join would materialize N²/2 pair rows each carrying two vector
@@ -598,10 +709,16 @@ object Dedup {
     */
   def nearDupPrefixFilter(df: DataFrame, textCol: String, idCol: String,
                           threshold: Double,
-                          reuseIndex: Boolean = false): DataFrame = {
+                          reuseIndex: Boolean = false,
+                          ngram: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // `ngram` > 1 runs the whole AllPairs/PPJoin machinery over n-gram
+    // shingle sets instead of word sets — the prefix/size/positional
+    // theorems are set-generic, so exactness is preserved verbatim. This
+    // is the exact-twin space for [[nearDupMinhashLsh]] (which signs and
+    // verifies n-gram shingles).
     val docs = spread(df).select(col(idCol).as("id"),
-      array_distinct(split(Text.normalize(col(textCol)), " ")).as("toks"))
+      array_distinct(shingleTokens(col(textCol), ngram)).as("toks"))
     val tokens = docs.select(col("id"), explode(col("toks")).as("tok"))
     val tokenDf = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Rare-first per-doc ordering: one shuffle on token to attach df, one

@@ -627,6 +627,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch twin of [[topKLsh]]: every row of `queries` probes the corpus
+    * through the same signature prune (hamming ≤ `hammingRadius`), exact
+    * cosine scores the survivors, and a per-query window ranks the top-k.
+    * The query set broadcasts (it is small by contract — the corpus-sized
+    * side never shuffles vectors); at rest, bucket the corpus by signature
+    * and the hamming probe becomes an IN-list of 2^≤radius buckets, i.e.
+    * partition-pruned I/O, the same posture as [[topKIvf]].
+    */
+  def topKLshBatch(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, queryIdCol: String,
+                   k: Int, dim: Int, bits: Int = 16,
+                   hammingRadius: Int = 4): DataFrame = {
+    val qs = queries.select(col(queryIdCol),
+      asDouble(col(s"q_$vecCol")).as("__qv"),
+      hyperplaneSignature(col(s"q_$vecCol"), dim, bits).as("__qsig"))
+    val scored = corpus
+      .withColumn("__sig", hyperplaneSignature(col(vecCol), dim, bits))
+      .crossJoin(broadcast(qs))
+      .filter(Dedup.hamming64(col("__sig"), col("__qsig")) <= hammingRadius)
+      .select(col(queryIdCol), col(idCol),
+        round(cosine(asDouble(col(vecCol)), col("__qv")), 6).as("cosine"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Per-vector affine int8 quantization — the embedding-store scale path
     * (4× smaller than float32, 8× than float64; IVF/LSH candidate scoring
     * tolerates the ≤ scale/2 rounding error, re-rank the short list on the

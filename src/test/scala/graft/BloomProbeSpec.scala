@@ -33,21 +33,20 @@ class BloomSpec extends SparkSpec {
   }
 
   test("bloom decontamination never marks a truly contaminated doc clean") {
-    val exact = SparkEntry.queries("t11_decontaminate")(spark, sfDir)
+    // t22 emits one verdict row (round 9): its in-plan contract checks —
+    // no_false_neg (bloom never misses an inserted shingle) and
+    // fp_rate_ok (≤ 5% of clean docs spuriously flagged) — must hold, and
+    // the deterministic payload must agree with t11's exact join.
+    val exactDocs = SparkEntry.queries("t11_decontaminate")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet // docs with >= 1 true benchmark hit
-    val sketch = SparkEntry.queries("t22_bloom_decontaminate")(spark, sfDir)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(2) /* n_flagged */, r.getBoolean(3) /* clean */)).toMap
-    exact.foreach { id =>
-      val (flagged, clean) = sketch(id)
-      assert(flagged >= 1 && !clean,
-        s"doc $id has true contamination but the bloom pass marked it clean")
-    }
-    // the pre-filter is useful, not vacuous: most uncontaminated docs pass
-    val trulyClean = sketch.keySet -- exact
-    val fp = trulyClean.count(id => !sketch(id)._2)
-    assert(fp.toDouble / math.max(trulyClean.size, 1) < 0.1,
-      s"false-positive rate $fp/${trulyClean.size} too high for the sketch size")
+    val row = SparkEntry.queries("t22_bloom_decontaminate")(spark, sfDir).head()
+    assert(row.getAs[Long]("n_contaminated") == exactDocs.size,
+      "t22's exact-contamination payload must match t11's exact join")
+    assert(row.getAs[Long]("n_docs") >= exactDocs.size)
+    assert(row.getAs[Boolean]("no_false_neg"),
+      "a truly contaminated doc was marked clean by the bloom pass")
+    assert(row.getAs[Boolean]("fp_rate_ok"),
+      "false-positive rate too high for the sketch size")
   }
 
   test("SQL surface: graft_bloom_agg scalar subquery + graft_might_contain") {
