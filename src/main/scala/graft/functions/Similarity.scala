@@ -448,26 +448,60 @@ object Similarity {
     val (seeds, seedNorms) =
       if (trainIters > 0) trainSeeds(spread, idCol, vecCol, nLists, trainIters)
       else collectSeeds(spread, idCol, vecCol, nLists)
-    val counts = homeCounts(spread, vecCol, seeds, seedNorms)
+    // ONE corpus pass (round 9; was three): the (id, vec, home_list)
+    // projection is materialized once — the occupancy histogram, the
+    // member side (for memberAssign = 1 it IS the home assignment), and
+    // the probe side all read it instead of re-scanning and re-assigning
+    // the corpus. localCheckpoint: eager, lineage-truncating, reclaimed
+    // by the context cleaner when the plan is dropped (the pageRank loop
+    // discipline); at cluster scale write it as a list_id-bucketed table
+    // instead and every downstream join becomes partition-pruned I/O.
+    val home = spread.select(
+        col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
+        probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("__home"))
+      .localCheckpoint()
+    val counts = {
+      val rows = home.groupBy(col("__home")).agg(count(lit(1)).as("c")).collect()
+      val arr = Array.fill(seeds.length)(0L)
+      rows.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
+      arr
+    }
     val (p, m, frac) = chooseProbeBudget(counts, maxCandidateFraction,
       math.min(maxProbe, nLists), maxAssign)
     System.err.println(f"[knnGraphBlockedAuto] nLists=$nLists -> nProbe=$p " +
       f"memberAssign=$m estCandidateFraction=$frac%.3f (budget $maxCandidateFraction%.2f)")
-    knnGraphWithSeeds(spread, idCol, vecCol, k, seeds, seedNorms, p, m)
+    knnGraphFromHome(home, k, seeds, seedNorms, p, m)
   }
 
-  /** Home-list occupancy histogram for trained seeds: (1-based list) →
-    * member count, one map-side assignment + nLists-group aggregate. */
-  private def homeCounts(sp: DataFrame, vecCol: String,
-                         seeds: Array[Array[Double]],
-                         norms: Array[Double]): Array[Long] = {
-    val rows = sp
-      .select(probeUdf(seeds, norms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
-      .groupBy(col("list_id")).agg(count(lit(1)).as("c"))
-      .collect()
-    val arr = Array.fill(seeds.length)(0L)
-    rows.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
-    arr
+  /** [[knnGraphWithSeeds]] fed from the materialized (id, vec, home)
+    * projection of [[knnGraphBlockedAuto]] — no corpus re-scan; the
+    * memberAssign = 1 member side reuses the home assignment verbatim. */
+  private def knnGraphFromHome(home: DataFrame, k: Int,
+                               seeds: Array[Array[Double]],
+                               seedNorms: Array[Double],
+                               nProbe: Int, memberAssign: Int): DataFrame = {
+    def unit(v: Column): Column = {
+      val n = sqrt(dot(v, v))
+      when(n === 0.0, v).otherwise(transform(v, x => x / n))
+    }
+    val members =
+      if (memberAssign == 1)
+        home.select(col("__id").as("__mid"), unit(col("__v")).as("__mv"),
+          col("__home").as("list_id"))
+      else
+        home.select(col("__id").as("__mid"), unit(col("__v")).as("__mv"),
+          explode(probeUdf(seeds, seedNorms, memberAssign)(col("__v"))).as("list_id"))
+    val probes = home.select(col("__id").as("__qid"), unit(col("__v")).as("__qv"),
+      explode(probeUdf(seeds, seedNorms, nProbe)(col("__v"))).as("list_id"))
+    val cands = probes.join(members, probes("list_id") === members("list_id") &&
+        col("__qid") =!= col("__mid"))
+      .select(col("__qid").cast("long").as("id"), col("__mid").cast("long").as("nbr_id"),
+        round(dot(col("__qv"), col("__mv")), 6).as("cosine"))
+    cands.groupBy(col("id"))
+      .agg(topKPairsAgg(col("cosine"), col("nbr_id"), k).as("__nbrs"))
+      .select(col("id"), posexplode(col("__nbrs")).as(Seq("__r", "__e")))
+      .select(col("id"), col("__e.id").as("nbr_id"), col("__e.score").as("cosine"),
+        (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** Pick the (nProbe, memberAssign) with the best recall proxy whose
