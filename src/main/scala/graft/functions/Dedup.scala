@@ -45,6 +45,19 @@ object Dedup {
   private def noAqe(df: DataFrame): DataFrame = {
     val iso = df.sparkSession.newSession()
     iso.conf.set("spark.sql.adaptive.enabled", "false")
+    // The materializations that run on this child session are narrow
+    // id/pair tables by design (signature fills, verified-pair
+    // checkpoints, CC label frontiers). With AQE off, every shuffle
+    // stage schedules the FULL static partition count regardless of
+    // size — at the caller's default that is mostly empty tasks whose
+    // fixed cost (scheduling, codegen reuse checks) dominates these
+    // many-small-job pipelines and amplifies machine jitter (round-8
+    // verdict: 2–3× run-to-run variance on d2/d3/d4). Pin a smaller
+    // count proportional to the cluster: parallelism/4 keeps every core
+    // busy at test scale and still yields thousands of partitions on a
+    // real cluster; the caller's own lazy plan keeps the caller's conf.
+    val narrow = math.max(8, iso.sparkContext.defaultParallelism / 4)
+    iso.conf.set("spark.sql.shuffle.partitions", narrow.toString)
     org.apache.spark.sql.GraftColumns.rebind(df, iso)
   }
 
@@ -168,6 +181,51 @@ object Dedup {
       sig.toSeq
     })
 
+  /** Single-pass shingle-hash set + minhash signature: tokenize ONCE,
+    * and per shingle derive (a) a 64-bit identity hash for the exact
+    * Jaccard set (two murmur passes packed — the same two passes the
+    * minhash already needs, so the exact set is nearly free) and (b) the
+    * k permutation updates. Replaces a Catalyst
+    * sequence+transform+concat_ws+xxhash64 chain that re-built and
+    * re-hashed every shingle string a second time — the dominant
+    * map-side cost of the signature table at corpus scale (the same
+    * reason [[minhashUdf]] exists). The 64-bit space makes collisions
+    * ~2⁻⁶⁴ per shingle pair — immaterial next to the threshold; both the
+    * LSH verify side and [[jaccardAllPairsAbove]] use THIS hash, so the
+    * two sides measure Jaccard in an identical space. */
+  private def sigWithShinglesUdf(n: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((words: Seq[String]) => {
+      val sig = Array.fill(k)(Int.MaxValue)
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      val w = words.toArray
+      val m = math.max(w.length - (n - 1), 1)
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var t = 0
+        while (t < n && j + t < w.length) {
+          if (t > 0) sb.append(' ')
+          sb.append(w(j + t)); t += 1
+        }
+        val s = sb.toString
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) | 1
+        seen += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var i = 0
+        var h = h1
+        while (i < k) {
+          if (h < sig(i)) sig(i) = h
+          h += h2
+          i += 1
+        }
+        j += 1
+      }
+      val hs = seen.toArray
+      java.util.Arrays.sort(hs)
+      (hs, sig.toSeq)
+    })
+
   /** LSH band keys from a minhash signature: `bands` hashes, each over
     * `k/bands` consecutive signature slots. Explode the result and
     * group/join on (band_idx, band_hash) to get candidate buckets. */
@@ -205,12 +263,12 @@ object Dedup {
     // sets, which on dense shared-vocabulary corpora is nearly vacuous at
     // low thresholds). Shingle sets as sorted 64-bit hash arrays (the d4
     // trick): the verify join merge-counts primitive longs instead of
-    // re-hashing boxed strings per candidate pair.
-    val withSig0 = spread(df).select(
-      col(idCol).as("id"),
-      sort_array(array_distinct(
-        transform(shingleTokens(col(textCol), n), s => xxhash64(s)))).as("words"),
-      minHashSignature(col(textCol), n, k).as("sig"))
+    // re-hashing boxed strings per candidate pair. One UDF pass builds
+    // BOTH columns from one tokenization (see sigWithShinglesUdf).
+    val withSig0 = spread(df)
+      .select(col(idCol).as("id"),
+        sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
+      .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
     val withSig =
       if (reuseSignatures) {
         val cached = withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -549,9 +607,10 @@ object Dedup {
                            threshold: Double, ngram: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = spread(df).select(col(idCol).cast("long").as("id"),
-      sort_array(array_distinct(
-        transform(shingleTokens(col(textCol), ngram), s => xxhash64(s)))).as("hs"))
+    val sets = spread(df)
+      .select(col(idCol).cast("long").as("id"),
+        sigWithShinglesUdf(ngram, 1)(split(Text.normalize(col(textCol)), " "))
+          .getField("_1").as("hs"))
       .as[(Long, Array[Long])]
     val all = sets.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(all)
