@@ -1067,6 +1067,56 @@ object TrainingQueries {
       Similarity.logisticRegression(t(s, dir, "embeddings"), "embedding",
         when($"label" === 0, 1.0).otherwise(0.0), dim = 64,
         w0 = j => ((j % 7) - 3) / 10.0, lr = 0.1, iters = 3, roundTo = 6)
+    }),
+
+    // S14: PERSISTABLE index artifacts — train IVF centroids + PQ
+    // codebooks once, SAVE them as parquet tables, LOAD them back, and
+    // probe through the loaded copies (the reference persists every
+    // stage between jobs — bigquery_io_manager.py:191-228; a 100 TB
+    // pipeline trains an index once and probes it many times, so the
+    // save/load seam is a first-class operator, not test plumbing).
+    // HASH-GATED: payload = the exact cosine top-10 (deterministic),
+    // verdicts = ivf_roundtrip_ok / pq_roundtrip_ok (probing through the
+    // loaded artifacts returns exactly the same rows as probing through
+    // the inline-trained ones — id AND score equality via inner join).
+    "s14_index_persist" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      // build → save
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      cents.write.mode("overwrite").parquet(s"$tmp/ivf_centroids")
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+      Similarity.pqBooksToDf(s, books).write.mode("overwrite").parquet(s"$tmp/pq_books")
+      // load → probe, against the inline-trained twins
+      val ivfInline = Similarity.topKIvf(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, k = 10)
+      val ivfLoaded = Similarity.topKIvf(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding",
+          s.read.parquet(s"$tmp/ivf_centroids")),
+        "vec_id", "embedding", q, k = 10)
+      val books2 = Similarity.pqBooksFromDf(s.read.parquet(s"$tmp/pq_books"))
+      val adcInline = Similarity.pqTopKAdc(
+        Similarity.pqEncode(emb, "vec_id", "embedding", books), "vec_id", q, books, k = 10)
+      val adcLoaded = Similarity.pqTopKAdc(
+        Similarity.pqEncode(emb, "vec_id", "embedding", books2), "vec_id", q, books2, k = 10)
+      def sameRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+                   cols: Seq[String]) =
+        a.select(cols.map(col): _*).join(b.select(cols.map(col): _*), cols)
+          .agg(count(lit(1)).as("n"))
+      val ivfOk = sameRows(ivfInline, ivfLoaded, Seq("vec_id", "cosine"))
+        .select($"n".as("n_ivf"))
+      val pqOk = sameRows(adcInline, adcLoaded, Seq("vec_id", "adc_dist"))
+        .select($"n".as("n_pq"))
+      val exact = Similarity.topKBrute(emb, "vec_id", "embedding", q, k = 10)
+      exact.crossJoin(broadcast(ivfOk)).crossJoin(broadcast(pqOk))
+        .select($"vec_id", $"cosine",
+          ($"n_ivf" === 10L).as("ivf_roundtrip_ok"),
+          ($"n_pq" === 10L).as("pq_roundtrip_ok"))
     })
   )
 
@@ -1177,6 +1227,17 @@ object TrainingQueries {
          SELECT vec_id, l2sq, true AS self_hit_adc, true AS adc_nonneg,
                 true AS adc_err_ok
          FROM d ORDER BY l2sq ASC, vec_id ASC LIMIT 10""",
+    "s14_index_persist" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+           FROM embeddings e CROSS JOIN q)
+         SELECT vec_id, cosine, true AS ivf_roundtrip_ok, true AS pq_roundtrip_ok
+         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "s9_ivfpq_adc" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0),

@@ -22,12 +22,28 @@ object Prune {
     * binary literal column. `nBits` sizes the false-positive rate
     * (~0.03 at 8 bits/key; Spark's might_contain requires a constant or
     * scalar-subquery sketch, hence the collect-and-inline). */
-  def bloomLiteral(df: DataFrame, key: Column, nItems: Long, nBits: Long): Column = {
-    val bytes = df
-      .agg(expr_agg(key, nItems, nBits).as("bf"))
+  def bloomLiteral(df: DataFrame, key: Column, nItems: Long, nBits: Long): Column =
+    lit(bloomBytes(df, key, nItems, nBits))
+
+  /** The raw serialized sketch — the persistable form of [[bloomLiteral]]
+    * (KB–MB by construction). Save with [[saveSketch]], re-enter a later
+    * job via `lit(loadSketch(...))` — the probe is then identical to an
+    * inline build (PersistSpec pins the round trip). */
+  def bloomBytes(df: DataFrame, key: Column, nItems: Long, nBits: Long): Array[Byte] =
+    df.agg(expr_agg(key, nItems, nBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    lit(bytes)
+
+  /** Persist a serialized sketch as a 1-row parquet table (staying in the
+    * warehouse's own storage/permission model rather than a side file). */
+  def saveSketch(spark: org.apache.spark.sql.SparkSession, path: String,
+                 bytes: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(bytes)).toDF("sketch").write.mode("overwrite").parquet(path)
   }
+
+  /** Load a sketch saved by [[saveSketch]]. */
+  def loadSketch(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] =
+    spark.read.parquet(path).head().getAs[Array[Byte]]("sketch")
 
   private def expr_agg(key: Column, nItems: Long, nBits: Long): Column =
     org.apache.spark.sql.GraftColumns.column(

@@ -202,6 +202,75 @@ object Similarity {
       probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
   }
 
+  // ---- persistable index artifacts (train once, reuse across jobs) -----
+
+  /** Train IVF centroids and return them as a PERSISTABLE table
+    * (list_id [1-based], centroid: array<double>) — the save seam the
+    * reference's persist-every-stage posture implies (every BigQuery
+    * model materializes between stages; an index trained inline per
+    * query dies with the job, and a 100 TB pipeline trains once and
+    * probes many times). Write with plain `df.write.parquet` (or any
+    * [[graft.sources.Sinks]] mode), read back with `spark.read.parquet`,
+    * and hand to [[ivfIndexWith]] / [[topKIvf]] — round-trip results are
+    * bit-identical to inline training (PersistSpec pins this). */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nLists: Int = 16, iters: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (seeds, _) =
+      if (iters > 0) trainSeeds(Dedup.spread(corpus), idCol, vecCol, nLists, iters)
+      else collectSeeds(corpus, idCol, vecCol, nLists)
+    seeds.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, c) }
+      .toDF("list_id", "centroid")
+  }
+
+  /** Collect a (list_id, centroid) table (freshly trained or loaded from
+    * parquet) back to the driver-side seed arrays — nLists × dim doubles,
+    * driver-sized by construction. */
+  private def collectCentroids(centroids: DataFrame): (Array[Array[Double]], Array[Double]) = {
+    val seeds = centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(seeds.nonEmpty, "empty centroid table")
+    (seeds, seeds.map(normOf))
+  }
+
+  /** [[ivfIndex]] against an EXPLICIT centroid table (trained via
+    * [[trainIvfCentroids]] or loaded from storage) instead of
+    * self-seeding — the load→probe half of the index round trip. */
+  def ivfIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val (seeds, seedNorms) = collectCentroids(centroids)
+    corpus.select(col(idCol), col(vecCol),
+      probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("list_id"))
+  }
+
+  /** PQ codebooks → persistable table (sub [0-based], code [0-based],
+    * centroid: array<double>). */
+  def pqBooksToDf(spark: org.apache.spark.sql.SparkSession,
+                  books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      s <- books.indices
+      c <- books(s).indices
+    } yield (s, c, books(s)(c).toSeq)).toDF("sub", "code", "centroid")
+  }
+
+  /** Inverse of [[pqBooksToDf]]: rebuild the m × k × dsub codebook arrays
+    * from a (sub, code, centroid) table — m·k codewords, driver-sized. */
+  def pqBooksFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("sub").cast("int"), col("code").cast("int"),
+      col("centroid").cast("array<double>")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    require(books.forall(_.forall(_ != null)), "codebook table has holes")
+    books
+  }
+
   /** Seed centroids = the first `nLists` corpus vectors by id (reproducible
     * without RNG state), with their norms — nLists × dim doubles, the only
     * thing the IVF family ever collects. */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Prune, Similarity}
+
+/** Persistable index artifacts: trained IVF centroids, PQ codebooks and
+  * bloom sketches survive a parquet round trip and probe IDENTICALLY to
+  * their inline-trained twins (the reference persists every stage between
+  * jobs; train-once / probe-many is the 100 TB posture). */
+class PersistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+
+  test("IVF centroid table round-trips with hash-equal probe results") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    val path = tmp("ivf")
+    cents.write.mode("overwrite").parquet(path)
+    val inline = Similarity.topKIvf(
+      Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+      "vec_id", "embedding", q, k = 5, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val loaded = Similarity.topKIvf(
+      Similarity.ivfIndexWith(emb, "vec_id", "embedding", spark.read.parquet(path)),
+      "vec_id", "embedding", q, k = 5, nLists = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline == loaded)
+  }
+
+  test("PQ codebook table round-trips with hash-equal ADC results") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, k = 8, iters = 2)
+    val path = tmp("pq")
+    Similarity.pqBooksToDf(spark, books).write.mode("overwrite").parquet(path)
+    val books2 = Similarity.pqBooksFromDf(spark.read.parquet(path))
+    assert(books.length == books2.length)
+    books.indices.foreach { s0 =>
+      books(s0).indices.foreach { c =>
+        assert(books(s0)(c).toSeq == books2(s0)(c).toSeq,
+          s"codeword ($s0, $c) changed across the round trip")
+      }
+    }
+    val inline = Similarity.pqTopKAdc(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books), "vec_id", q, books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val loaded = Similarity.pqTopKAdc(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books2), "vec_id", q, books2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inline == loaded)
+  }
+
+  test("bloom sketch round-trips with identical probe verdicts") {
+    val hot = Tables.t(spark, sfDir, "customer").filter($"c_acctbal" > 9000)
+      .select($"c_custkey")
+    val bytes = Prune.bloomBytes(hot, $"c_custkey", nItems = 1000L, nBits = 16384L)
+    val path = tmp("bloom")
+    Prune.saveSketch(spark, path, bytes)
+    val bytes2 = Prune.loadSketch(spark, path)
+    assert(java.util.Arrays.equals(bytes, bytes2), "sketch bytes changed")
+    val orders = Tables.t(spark, sfDir, "orders")
+    val a = orders.filter(Prune.mightContain(lit(bytes), $"o_custkey"))
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = orders.filter(Prune.mightContain(lit(bytes2), $"o_custkey"))
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("s14 gate query: round-trip verdicts hold") {
+    val row = SparkEntry.queries("s14_index_persist")(spark, sfDir).head()
+    assert(row.getAs[Boolean]("ivf_roundtrip_ok"))
+    assert(row.getAs[Boolean]("pq_roundtrip_ok"))
+  }
+}
