@@ -67,4 +67,91 @@ object Runner {
     * equivalent; each partition is independently idempotent). */
   def backfill(spark: SparkSession, job: Job, partitions: Seq[Partition]): Seq[(Partition, Long)] =
     partitions.map(p => p -> run(spark, job, p))
+
+  /** Cron-cadence descriptor — the declarative twin of the reference's
+    * schedule definitions (`aave_data/__init__.py:374-434` binds each job
+    * to a cron string). The engine has no clock of its own: any external
+    * scheduler reads `cron`, fires, and calls `Runner.run` /
+    * `Dag.materialize` — the descriptor exists so cadence is DATA the
+    * pipeline declares, not configuration buried in an orchestrator.
+    * Construction validates the 5-field shape loudly (a malformed cron
+    * silently never firing is the worst failure mode a schedule has). */
+  final case class Schedule(cron: String, jobName: String) {
+    private val fieldPat =
+      "^(\\*|\\d+(-\\d+)?)(/\\d+)?(,(\\*|\\d+(-\\d+)?)(/\\d+)?)*$".r
+    locally {
+      val fields = cron.trim.split("\\s+")
+      require(fields.length == 5,
+        s"cron '$cron' must have 5 fields (min hour dom mon dow), got ${fields.length}")
+      fields.foreach(f => require(fieldPat.matches(f),
+        s"cron '$cron': malformed field '$f'"))
+    }
+  }
+
+  /** One dbt-style model: a named transform over its `ref()`ed upstream
+    * models (and/or externally-provided source frames). `compute` receives
+    * exactly the frames named in `deps`, resolved by the DAG executor. */
+  final case class Model(name: String, deps: Seq[String])(
+      val compute: Map[String, DataFrame] => DataFrame)
+
+  /** Topological executor over a model DAG — the shim for the reference's
+    * `ref()`-ordered dbt build (`__init__.py:232-236` materializes the
+    * datamart in dependency order). Deterministic order (ready set is
+    * name-sorted), loud failure on cycles and unresolvable refs.
+    *
+    * `io` is the materialization policy applied to every model's output
+    * before downstream models consume it: identity (lazy composition —
+    * one Catalyst plan end-to-end, the right default in-session) or a
+    * write-then-read-back (the dbt/BigQuery persist-every-model posture;
+    * at 100 TB that is what bounds recomputation and lets each model's
+    * output be partition-pruned by its consumers).
+    */
+  object Dag {
+
+    def topoOrder(models: Seq[Model], sources: Set[String] = Set.empty): Seq[Model] = {
+      val byName = models.map(m => m.name -> m).toMap
+      require(byName.size == models.size, "duplicate model names in DAG")
+      models.foreach(m => m.deps.foreach(d =>
+        require(byName.contains(d) || sources.contains(d),
+          s"model '${m.name}' refs '$d', which is neither a model nor a provided source")))
+      val pending = scala.collection.mutable.Map.from(
+        models.map(m => m.name -> m.deps.count(byName.contains)))
+      val ready = scala.collection.mutable.SortedSet.from(
+        pending.collect { case (n, 0) => n })
+      val out = scala.collection.mutable.ArrayBuffer.empty[Model]
+      while (ready.nonEmpty) {
+        val n = ready.head
+        ready -= n; pending -= n
+        out += byName(n)
+        models.foreach { m =>
+          if (pending.contains(m.name) && m.deps.contains(n)) {
+            pending(m.name) -= 1
+            if (pending(m.name) == 0) ready += m.name
+          }
+        }
+      }
+      require(pending.isEmpty,
+        s"model DAG has a cycle through: ${pending.keys.toSeq.sorted.mkString(", ")}")
+      out.toSeq
+    }
+
+    def materialize(models: Seq[Model],
+                    sources: Map[String, DataFrame] = Map.empty,
+                    io: (String, DataFrame) => DataFrame = (_, df) => df): Map[String, DataFrame] = {
+      val order = topoOrder(models, sources.keySet)
+      order.foldLeft(sources) { (built, m) =>
+        val resolved = m.deps.map(d => d -> built(d)).toMap
+        built + (m.name -> io(m.name, m.compute(resolved)))
+      } -- sources.keys
+    }
+
+    /** The persist-every-model `io` policy: parquet under `root/<name>`,
+      * read back so consumers scan the materialized table (partition
+      * pruning, no recomputation through lineage). */
+    def parquetIo(spark: SparkSession, root: String): (String, DataFrame) => DataFrame =
+      (name, df) => {
+        df.write.mode("overwrite").parquet(s"$root/$name")
+        spark.read.parquet(s"$root/$name")
+      }
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.domain.{Datamart, Warehouse}
+import graft.runner.Runner
+import graft.runner.Runner.{Dag, Model, Schedule}
+
+/** Schedule descriptor + topological model-DAG executor — the shim for
+  * the reference's cron schedules and `ref()`-ordered dbt build
+  * (`aave_data/__init__.py:374-434`, `:232-236`). The flagship slice
+  * (atoken measures → all_financials → treasury family) rebuilds from a
+  * DECLARED dag in dependency order and matches direct composition.
+  */
+class RunnerDagSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 00:00:00")
+  private val INTERNAL = "0x00000000000000000000000000000000000000aa"
+  private val EXTERNAL = "0x00000000000000000000000000000000000000bb"
+  private val COLLECTOR = "0x0000000000000000000000000000000000000c01"
+  private val ATOKEN = "0x000000000000000000000000000000000000ae01"
+
+  private lazy val marketChains = Seq(("ethereum_v3", "ethereum")).toDF("market", "chain")
+  private lazy val balances = Seq(
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 1000L, day(1), 100.0, 100.0),
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 2000L, day(2), 110.0, 105.0),
+    ("ethereum_v3", COLLECTOR, ATOKEN, "aUSDC", 3000L, day(3), 125.0, 118.0)
+  ).toDF("market", "collector", "token", "symbol", "block_height", "block_day",
+    "balance", "scaled_balance")
+  private lazy val transfers = Seq(
+    ("ethereum_v3", COLLECTOR, "IN", EXTERNAL, COLLECTOR, ATOKEN, "aUSDC", day(2), 5.0),
+    ("ethereum_v3", COLLECTOR, "OUT", COLLECTOR, INTERNAL, ATOKEN, "aUSDC", day(2), 3.0)
+  ).toDF("market", "transfers_collector", "transfers_transfer_type",
+    "transfers_from_address", "transfers_to_address", "transfers_contract_address",
+    "transfers_contract_symbol", "transfers_block_day", "transfers_amount_transferred")
+  private lazy val fees = Seq(
+    ("ethereum_v3", ATOKEN, "aUSDC", 1000L, day(1), 10.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", 2000L, day(2), 12.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", 3000L, day(3), 15.0)
+  ).toDF("market", "atoken", "atoken_symbol", "block_height", "block_day", "accrued_fees")
+  private lazy val mints = Seq(
+    ("ethereum_v3", ATOKEN, day(2), 1.0, 0.5)
+  ).toDF("market", "atoken", "block_day", "minted_to_treasury_amount", "minted_amount")
+  private lazy val internalAddresses = Seq(
+    ("ethereum", INTERNAL, "aave_internal", "Some Internal Contract"),
+    ("ethereum", COLLECTOR, "aave_collector", "Collector V3")
+  ).toDF("chain", "contract_address", "internal_external", "label")
+  private lazy val oraclePrices = Seq(
+    ("ethereum_v3", ATOKEN, "aUSDC", day(1), 2.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", day(2), 2.0),
+    ("ethereum_v3", ATOKEN, "aUSDC", day(3), 3.0)
+  ).toDF("market", "reserve", "symbol", "block_day", "usd_price")
+
+  // the flagship slice as a declared DAG — listed in a deliberately
+  // scrambled order so only dependency resolution can sequence it
+  private def flagshipModels: Seq[Model] = Seq(
+    Model("treasury_totals", Seq("treasury_balances"))(
+      deps => Datamart.treasuryTotals(deps("treasury_balances"))),
+    Model("all_financials", Seq("atoken_measures"))(
+      deps => Datamart.allFinancials(
+        Datamart.FinancialsInputs.withDefaults(spark,
+          atokenMeasures = deps("atoken_measures"),
+          oraclePrices = Some(oraclePrices),
+          internalAddresses = Some(internalAddresses)))),
+    Model("treasury_by_chain", Seq("treasury_balances"))(
+      deps => Datamart.treasuryValueByChain(deps("treasury_balances"))),
+    Model("atoken_measures",
+      Seq("balances", "transfers", "fees", "mints", "internal_addresses", "market_chains"))(
+      deps => Warehouse.atokenMeasuresByDay(deps("balances"), deps("transfers"),
+        deps("fees"), deps("mints"), deps("internal_addresses"), deps("market_chains"))),
+    Model("treasury_balances", Seq("all_financials"))(
+      deps => Datamart.allTreasuryBalances(deps("all_financials"))))
+
+  private def sources: Map[String, DataFrame] = Map(
+    "balances" -> balances, "transfers" -> transfers, "fees" -> fees,
+    "mints" -> mints, "internal_addresses" -> internalAddresses,
+    "market_chains" -> marketChains)
+
+  test("Schedule validates the 5-field cron shape loudly") {
+    Schedule("0 7 * * *", "daily_datamart")     // the reference's daily cadence
+    Schedule("*/30 0-6 1,15 * 1-5", "complex")
+    assertThrows[IllegalArgumentException](Schedule("0 7 * *", "four_fields"))
+    assertThrows[IllegalArgumentException](Schedule("0 7a * * *", "garbage_field"))
+  }
+
+  test("topoOrder sequences the scrambled flagship DAG by dependency") {
+    val order = Dag.topoOrder(flagshipModels, sources.keySet).map(_.name)
+    def before(a: String, b: String) =
+      assert(order.indexOf(a) < order.indexOf(b), s"$a must build before $b")
+    before("atoken_measures", "all_financials")
+    before("all_financials", "treasury_balances")
+    before("treasury_balances", "treasury_by_chain")
+    before("treasury_balances", "treasury_totals")
+  }
+
+  test("topoOrder fails loudly on cycles and unresolvable refs") {
+    val cyclic = Seq(
+      Model("a", Seq("b"))(_ => balances),
+      Model("b", Seq("a"))(_ => balances))
+    assertThrows[IllegalArgumentException](Dag.topoOrder(cyclic))
+    val dangling = Seq(Model("a", Seq("nope"))(_ => balances))
+    assertThrows[IllegalArgumentException](Dag.topoOrder(dangling))
+  }
+
+  test("DAG materialization matches direct composition (lazy and parquet io)") {
+    val direct = {
+      val meas = Warehouse.atokenMeasuresByDay(balances, transfers, fees, mints,
+        internalAddresses, marketChains)
+      val fin = Datamart.allFinancials(
+        Datamart.FinancialsInputs.withDefaults(spark,
+          atokenMeasures = meas,
+          oraclePrices = Some(oraclePrices),
+          internalAddresses = Some(internalAddresses)))
+      Datamart.treasuryTotals(Datamart.allTreasuryBalances(fin))
+    }
+    val expected = direct.orderBy($"block_day", $"measure")
+      .collect().map(_.toSeq).toSeq
+
+    val lazyBuilt = Dag.materialize(flagshipModels, sources)
+    val gotLazy = lazyBuilt("treasury_totals").orderBy($"block_day", $"measure")
+      .collect().map(_.toSeq).toSeq
+    assert(gotLazy == expected)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    val matBuilt = Dag.materialize(flagshipModels, sources,
+      Dag.parquetIo(spark, root))
+    val gotMat = matBuilt("treasury_totals").orderBy($"block_day", $"measure")
+      .collect().map(_.toSeq).toSeq
+    assert(gotMat == expected)
+    // persist-every-model: each model's table exists on disk
+    flagshipModels.foreach { m =>
+      assert(new java.io.File(s"$root/${m.name}").exists, s"${m.name} not materialized")
+    }
+  }
+}
