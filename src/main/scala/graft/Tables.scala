@@ -23,9 +23,18 @@ object Tables {
     // Spark surfaces as epoch-nanos LongType under nanosAsLong; later drops
     // write TIMESTAMP(MICROS), which surfaces as TimestampType. Normalize at
     // the only read point so the contract is schema-drift-proof. unix_micros
-    // is a pure Catalyst cast — it folds into the scan projection, costs no
-    // shuffle, and parquet column pruning/pushdown still apply.
+    // is a pure Catalyst cast that folds into the scan projection and costs
+    // no shuffle; parquet COLUMN PRUNING still applies, but a filter on the
+    // normalized `ts` is an expression over the scan attribute and does NOT
+    // push down to the parquet reader — apply ts-range filters before
+    // normalization if scan pushdown ever matters (no current query does).
     if (name == "events") {
+      // The NTZ→TZ cast below is the identity on the underlying micros ONLY
+      // when the session TZ is UTC; under any other TZ it would silently
+      // shift every event time by the local offset. Fail loudly instead.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "graft sessions must pin spark.sql.session.timeZone=UTC — the " +
+        "events.ts NTZ normalization is only offset-free under UTC")
       val norm: Seq[Column] = df.schema.fields.toSeq.map { f =>
         // timestamp[us] parquet surfaces as TIMESTAMP_NTZ (no tz annotation)
         // or TIMESTAMP depending on the writer; session TZ is pinned UTC, so

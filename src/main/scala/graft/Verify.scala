@@ -73,6 +73,33 @@ object Verify {
             "cannot hash array cells; emit long-form rows or concat_ws strings")
         }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // NaN/Infinity guard (round 9): pandas/DuckDB disagree on NaN
+        // ordering and equality semantics in the driver's sorted-cell
+        // compare, so a NaN/Inf double in an oracle-checked output would
+        // produce a confusing downstream hash mismatch (or worse, an
+        // accidental pass) instead of a clear error here. Check the
+        // WRITTEN files — one cheap scan of an already-small result.
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.functions.{col, isnan, sum, when}
+          import org.apache.spark.sql.types.{DoubleType, FloatType}
+          val written = spark.read.parquet(s"$outDir/$name")
+          val dbls = written.schema.fields
+            .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+            .map(_.name).toSeq
+          if (dbls.nonEmpty) {
+            val counts = written.select(dbls.map(c =>
+              sum(when(isnan(col(c)) ||
+                col(c) === Double.PositiveInfinity ||
+                col(c) === Double.NegativeInfinity, 1).otherwise(0)).as(c)): _*).head()
+            val viol = dbls.zipWithIndex.collect {
+              case (c, i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+                s"$c (${counts.getLong(i)} rows)"
+            }
+            require(viol.isEmpty, s"oracle-checked query $name emits " +
+              s"NaN/Infinity in ${viol.mkString(", ")} — the DuckDB/pandas " +
+              "compare semantics differ on these; guard or round the expression")
+          }
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
