@@ -1000,7 +1000,12 @@ object TrainingQueries {
         threshold = 0.45, k = 5, nLists = 64,
         trainIters = 2, maxCandidateFraction = 0.25)
       val exactEdges = Dedup.embeddingEdgesAbove(emb, "vec_id", "embedding", 0.45)
-      val exactCC = Dedup.connectedComponents(
+      // exact twin CC runs the DRIVER-side union-find: the true edge set
+      // is driver-bounded by construction (near-dup edges at a high
+      // threshold), so a second distributed pointer-jumping loop would
+      // spend its rounds on scheduling, not work. The ANN pipeline's own
+      // CC (inside semanticDedup) stays fully distributed.
+      val exactCC = Dedup.connectedComponentsLocal(
         emb.select($"vec_id".cast("long").as("vec_id")), "vec_id",
         exactEdges.select($"id_a", $"id_b"), "id_a", "id_b")
       val sizes = exactCC.groupBy($"cluster_id")

@@ -854,6 +854,51 @@ object Dedup {
     }
   }
 
+  /** DRIVER-SIDE connected components — the exact-ORACLE twin of
+    * [[connectedComponents]] for verdict harnesses whose edge list is
+    * already driver-bounded (e.g. [[embeddingEdgesAbove]] output: true
+    * near-dup edges, small by construction at any sensible threshold).
+    * Union-find with path compression on the collected edges, min-member
+    * labels broadcast back; vertices never leave the cluster — only the
+    * edge list and the label map (≤ 2·|edges| entries) touch the driver.
+    * Identical output contract to the distributed form: (idCol,
+    * cluster_id = min id in component), isolated vertices label
+    * themselves. Use the distributed pointer-jumping form for any
+    * production-scale graph.
+    */
+  def connectedComponentsLocal(vertices: DataFrame, idCol: String,
+                               edges: DataFrame, aCol: String,
+                               bCol: String): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val es = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.toSeq.map(n => (n, find(n)))
+    if (labels.isEmpty)
+      vertices.select(col(idCol).cast("long").as(idCol),
+        col(idCol).cast("long").as("cluster_id"))
+    else {
+      val lm = labels.toDF("__n", "cluster_id")
+      vertices.select(col(idCol).cast("long").as(idCol))
+        .join(broadcast(lm), col(idCol) === col("__n"), "left")
+        .select(col(idCol),
+          coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    }
+  }
+
   /** Intersection size of two SORTED long arrays — the native codegen'd
     * [[graft.expressions.SortedIntersectCount]] merge pass (stays inside
     * whole-stage codegen; the Scala-UDF twin it replaced boxed both

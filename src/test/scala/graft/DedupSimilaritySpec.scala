@@ -94,6 +94,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsLocal matches the distributed form (incl. empty edges)") {
+    val vertices = (1L to 9L).toDF("doc_id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(vertices, "doc_id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponentsLocal(vertices, "doc_id", edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    val noEdges = Dedup.connectedComponentsLocal(vertices, "doc_id",
+      edges.limit(0), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noEdges == (1L to 9L).map(i => i -> i).toMap)
+  }
+
   test("concurrent pipelines never mutate the caller's AQE conf (isolated child sessions)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
