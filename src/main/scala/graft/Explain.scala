@@ -27,7 +27,9 @@ object Explain {
     "o14_cdc_apply", "w14_mad_outliers", "m4_image_tiles",
     "d11_paragraph_dedup", "t15_winnowing", "t16_corpus_shuffle",
     "s8_pq_adc", "a20_countmin_probe", "g2_pagerank_iter",
-    "s12_kmeans_train", "s13_logreg_train")
+    "s12_kmeans_train", "s13_logreg_train",
+    "s7_knn_graph", "d13_semantic_dedup", "d2_minhash_lsh_neardup",
+    "t22_bloom_decontaminate", "s14_index_persist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -393,6 +393,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getLong(0) == 7L, "self must be in its own bucket at radius 0")
   }
 
+  test("topKLshBatch matches per-query topKLsh for every query in the batch") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val batch = Similarity.topKLshBatch(emb, queries, "vec_id", "embedding",
+      "query_id", k = 5, dim = 64, bits = 16, hammingRadius = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    (0L until 3L).foreach { qid =>
+      val q = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+      val single = Similarity.topKLsh(emb, "vec_id", "embedding", q, k = 5,
+        dim = 64, bits = 16, hammingRadius = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid: batch/single divergence")
+    }
+  }
+
   test("PQ/ADC: deterministic books, code range, Lloyd monotone, self-query recall") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val m = 8; val kCodes = 16
