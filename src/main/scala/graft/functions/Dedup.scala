@@ -622,18 +622,31 @@ object Dedup {
         while (j < b.length) {
           val (idB, hB) = b(j)
           if (idA < idB) {
-            // merge-count over two sorted distinct arrays
-            var ia = 0; var ib = 0; var inter = 0
-            while (ia < hA.length && ib < hB.length) {
-              val x = hA(ia); val y = hB(ib)
-              if (x == y) { inter += 1; ia += 1; ib += 1 }
-              else if (x < y) ia += 1
-              else ib += 1
+            val la = hA.length; val lb = hB.length
+            // size filter: J ≤ min/max, so a length ratio below the
+            // threshold can never qualify (exactness preserved)
+            if (math.min(la, lb).toDouble >= threshold * math.max(la, lb)) {
+              // merge-count with early exit: J ≥ t needs
+              // inter ≥ t/(1+t)·(la+lb); once inter + the best-possible
+              // remainder falls short, the pair is provably below
+              // threshold and the rest of the merge is skipped — on the
+              // far-below-threshold bulk (every pair but the true dups)
+              // this halves the dominant inner-loop cost
+              val required = math.ceil(threshold / (1 + threshold) * (la + lb) - 1e-9)
+              var ia = 0; var ib = 0; var inter = 0
+              var live = true
+              while (live && ia < la && ib < lb) {
+                val x = hA(ia); val y = hB(ib)
+                if (x == y) { inter += 1; ia += 1; ib += 1 }
+                else if (x < y) ia += 1
+                else ib += 1
+                if (inter + math.min(la - ia, lb - ib) < required) live = false
+              }
+              val union = la + lb - inter
+              val jac = if (union == 0) 0.0 else inter.toDouble / union
+              if (live && jac >= threshold)
+                out += ((idA, idB, Math.round(jac * 1e6) / 1e6))
             }
-            val union = hA.length + hB.length - inter
-            val jac = if (union == 0) 0.0 else inter.toDouble / union
-            if (jac >= threshold)
-              out += ((idA, idB, Math.round(jac * 1e6) / 1e6))
           }
           j += 1
         }
