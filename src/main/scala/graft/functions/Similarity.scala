@@ -507,6 +507,18 @@ object Similarity {
       nProbe, memberAssign)
   }
 
+  /** [[knnGraphBlocked]] against an EXPLICIT centroid table (trained via
+    * [[trainIvfCentroids]] or loaded from storage) — the train-once /
+    * probe-many seam for the graph operator: given identical parameters,
+    * output is bit-identical to the self-training form (PersistSpec). */
+  def knnGraphBlockedWith(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, centroids: DataFrame,
+                          nProbe: Int = 4, memberAssign: Int = 1): DataFrame = {
+    val (seeds, seedNorms) = collectCentroids(centroids)
+    knnGraphWithSeeds(Dedup.spread(df), idCol, vecCol, k, seeds, seedNorms,
+      nProbe, memberAssign)
+  }
+
   /** COST-BOUNDED blocked kNN graph — [[knnGraphBlocked]] with the probe
     * budget DERIVED, not hardcoded: after training, the home-list
     * occupancy histogram (one nLists-row aggregate — already driver-sized)

@@ -72,6 +72,21 @@ class PersistSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("knnGraphBlockedWith(saved centroids) == self-training knnGraphBlocked") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nLists = 8, iters = 2)
+    val path = tmp("knn_cents")
+    cents.write.mode("overwrite").parquet(path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"id", $"rank").collect().map(_.toSeq).toSeq
+    val selfTrained = rows(Similarity.knnGraphBlocked(emb, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 3, trainIters = 2))
+    val loaded = rows(Similarity.knnGraphBlockedWith(emb, "vec_id", "embedding",
+      k = 3, spark.read.parquet(path), nProbe = 3))
+    assert(loaded == selfTrained)
+  }
+
   test("s14 gate query: round-trip verdicts hold") {
     val row = SparkEntry.queries("s14_index_persist")(spark, sfDir).head()
     assert(row.getAs[Boolean]("ivf_roundtrip_ok"))
