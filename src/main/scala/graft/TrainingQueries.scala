@@ -1122,6 +1122,17 @@ object TrainingQueries {
         .select($"vec_id", $"cosine",
           ($"n_ivf" === 10L).as("ivf_roundtrip_ok"),
           ($"n_pq" === 10L).as("pq_roundtrip_ok"))
+    }),
+
+    // S15: k-center greedy coreset — diversity sampling for data
+    // curation: pick 5 maximally-spread exemplars (farthest-point
+    // traversal, squared-L2, lowest-id seed). Fully deterministic
+    // (round-6 ranking, id tie-break, chosen ids excluded), so the
+    // greedy TRACE itself is the oracle-checked payload: DuckDB unrolls
+    // the same 4 selection steps and must reproduce rank, id, and
+    // distance exactly.
+    "s15_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
     })
   )
 
@@ -1243,6 +1254,35 @@ object TrainingQueries {
            FROM embeddings e CROSS JOIN q)
          SELECT vec_id, cosine, true AS ivf_roundtrip_ok, true AS pq_roundtrip_ok
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "s15_kcenter_coreset" ->
+      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c1 AS (SELECT id, e FROM v ORDER BY id LIMIT 1),
+         d1 AS (SELECT v.id, v.e,
+                list_dot_product(c.e, c.e) + list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.e) AS d
+                FROM v CROSS JOIN c1 c WHERE v.id <> c.id),
+         c2 AS (SELECT id, e, round(d, 6) AS rd FROM d1
+                ORDER BY round(d, 6) DESC, id ASC LIMIT 1),
+         d2 AS (SELECT d1.id, d1.e,
+                least(d1.d, list_dot_product(c.e, c.e) + list_dot_product(d1.e, d1.e) - 2 * list_dot_product(d1.e, c.e)) AS d
+                FROM d1 CROSS JOIN c2 c WHERE d1.id <> c.id),
+         c3 AS (SELECT id, e, round(d, 6) AS rd FROM d2
+                ORDER BY round(d, 6) DESC, id ASC LIMIT 1),
+         d3 AS (SELECT d2.id, d2.e,
+                least(d2.d, list_dot_product(c.e, c.e) + list_dot_product(d2.e, d2.e) - 2 * list_dot_product(d2.e, c.e)) AS d
+                FROM d2 CROSS JOIN c3 c WHERE d2.id <> c.id),
+         c4 AS (SELECT id, e, round(d, 6) AS rd FROM d3
+                ORDER BY round(d, 6) DESC, id ASC LIMIT 1),
+         d4 AS (SELECT d3.id, d3.e,
+                least(d3.d, list_dot_product(c.e, c.e) + list_dot_product(d3.e, d3.e) - 2 * list_dot_product(d3.e, c.e)) AS d
+                FROM d3 CROSS JOIN c4 c WHERE d3.id <> c.id),
+         c5 AS (SELECT id, round(d, 6) AS rd FROM d4
+                ORDER BY round(d, 6) DESC, id ASC LIMIT 1)
+         SELECT CAST(1 AS INT) AS rank, id, CAST(0.0 AS DOUBLE) AS dist FROM c1
+         UNION ALL SELECT CAST(2 AS INT), id, rd FROM c2
+         UNION ALL SELECT CAST(3 AS INT), id, rd FROM c3
+         UNION ALL SELECT CAST(4 AS INT), id, rd FROM c4
+         UNION ALL SELECT CAST(5 AS INT), id, rd FROM c5""",
     "s9_ivfpq_adc" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0),

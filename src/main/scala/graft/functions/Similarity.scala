@@ -429,6 +429,58 @@ object Similarity {
       .toDF("list_id", "centroid")
   }
 
+  /** K-CENTER GREEDY (farthest-point) coreset selection — the diversity
+    * sampling step of training-data curation (pick k maximally-spread
+    * exemplars; the deterministic little sibling of DPP/coreset methods).
+    * Seeded at the lowest id; each round selects the point maximizing its
+    * squared-L2 distance to the chosen set (round-6 ranking, id
+    * tie-break — cross-engine deterministic), already-chosen ids
+    * excluded. Returns (rank [1-based], id, dist = round-6 min-distance
+    * to the previously chosen set at selection time; 0.0 for the seed).
+    *
+    * Loop discipline (the kmeansTrain family): the narrow (id, vec)
+    * projection persists once; each of the k−1 rounds is one cached
+    * map-side pass — the min-distance is a `least` over codegen'd dot
+    * products against LITERAL chosen vectors (k·dim doubles in the plan,
+    * nothing broadcast) and only the single argmax row is collected. At
+    * 100 TB: k passes over a cached narrow table, no shuffle anywhere —
+    * and for large k, run it on a [[graft.functions.Text.hashSampleFilter]]
+    * sample (greedy k-center on a uniform sample is the standard scale
+    * recipe).
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val vecs = df.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist(MEMORY_AND_DISK)
+    val first = vecs.orderBy(col("__id")).limit(1)
+      .collect().headOption.getOrElse(sys.error("kCenterGreedy: empty corpus"))
+    var chosen = List((first.getLong(0), first.getSeq[Double](1).toArray))
+    val out = scala.collection.mutable.ArrayBuffer((1, first.getLong(0), 0.0))
+    def distTo(c: Array[Double]): Column = {
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      (dot(cLit, cLit) + dot(col("__v"), col("__v"))) - lit(2.0) * dot(col("__v"), cLit)
+    }
+    var r = 2
+    while (r <= k) {
+      val minD = chosen.map(c => distTo(c._2)).reduce(least(_, _))
+      val cand = vecs
+        .filter(!col("__id").isin(chosen.map(_._1): _*))
+        .select(col("__id"), col("__v"), round(minD, 6).as("__d"))
+        .orderBy(col("__d").desc, col("__id").asc).limit(1)
+        .collect()
+      require(cand.nonEmpty, s"kCenterGreedy: corpus smaller than k=$k")
+      val best = cand(0)
+      chosen = (best.getLong(0), best.getSeq[Double](1).toArray) :: chosen
+      out += ((r, best.getLong(0), best.getDouble(2)))
+      r += 1
+    }
+    vecs.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("rank", "id", "dist")
+  }
+
   /** The k-means objective for a trained centroid table: mean over the
     * corpus of the squared Euclidean distance to the NEAREST centroid —
     * one map-side pass (centroids ride the task closure), one scalar

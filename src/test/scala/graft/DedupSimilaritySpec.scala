@@ -393,6 +393,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getLong(0) == 7L, "self must be in its own bucket at radius 0")
   }
 
+  test("kCenterGreedy covers planted far clusters and is partition-invariant") {
+    // 3 tight blobs far apart + the seed's blob first: the k=3 coreset
+    // must contain exactly one exemplar per blob (diversity), regardless
+    // of input partitioning (determinism).
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(Array(0.0, 0.0), Array(100.0, 0.0), Array(0.0, 100.0))
+    val pts = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, Seq(c(0) + rnd.nextGaussian() * 0.1, c(1) + rnd.nextGaussian() * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    def blobOf(id: Long) = (id % 3).toInt
+    Seq(1, 7).foreach { nPart =>
+      val got = Similarity.kCenterGreedy(df.repartition(nPart), "vec_id", "embedding", k = 3)
+        .orderBy($"rank").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(x => blobOf(x._2)).toSet == Set(0, 1, 2),
+        s"nPart=$nPart: coreset $got does not cover all blobs")
+      assert(got.head._2 == 0L && got.head._3 == 0.0, "seed = lowest id at dist 0")
+      assert(got(1)._3 > got(2)._3, "selection distances strictly shrink on spread blobs")
+    }
+  }
+
   test("topKLshBatch matches per-query topKLsh for every query in the batch") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 3)
