@@ -60,6 +60,22 @@ object SparkEntry {
     coreOracleSql ++ ExprQueries.oracleSql ++ TrainingQueries.oracleSql ++
       AnalyticsQueries.oracleSql
 
+  /** Per-module query/oracle name sets — spec-only surface for the
+    * no-shadowing contract: `++` silently overrides duplicate keys, so a
+    * name reused across modules would drop a query from the gate without
+    * any error (ContractSpec pins pairwise disjointness). */
+  private[graft] def queryGroups: Map[String, Set[String]] = Map(
+    "core" -> coreQueries.keySet,
+    "expr" -> ExprQueries.queries.keySet,
+    "training" -> TrainingQueries.queries.keySet,
+    "analytics" -> AnalyticsQueries.queries.keySet)
+
+  private[graft] def oracleGroups: Map[String, Set[String]] = Map(
+    "core" -> coreOracleSql.keySet,
+    "expr" -> ExprQueries.oracleSql.keySet,
+    "training" -> TrainingQueries.oracleSql.keySet,
+    "analytics" -> AnalyticsQueries.oracleSql.keySet)
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.5 aggregations -------------------------------------------------
