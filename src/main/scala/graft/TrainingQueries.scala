@@ -29,6 +29,31 @@ object TrainingQueries {
           element_at($"words", i + 3), element_at($"words", i + 4)))).as("shingle"))
   }
 
+  /** Shared verdict harness for the PQ family (s8/s9): exact squared-L2
+    * top-10 payload (the q·q + v·v − 2·v·q expansion folds identically in
+    * DuckDB's list_dot_product) plus the (self-hit, non-negative,
+    * error ≤ 2.5) verdicts over whichever ADC result `got` carries. */
+  private def adcVerdicts(s: SparkSession, emb: DataFrame, got: DataFrame,
+                          q: Seq[Double], selfCol: String): DataFrame = {
+    import s.implicits._
+    val qLit = array(q.map(lit): _*)
+    def l2sq(v: org.apache.spark.sql.Column) =
+      round((Similarity.dot(qLit, qLit) + Similarity.dot(v, v))
+        - lit(2.0) * Similarity.dot(v, qLit), 6)
+    val exactAll = emb.select($"vec_id",
+      l2sq($"embedding".cast("array<double>")).as("l2sq"))
+    val exactTop = exactAll.orderBy($"l2sq".asc, $"vec_id".asc).limit(10)
+    val stats = got.join(exactAll, "vec_id")
+      .agg(max(abs($"adc_dist" - $"l2sq")).as("max_err"),
+           min($"adc_dist").as("min_adc"),
+           sum(when($"vec_id" === 0, 1L).otherwise(0L)).as("n_self"))
+    exactTop.crossJoin(broadcast(stats))
+      .select($"vec_id", $"l2sq",
+        ($"n_self" === 1L).as(selfCol),
+        ($"min_adc" >= 0.0).as("adc_nonneg"),
+        ($"max_err" <= 2.5).as("adc_err_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- deduplication -----------------------------------------------------
@@ -403,22 +428,7 @@ object TrainingQueries {
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
       val adc = Similarity.pqTopKAdc(codes, "vec_id", q, books, k = 10)
-      val qLit = array(q.map(lit): _*)
-      def l2sq(v: org.apache.spark.sql.Column) =
-        round((Similarity.dot(qLit, qLit) + Similarity.dot(v, v))
-          - lit(2.0) * Similarity.dot(v, qLit), 6)
-      val exactAll = emb.select($"vec_id",
-        l2sq($"embedding".cast("array<double>")).as("l2sq"))
-      val exactTop = exactAll.orderBy($"l2sq".asc, $"vec_id".asc).limit(10)
-      val stats = adc.join(exactAll, "vec_id")
-        .agg(max(abs($"adc_dist" - $"l2sq")).as("max_err"),
-             min($"adc_dist").as("min_adc"),
-             sum(when($"vec_id" === 0, 1L).otherwise(0L)).as("n_self"))
-      exactTop.crossJoin(broadcast(stats))
-        .select($"vec_id", $"l2sq",
-          ($"n_self" === 1L).as("self_hit_adc"),
-          ($"min_adc" >= 0.0).as("adc_nonneg"),
-          ($"max_err" <= 2.5).as("adc_err_ok"))
+      adcVerdicts(s, emb, adc, q, "self_hit_adc")
     }),
 
     // S9: IVF-PQ probe — the billion-vector composition: IVF prunes which
@@ -437,22 +447,7 @@ object TrainingQueries {
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
       val got = Similarity.topKIvfPq(index, codes, "vec_id", "embedding", q, books, k = 10)
-      val qLit = array(q.map(lit): _*)
-      def l2sq(v: org.apache.spark.sql.Column) =
-        round((Similarity.dot(qLit, qLit) + Similarity.dot(v, v))
-          - lit(2.0) * Similarity.dot(v, qLit), 6)
-      val exactAll = emb.select($"vec_id",
-        l2sq($"embedding".cast("array<double>")).as("l2sq"))
-      val exactTop = exactAll.orderBy($"l2sq".asc, $"vec_id".asc).limit(10)
-      val stats = got.join(exactAll, "vec_id")
-        .agg(max(abs($"adc_dist" - $"l2sq")).as("max_err"),
-             min($"adc_dist").as("min_adc"),
-             sum(when($"vec_id" === 0, 1L).otherwise(0L)).as("n_self"))
-      exactTop.crossJoin(broadcast(stats))
-        .select($"vec_id", $"l2sq",
-          ($"n_self" === 1L).as("self_found"),
-          ($"min_adc" >= 0.0).as("adc_nonneg"),
-          ($"max_err" <= 2.5).as("adc_err_ok"))
+      adcVerdicts(s, emb, got, q, "self_found")
     }),
 
     // D8: triangle enumeration over the near-dup pair graph — the classic
@@ -1013,9 +1008,14 @@ object TrainingQueries {
       val exact = exactCC.join(sizes, Seq("cluster_id"))
         .select($"vec_id", $"cluster_id", $"cluster_size",
           ($"vec_id" === $"__rep").as("keep"))
-      val agree = ann.select($"vec_id", $"cluster_id".as("__ac"))
-        .join(exact.select($"vec_id", $"cluster_id"), "vec_id")
-        .agg(avg(when($"__ac" === $"cluster_id", 1.0).otherwise(0.0)).as("__frac"))
+      // LEFT join from the exact side: a vector the ANN pipeline dropped
+      // (or never emitted) must count as DISAGREEMENT, not vanish from
+      // the denominator — an inner join would let a row-dropping
+      // regression sail through with agreement 1.0 over the survivors.
+      val agree = exact.select($"vec_id", $"cluster_id")
+        .join(ann.select($"vec_id", $"cluster_id".as("__ac")), Seq("vec_id"), "left")
+        .agg(avg(when($"__ac".isNotNull && $"__ac" === $"cluster_id", 1.0)
+          .otherwise(0.0)).as("__frac"))
       exact.crossJoin(broadcast(agree))
         .select($"vec_id", $"cluster_id", $"cluster_size", $"keep",
           ($"__frac" >= 0.95).as("ann_agree_ok"))
@@ -1089,7 +1089,12 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      // FIXED scratch location, overwritten per run — a fresh
+      // createTempDirectory per invocation leaked a parquet-filled dir on
+      // every gate/bench/plan-audit run. Local-filesystem path is the
+      // gate posture only: in a real deployment these artifact tables
+      // live at warehouse paths (see PersistSpec / Similarity docs).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s14_index"
       // build → save
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         nLists = 16, iters = 1)

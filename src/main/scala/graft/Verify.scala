@@ -75,10 +75,13 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // NaN/Infinity guard (round 9): pandas/DuckDB disagree on NaN
         // ordering and equality semantics in the driver's sorted-cell
-        // compare, so a NaN/Inf double in an oracle-checked output would
-        // produce a confusing downstream hash mismatch (or worse, an
-        // accidental pass) instead of a clear error here. Check the
-        // WRITTEN files — one cheap scan of an already-small result.
+        // compare, so a NaN/Inf double in an oracle-checked output could
+        // produce a confusing downstream hash mismatch — or an accidental
+        // pass. Check the WRITTEN files (one cheap scan of an
+        // already-small result); on violation DELETE the output before
+        // rethrowing, so the driver records a clear "no spark output"
+        // failure instead of comparing the poisoned parquet (the catch
+        // below would otherwise swallow the error and leave the files).
         if (SparkEntry.oracleSql.contains(name)) {
           import org.apache.spark.sql.functions.{col, isnan, sum, when}
           import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -95,9 +98,16 @@ object Verify {
               case (c, i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
                 s"$c (${counts.getLong(i)} rows)"
             }
-            require(viol.isEmpty, s"oracle-checked query $name emits " +
-              s"NaN/Infinity in ${viol.mkString(", ")} — the DuckDB/pandas " +
-              "compare semantics differ on these; guard or round the expression")
+            if (viol.nonEmpty) {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+              }
+              rm(new java.io.File(s"$outDir/$name"))
+              throw new IllegalArgumentException(s"oracle-checked query $name " +
+                s"emits NaN/Infinity in ${viol.mkString(", ")} — the " +
+                "DuckDB/pandas compare semantics differ on these; guard or " +
+                "round the expression (output deleted so the gate fails loudly)")
+            }
           }
         }
       }

@@ -146,40 +146,51 @@ object Dedup {
 
   /** Builds shingles AND the signature in one row pass: the Catalyst
     * ngram form (sequence+transform+slice+concat_ws) costs more than the
-    * whole rest of the near-dup pipeline at corpus scale. */
-  private def minhashUdf(n: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((words: Seq[String]) => {
-      val sig = Array.fill(k)(Int.MaxValue)
-      val w = words.toArray
-      val m = math.max(w.length - (n - 1), 1)
-      val sb = new java.lang.StringBuilder(64)
-      var j = 0
-      while (j < m) {
-        sb.setLength(0)
-        var t = 0
-        while (t < n && j + t < w.length) {
-          if (t > 0) sb.append(' ')
-          sb.append(w(j + t)); t += 1
-        }
-        val s = sb.toString
-        // Double hashing (Kirsch–Mitzenmacher): two murmur passes over the
-        // shingle string, k permutations derived as h1 + i·h2 (mod 2³²,
-        // h2 forced odd so the increment cycles the full ring). 2 string
-        // hashes per shingle instead of k — the signature pass is the
-        // dominant map-side cost of the whole LSH pipeline at corpus scale.
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) | 1
-        var i = 0
-        var h = h1
-        while (i < k) {
-          if (h < sig(i)) sig(i) = h
-          h += h2
-          i += 1
-        }
-        j += 1
+    * whole rest of the near-dup pipeline at corpus scale. Single source
+    * of truth for the shingle/signature math — [[minhashUdf]] and
+    * [[sigWithShinglesUdf]] both delegate here, so the truncation rule
+    * and hash seeds can never drift between the public signature API and
+    * the fused LSH pipeline.
+    *
+    * Double hashing (Kirsch–Mitzenmacher): two murmur passes over each
+    * shingle string, k permutations derived as h1 + i·h2 (mod 2³², h2
+    * forced odd so the increment cycles the full ring) — 2 string hashes
+    * per shingle instead of k; the same two passes pack into the 64-bit
+    * shingle-identity hash, so the exact Jaccard set is nearly free. */
+  private def sigAndShingles(words: Seq[String], n: Int, k: Int): (Array[Long], Array[Int]) = {
+    val sig = Array.fill(k)(Int.MaxValue)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val w = words.toArray
+    val m = math.max(w.length - (n - 1), 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n && j + t < w.length) {
+        if (t > 0) sb.append(' ')
+        sb.append(w(j + t)); t += 1
       }
-      sig.toSeq
-    })
+      val s = sb.toString
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) | 1
+      seen += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      var h = h1
+      while (i < k) {
+        if (h < sig(i)) sig(i) = h
+        h += h2
+        i += 1
+      }
+      j += 1
+    }
+    val hs = seen.toArray
+    java.util.Arrays.sort(hs)
+    (hs, sig)
+  }
+
+  private def minhashUdf(n: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((words: Seq[String]) => sigAndShingles(words, n, k)._2.toSeq)
 
   /** Single-pass shingle-hash set + minhash signature: tokenize ONCE,
     * and per shingle derive (a) a 64-bit identity hash for the exact
@@ -195,34 +206,7 @@ object Dedup {
     * two sides measure Jaccard in an identical space. */
   private def sigWithShinglesUdf(n: Int, k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((words: Seq[String]) => {
-      val sig = Array.fill(k)(Int.MaxValue)
-      val seen = scala.collection.mutable.HashSet.empty[Long]
-      val w = words.toArray
-      val m = math.max(w.length - (n - 1), 1)
-      val sb = new java.lang.StringBuilder(64)
-      var j = 0
-      while (j < m) {
-        sb.setLength(0)
-        var t = 0
-        while (t < n && j + t < w.length) {
-          if (t > 0) sb.append(' ')
-          sb.append(w(j + t)); t += 1
-        }
-        val s = sb.toString
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995) | 1
-        seen += (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
-        var i = 0
-        var h = h1
-        while (i < k) {
-          if (h < sig(i)) sig(i) = h
-          h += h2
-          i += 1
-        }
-        j += 1
-      }
-      val hs = seen.toArray
-      java.util.Arrays.sort(hs)
+      val (hs, sig) = sigAndShingles(words, n, k)
       (hs, sig.toSeq)
     })
 

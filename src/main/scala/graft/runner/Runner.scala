@@ -77,14 +77,39 @@ object Runner {
     * Construction validates the 5-field shape loudly (a malformed cron
     * silently never firing is the worst failure mode a schedule has). */
   final case class Schedule(cron: String, jobName: String) {
-    private val fieldPat =
-      "^(\\*|\\d+(-\\d+)?)(/\\d+)?(,(\\*|\\d+(-\\d+)?)(/\\d+)?)*$".r
     locally {
       val fields = cron.trim.split("\\s+")
       require(fields.length == 5,
         s"cron '$cron' must have 5 fields (min hour dom mon dow), got ${fields.length}")
-      fields.foreach(f => require(fieldPat.matches(f),
-        s"cron '$cron': malformed field '$f'"))
+      // Per-field VALUE validation, not just lexical shape: "0 99 * * *"
+      // is exactly the silently-never-fires failure this type exists to
+      // prevent. Each field is a comma list of (*|a|a-b) with an optional
+      // /step; values must sit in the field's range, ranges must not
+      // invert, steps must be >= 1.
+      val bounds = Seq((0, 59, "minute"), (0, 23, "hour"), (1, 31, "day-of-month"),
+        (1, 12, "month"), (0, 7, "day-of-week"))
+      val atom = "(\\*|(\\d+)(-(\\d+))?)(/(\\d+))?".r
+      fields.zip(bounds).foreach { case (f, (lo, hi, what)) =>
+        f.split(",", -1).foreach {
+          case atom(base, a, _, b, _, step) =>
+            if (a != null) {
+              val av = a.toInt
+              require(av >= lo && av <= hi,
+                s"cron '$cron': $what value $av outside [$lo, $hi]")
+              if (b != null) {
+                val bv = b.toInt
+                require(bv >= lo && bv <= hi,
+                  s"cron '$cron': $what value $bv outside [$lo, $hi]")
+                require(av <= bv, s"cron '$cron': inverted $what range $base")
+              }
+            }
+            if (step != null)
+              require(step.toInt >= 1, s"cron '$cron': zero step in $what field")
+          case part =>
+            throw new IllegalArgumentException(
+              s"cron '$cron': malformed $what field part '$part'")
+        }
+      }
     }
   }
 
@@ -114,8 +139,12 @@ object Runner {
       models.foreach(m => m.deps.foreach(d =>
         require(byName.contains(d) || sources.contains(d),
           s"model '${m.name}' refs '$d', which is neither a model nor a provided source")))
+      // distinct: a repeated ref in one deps list is legal (the executor
+      // resolves it once), but counting duplicates here with a
+      // decrement-once loop below would under-release the in-degree and
+      // misreport a valid DAG as cyclic
       val pending = scala.collection.mutable.Map.from(
-        models.map(m => m.name -> m.deps.count(byName.contains)))
+        models.map(m => m.name -> m.deps.distinct.count(byName.contains)))
       val ready = scala.collection.mutable.SortedSet.from(
         pending.collect { case (n, 0) => n })
       val out = scala.collection.mutable.ArrayBuffer.empty[Model]
@@ -138,6 +167,11 @@ object Runner {
     def materialize(models: Seq[Model],
                     sources: Map[String, DataFrame] = Map.empty,
                     io: (String, DataFrame) => DataFrame = (_, df) => df): Map[String, DataFrame] = {
+      // a model shadowing a source name would have its output silently
+      // removed by the final `-- sources.keys` — refuse loudly instead
+      val shadowed = models.map(_.name).toSet.intersect(sources.keySet)
+      require(shadowed.isEmpty,
+        s"model name(s) collide with provided sources: ${shadowed.toSeq.sorted.mkString(", ")}")
       val order = topoOrder(models, sources.keySet)
       order.foldLeft(sources) { (built, m) =>
         val resolved = m.deps.map(d => d -> built(d)).toMap

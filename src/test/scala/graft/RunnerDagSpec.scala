@@ -84,6 +84,28 @@ class RunnerDagSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Schedule("0 7a * * *", "garbage_field"))
   }
 
+  test("Schedule validates field VALUES, not just shape (the silent-never-fires class)") {
+    assertThrows[IllegalArgumentException](Schedule("0 99 * * *", "hour_99"))
+    assertThrows[IllegalArgumentException](Schedule("5 7 32 * *", "dom_32"))
+    assertThrows[IllegalArgumentException](Schedule("*/0 * * * *", "zero_step"))
+    assertThrows[IllegalArgumentException](Schedule("5-1 * * * *", "inverted_range"))
+    Schedule("59 23 31 12 7", "all_maxima")     // boundary values are legal
+  }
+
+  test("topoOrder tolerates a repeated ref in one deps list") {
+    val models = Seq(
+      Model("b", Seq("a", "a"))(deps => deps("a")),
+      Model("a", Nil)(_ => balances))
+    assert(Dag.topoOrder(models).map(_.name) == Seq("a", "b"))
+    assert(Dag.materialize(models)("b").count() == balances.count())
+  }
+
+  test("materialize refuses a model that shadows a provided source name") {
+    val models = Seq(Model("balances", Nil)(_ => balances))
+    assertThrows[IllegalArgumentException](
+      Dag.materialize(models, Map("balances" -> balances)))
+  }
+
   test("topoOrder sequences the scrambled flagship DAG by dependency") {
     val order = Dag.topoOrder(flagshipModels, sources.keySet).map(_.name)
     def before(a: String, b: String) =
