@@ -94,6 +94,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardAllPairsAbove == provably-exact prefix filter (size/early-exit pruning lossless)") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    Seq(0.4, 0.8).foreach { t =>
+      val fast = Dedup.jaccardAllPairsAbove(docs, "text", "doc_id", t, ngram = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = Dedup.nearDupPrefixFilter(docs, "text", "doc_id", t, ngram = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == exact, s"threshold $t: twin diverges from PPJoin")
+    }
+  }
+
+  test("embeddingEdgesAbove == thresholded all-pairs join (exact edge oracle)") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val t = 0.2
+    val fast = Dedup.embeddingEdgesAbove(emb, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v = emb.select($"vec_id".cast("long").as("id"),
+      $"embedding".cast("array<double>").as("e"))
+    val brute = v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(Similarity.cosine(col("a.e"), col("b.e")), 6).as("c"))
+      .filter($"c" >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute)
+  }
+
   test("connectedComponentsLocal matches the distributed form (incl. empty edges)") {
     val vertices = (1L to 9L).toDF("doc_id")
     val edges = Seq(
