@@ -1089,12 +1089,17 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
-      // FIXED scratch location, overwritten per run — a fresh
-      // createTempDirectory per invocation leaked a parquet-filled dir on
-      // every gate/bench/plan-audit run. Local-filesystem path is the
-      // gate posture only: in a real deployment these artifact tables
-      // live at warehouse paths (see PersistSpec / Similarity docs).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s14_index"
+      // FIXED scratch location PER APPLICATION, overwritten per run — a
+      // fresh createTempDirectory per invocation leaked a parquet-filled
+      // dir on every gate/bench/plan-audit run, while a fully shared path
+      // raced across concurrent runs/users (overwrite is delete-then-
+      // write, so a concurrent reader could hit FileNotFound or another
+      // run's centroids). applicationId is stable within a run and unique
+      // across runs. Local-filesystem path is the gate posture only: in a
+      // real deployment these artifact tables live at warehouse paths
+      // (see PersistSpec / Similarity docs).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s14_index_" +
+        s.sparkContext.applicationId
       // build → save
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         nLists = 16, iters = 1)

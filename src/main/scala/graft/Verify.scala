@@ -85,18 +85,23 @@ object Verify {
         if (SparkEntry.oracleSql.contains(name)) {
           import org.apache.spark.sql.functions.{col, isnan, sum, when}
           import org.apache.spark.sql.types.{DoubleType, FloatType}
-          val written = spark.read.parquet(s"$outDir/$name")
-          val dbls = written.schema.fields
-            .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
-            .map(_.name).toSeq
+          // Rename to positional synthetic names first: selecting by
+          // original name via col(c) would throw on duplicate column
+          // names (possible after joins) or names containing dots,
+          // misreporting the query as failed inside the guard itself.
+          val written0 = spark.read.parquet(s"$outDir/$name")
+          val written = written0.toDF(written0.columns.indices.map(i => s"_c$i"): _*)
+          val dbls = written.schema.fields.zipWithIndex
+            .filter { case (f, _) => f.dataType == DoubleType || f.dataType == FloatType }
+            .map { case (f, i) => (f.name, written0.columns(i)) }.toSeq
           if (dbls.nonEmpty) {
-            val counts = written.select(dbls.map(c =>
+            val counts = written.select(dbls.map { case (c, _) =>
               sum(when(isnan(col(c)) ||
                 col(c) === Double.PositiveInfinity ||
-                col(c) === Double.NegativeInfinity, 1).otherwise(0)).as(c)): _*).head()
+                col(c) === Double.NegativeInfinity, 1).otherwise(0)).as(c) }: _*).head()
             val viol = dbls.zipWithIndex.collect {
-              case (c, i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
-                s"$c (${counts.getLong(i)} rows)"
+              case ((_, orig), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+                s"$orig (${counts.getLong(i)} rows)"
             }
             if (viol.nonEmpty) {
               def rm(f: java.io.File): Unit = {

@@ -869,7 +869,13 @@ object Dedup {
     val spark = vertices.sparkSession
     import spark.implicits._
     val es = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map { r =>
+        // Row.getLong on a NULL silently yields 0 — a null endpoint would
+        // union into component 0 and corrupt every label downstream.
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"connectedComponentsLocal: NULL edge endpoint in ($aCol, $bCol)")
+        (r.getLong(0), r.getLong(1))
+      }
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

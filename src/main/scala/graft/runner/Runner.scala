@@ -103,8 +103,16 @@ object Runner {
                 require(av <= bv, s"cron '$cron': inverted $what range $base")
               }
             }
-            if (step != null)
+            if (step != null) {
+              // Vixie/POSIX cron grammar: a /step is only legal after '*'
+              // or an a-b range. "5/2" validates nowhere real — accepting
+              // it here would let a descriptor pass that the external
+              // scheduler later refuses (or reinterprets), the exact
+              // silent divergence this type exists to prevent.
+              require(base == "*" || b != null,
+                s"cron '$cron': step '/$step' in $what field requires '*' or a range, got '$base'")
               require(step.toInt >= 1, s"cron '$cron': zero step in $what field")
+            }
           case part =>
             throw new IllegalArgumentException(
               s"cron '$cron': malformed $what field part '$part'")

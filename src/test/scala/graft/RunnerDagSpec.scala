@@ -88,6 +88,10 @@ class RunnerDagSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Schedule("0 99 * * *", "hour_99"))
     assertThrows[IllegalArgumentException](Schedule("5 7 32 * *", "dom_32"))
     assertThrows[IllegalArgumentException](Schedule("*/0 * * * *", "zero_step"))
+    // Vixie grammar: /step only after '*' or a range — "5/2" is rejected
+    // by real cron implementations, so it must be rejected here too.
+    assertThrows[IllegalArgumentException](Schedule("5/2 * * * *", "step_without_range"))
+    Schedule("1-30/5 * * * *", "range_step")    // range + step IS legal
     assertThrows[IllegalArgumentException](Schedule("5-1 * * * *", "inverted_range"))
     Schedule("59 23 31 12 7", "all_maxima")     // boundary values are legal
   }
