@@ -17,6 +17,38 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
+  /** Absolute row cap for the O(N²)/O(N·k) EXACT-verification twins inside
+    * the hash-gated sketch/ANN queries (d2, d5, d13, s2, s5, s7). Each
+    * twin verifies its pipeline's contract on a deterministic
+    * [[graft.functions.Text.hashSampleCapFilter]] slice of at most ~this
+    * many rows, so twin cost is O(cap²) INDEPENDENT of corpus size — the
+    * gate survives any SF while the production path still runs on the
+    * full corpus. At the driver's gate/bench scales (500 docs at sf0.01,
+    * 2000 embeddings at sf0.1) the cap keeps the whole corpus, so the
+    * contract there is byte-identical to the unsampled form; only the
+    * 5000-doc sf0.1 documents table (and anything bigger) actually
+    * samples. The DuckDB oracles rebuild the identical slice via
+    * [[twinSampleSql]]. */
+  private val TwinSampleCap = 2000L
+
+  /** Driver-side corpus count + matching sample predicate — ONE metadata
+    * count action per gate query at build time (parquet row-group counts,
+    * no data scan). */
+  private def twinSample(df: DataFrame, idCol: String): (Long, DataFrame) = {
+    val n = df.count()
+    (n, df.filter(Text.hashSampleCapFilter(col(idCol), n, TwinSampleCap)))
+  }
+
+  /** The DuckDB form of [[graft.functions.Text.hashSampleCapFilter]] over
+    * `table`: same short-circuit, same floor/clamp arithmetic (verified
+    * cut-for-cut against the Scala formula), so oracle and engine slice
+    * identically at every SF. */
+  private def twinSampleSql(table: String, idCol: String): String =
+    s"(SELECT count(*) FROM $table) <= $TwinSampleCap OR " +
+      s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4) < " +
+      s"(SELECT printf('%04x', least(65535, CAST(floor(65536.0 * $TwinSampleCap.0 " +
+      s"/ count(*)) AS BIGINT) + 1)) FROM $table)"
+
   /** Word-4-gram shingles of every document — shared by the
     * decontamination pair (t11 exact join, t22 bloom pre-filter). */
   private def shingles4(s: SparkSession, dir: String): DataFrame = {
@@ -76,26 +108,37 @@ object TrainingQueries {
     // (LSH finds ≥ 70% of the exact pairs; measured 1.0 at sf0.01 and
     // sf0.1 — detection probability at 16 bands × 4 rows is ≥ 0.89 for
     // pairs above Jaccard 0.6, and the corpus's true pairs sit well
-    // above that). The exact twin is the VERDICT HARNESS, affordable at
-    // gate scale; the production path at 100 TB is the LSH pipeline
-    // alone (spot-check the contract on a hash-sampled slice instead).
-    // reuseSignatures: the plan references the signature relation four
-    // times — persisting it tokenizes/hashes the corpus ONCE.
+    // above that).
+    // SF-PROOF TWIN (round 10): the exact all-pairs twin — and both
+    // verdicts — run on a deterministic ≤~TwinSampleCap hash slice
+    // (keep-all at gate SF, where the slice IS the corpus), so the twin
+    // stays O(cap²) at any corpus size; the LSH production path always
+    // sees the full corpus. Both verdict counters come from ONE full
+    // outer join (found-in-slice vs exact-in-slice), which also removes
+    // the old double evaluation of the twin (count + hit-join).
+    // reuseSignatures: the plan references the signature relation
+    // several times — persisting it tokenizes/hashes the corpus ONCE.
     "d2_minhash_lsh_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val found = Dedup.nearDupMinhashLsh(docs, "text", "doc_id",
         n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)
-      val exact = Dedup.jaccardAllPairsAbove(docs, "text", "doc_id",
+      val (_, samp) = twinSample(docs, "doc_id")
+      val exact = Dedup.jaccardAllPairsAbove(samp, "text", "doc_id",
         threshold = 0.4, ngram = 2)
-      val nFound = found.agg(count(lit(1)).as("n_found"))
-      val nHit = found.select($"id_a", $"id_b")
-        .join(exact.select($"id_a", $"id_b"), Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_hit"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      // LSH pairs restricted to the slice (both endpoints sampled): the
+      // slice id set is ≤ ~cap rows by construction, so broadcast.
+      val sampIds = samp.select($"doc_id")
+      val foundS = found.select($"id_a", $"id_b")
+        .join(broadcast(sampIds.select($"doc_id".as("id_a"))), Seq("id_a"))
+        .join(broadcast(sampIds.select($"doc_id".as("id_b"))), Seq("id_b"))
+      val stats = foundS.withColumn("__f", lit(1))
+        .join(exact.select($"id_a", $"id_b").withColumn("__e", lit(1)),
+          Seq("id_a", "id_b"), "full")
+        .agg(count($"__f").as("n_found"), count($"__e").as("n_exact"),
+          count(when($"__f".isNotNull && $"__e".isNotNull, 1)).as("n_hit"))
       docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(broadcast(nExact)).crossJoin(broadcast(nFound))
-        .crossJoin(broadcast(nHit))
+        .crossJoin(broadcast(stats))
         .select($"n_docs", $"n_exact".as("n_exact_pairs"),
           ($"n_hit" === $"n_found").as("precision_ok"),
           ($"n_exact" === 0 || $"n_hit" >= $"n_exact" * lit(0.7)).as("recall_ok"))
@@ -149,19 +192,40 @@ object TrainingQueries {
     // (deterministic: round-6 cosine with id tie-break; DuckDB recomputes
     // them from all-pairs), verdict = recall_ok (the IVF path finds ≥ 40
     // of the exact 50; measured 47/50 at sf0.01 and 50/50 at sf0.1;
-    // precision is structural — survivors carry exact cosine). The exact
-    // twin is the verdict harness; at 100 TB run the blocked path alone.
+    // precision is structural — survivors carry exact cosine).
+    // SF-PROOF TWIN (round 10): the all-pairs exact twin and the recall
+    // contract run on the deterministic ≤~TwinSampleCap hash slice
+    // (keep-all through sf0.1, where embeddings ≤ cap — identical to the
+    // unsampled form there). Above the cap the pipeline runs TWICE: once
+    // on the slice (recall contract vs the slice-exact twin, O(cap²))
+    // and once on the full corpus — the production run, pinned by
+    // full_pipeline_ok (it still yields its complete top-50). Both slice
+    // counters come from one full outer join (single twin evaluation).
     "d5_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val ann = Similarity.embeddingNearDupBlocked(emb,
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val annS = Similarity.embeddingNearDupBlocked(samp,
         "vec_id", "embedding", k = 50, nLists = 16, nProbe = 4)
-      val exact = Dedup.embeddingTopPairs(emb, "vec_id", "embedding", k = 50)
-      val nHit = ann.select($"id_a", $"id_b")
-        .join(exact.select($"id_a", $"id_b"), Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_hit"))
-      exact.crossJoin(broadcast(nHit))
-        .select($"id_a", $"id_b", $"cosine", ($"n_hit" >= 40L).as("recall_ok"))
+      val exact = Dedup.embeddingTopPairs(samp, "vec_id", "embedding", k = 50)
+      val stats = annS.select($"id_a", $"id_b").withColumn("__f", lit(1))
+        .join(exact.select($"id_a", $"id_b").withColumn("__e", lit(1)),
+          Seq("id_a", "id_b"), "full")
+        .agg(count(when($"__f".isNotNull && $"__e".isNotNull, 1)).as("n_hit"),
+          count($"__f").as("n_ann_s"))
+      val withFull =
+        if (nVec <= TwinSampleCap)
+          // slice == corpus: the slice run IS the production run — derive
+          // the verdict from the same one-row aggregate, no second pass
+          stats.withColumn("__full_ok", $"n_ann_s" === 50L)
+        else
+          stats.crossJoin(broadcast(
+            Similarity.embeddingNearDupBlocked(emb, "vec_id", "embedding",
+                k = 50, nLists = 16, nProbe = 4)
+              .agg((count(lit(1)) === 50L).as("__full_ok"))))
+      exact.crossJoin(broadcast(withFull))
+        .select($"id_a", $"id_b", $"cosine", ($"n_hit" >= 40L).as("recall_ok"),
+          $"__full_ok".as("full_pipeline_ok"))
     }),
 
     // ---- text analysis -----------------------------------------------------
@@ -220,16 +284,28 @@ object TrainingQueries {
     // corpus — hyperplane LSH tracks cosine, and a clustered real corpus
     // probes far better at the same radius). Exact twin = verdict
     // harness; production = the bucketed probe alone.
+    // SF-PROOF TWIN (round 10): the exact-top-k twin (a full-corpus
+    // scan) and the recall contract run on the deterministic
+    // ≤~TwinSampleCap hash slice — keep-all through sf0.1, so identical
+    // there. self_hit_ok always comes from the PRODUCTION probe over the
+    // full corpus (queries are taken from the full table, so above the
+    // cap the probe runs once per side: slice for recall, full for
+    // self-hit — the twin scan stays O(cap) forever).
     "s2_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" < 3)
         .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+      val (nVec, samp) = twinSample(emb, "vec_id")
       val lsh = Similarity.topKLshBatch(emb, queries, "vec_id", "embedding",
         "query_id", k = 10, dim = 64, bits = 16, hammingRadius = 6)
-      val exact = Similarity.topKBatch(emb, queries, "vec_id", "embedding",
+      val lshS =
+        if (nVec <= TwinSampleCap) lsh
+        else Similarity.topKLshBatch(samp, queries, "vec_id", "embedding",
+          "query_id", k = 10, dim = 64, bits = 16, hammingRadius = 6)
+      val exact = Similarity.topKBatch(samp, queries, "vec_id", "embedding",
         "query_id", k = 10)
-      val perQ = lsh.select($"query_id", $"vec_id")
+      val perQ = lshS.select($"query_id", $"vec_id")
         .join(exact.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
         .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
       val minRec = queries.select($"query_id")
@@ -368,21 +444,41 @@ object TrainingQueries {
       // (the blocked graph recovers ≥ 70% of the exact edges; measured
       // 0.856 at sf0.01 / 0.835 at sf0.1 on this structureless corpus —
       // the IVF worst case; clustered corpora concentrate Σc² and buy
-      // more recall at the same budget). Exact twin = verdict harness;
-      // production = the blocked path alone.
+      // more recall at the same budget).
+      // SF-PROOF TWIN (round 10): the O(N²) exact graph and the recall
+      // contract live on the deterministic ≤~TwinSampleCap hash slice
+      // (keep-all through sf0.1). Above the cap the blocked pipeline
+      // runs on the slice for the recall contract AND on the full corpus
+      // as the production run, pinned by full_edges_ok (every vector got
+      // its complete k neighbours). Both slice counters ride one full
+      // outer join — the twin is evaluated once for stats, once as the
+      // payload (was twice + payload before).
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val ann = Similarity.knnGraphBlockedAuto(emb, "vec_id",
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val annS = Similarity.knnGraphBlockedAuto(samp, "vec_id",
         "embedding", k = 3, nLists = 64, trainIters = 2,
         maxCandidateFraction = 0.4)
-      val exact = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
-      val nHit = ann.select($"id", $"nbr_id")
-        .join(exact.select($"id", $"nbr_id"), Seq("id", "nbr_id"))
-        .agg(count(lit(1)).as("n_hit"))
-      val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      exact.crossJoin(broadcast(nHit)).crossJoin(broadcast(nExact))
+      val exact = Similarity.knnGraph(samp, "vec_id", "embedding", k = 3)
+      val stats = annS.select($"id", $"nbr_id").withColumn("__f", lit(1))
+        .join(exact.select($"id", $"nbr_id").withColumn("__e", lit(1)),
+          Seq("id", "nbr_id"), "full")
+        .agg(count(when($"__f".isNotNull && $"__e".isNotNull, 1)).as("n_hit"),
+          count($"__e").as("n_exact"), count($"__f").as("n_ann_s"))
+      val withFull =
+        if (nVec <= TwinSampleCap)
+          // slice == corpus: the slice run IS the production run
+          stats.withColumn("__full_ok", $"n_ann_s" === lit(nVec * 3))
+        else
+          stats.crossJoin(broadcast(
+            Similarity.knnGraphBlockedAuto(emb, "vec_id", "embedding",
+                k = 3, nLists = 64, trainIters = 2,
+                maxCandidateFraction = 0.4)
+              .agg((count(lit(1)) === lit(nVec * 3)).as("__full_ok"))))
+      exact.crossJoin(broadcast(withFull))
         .select($"id", $"nbr_id", $"cosine", $"rank",
-          ($"n_hit" >= $"n_exact" * lit(0.7)).as("recall_ok"))
+          ($"n_hit" >= $"n_exact" * lit(0.7)).as("recall_ok"),
+          $"__full_ok".as("full_edges_ok"))
     }),
 
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only
@@ -392,15 +488,25 @@ object TrainingQueries {
     // DuckDB recomputes), verdicts = self_hit_ok (the query's own vector
     // is found — its home list is always probed, structural) and
     // recall_ok (≥ 6/10 overlap with exact; measured 10/10 at both SFs).
+    // SF-PROOF TWIN (round 10): exact-top-k twin + recall contract on
+    // the deterministic ≤~TwinSampleCap hash slice (keep-all through
+    // sf0.1); self_hit_ok always from the full-corpus production probe.
     "s5_ann_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
-      val index = Similarity.ivfIndex(emb, "vec_id", "embedding")
-      val ivf = Similarity.topKIvf(index, "vec_id", "embedding", q, k = 10)
-      val exact = Similarity.topKBrute(emb, "vec_id", "embedding", q, k = 10)
-      val nHit = ivf.select($"vec_id")
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val ivf = Similarity.topKIvf(
+        Similarity.ivfIndex(emb, "vec_id", "embedding"),
+        "vec_id", "embedding", q, k = 10)
+      val ivfS =
+        if (nVec <= TwinSampleCap) ivf
+        else Similarity.topKIvf(
+          Similarity.ivfIndex(samp, "vec_id", "embedding"),
+          "vec_id", "embedding", q, k = 10)
+      val exact = Similarity.topKBrute(samp, "vec_id", "embedding", q, k = 10)
+      val nHit = ivfS.select($"vec_id")
         .join(exact.select($"vec_id"), "vec_id").agg(count(lit(1)).as("n_hit"))
       val selfHit = ivf.filter($"vec_id" === 0).agg(count(lit(1)).as("n_self"))
       exact.crossJoin(broadcast(nHit)).crossJoin(broadcast(selfHit))
@@ -982,8 +1088,17 @@ object TrainingQueries {
     // deterministic; DuckDB recomputes it with a recursive-CTE closure),
     // verdict = ann_agree_ok (≥ 95% of vectors land in the same cluster
     // under the ANN-blocked pipeline as under the exact graph; measured
-    // 1.0 at sf0.01 and 0.9955 at sf0.1). The exact twin is the verdict
-    // harness; at 100 TB the blocked pipeline runs alone.
+    // 1.0 at sf0.01 and 0.9955 at sf0.1).
+    // SF-PROOF TWIN (round 10): exact edges + exact CC + the agreement
+    // contract run on the deterministic ≤~TwinSampleCap hash slice
+    // (keep-all through sf0.1 — identical to the unsampled form there;
+    // note cluster labels computed ON a slice are not comparable to
+    // full-corpus labels restricted to it, since paths through unsampled
+    // vectors can merge slice clusters — so above the cap the pipeline
+    // runs a second time on the slice for the agreement verdict). The
+    // full-corpus production run is always pinned by full_cover_ok
+    // (every vector labeled exactly once — a cheap aggregate over the
+    // pipeline's eagerly-checkpointed CC labels, so no recompute).
     "d13_semantic_dedup" -> ((s, dir) => {
       // lighter budget than s7: edge recall only needs the HIGH-cosine
       // pairs (threshold 0.45 is far above the corpus bulk). The 0.25×
@@ -994,14 +1109,21 @@ object TrainingQueries {
       val ann = Similarity.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.45, k = 5, nLists = 64,
         trainIters = 2, maxCandidateFraction = 0.25)
-      val exactEdges = Dedup.embeddingEdgesAbove(emb, "vec_id", "embedding", 0.45)
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val annS =
+        if (nVec <= TwinSampleCap) ann
+        else Similarity.semanticDedup(samp, "vec_id", "embedding",
+          threshold = 0.45, k = 5, nLists = 64,
+          trainIters = 2, maxCandidateFraction = 0.25)
+      val exactEdges = Dedup.embeddingEdgesAbove(samp, "vec_id", "embedding", 0.45)
       // exact twin CC runs the DRIVER-side union-find: the true edge set
-      // is driver-bounded by construction (near-dup edges at a high
-      // threshold), so a second distributed pointer-jumping loop would
-      // spend its rounds on scheduling, not work. The ANN pipeline's own
-      // CC (inside semanticDedup) stays fully distributed.
+      // is slice-bounded by construction (near-dup edges at a high
+      // threshold over ≤ ~cap vectors), so a second distributed
+      // pointer-jumping loop would spend its rounds on scheduling, not
+      // work. The ANN pipeline's own CC (inside semanticDedup) stays
+      // fully distributed.
       val exactCC = Dedup.connectedComponentsLocal(
-        emb.select($"vec_id".cast("long").as("vec_id")), "vec_id",
+        samp.select($"vec_id".cast("long").as("vec_id")), "vec_id",
         exactEdges.select($"id_a", $"id_b"), "id_a", "id_b")
       val sizes = exactCC.groupBy($"cluster_id")
         .agg(count(lit(1)).as("cluster_size"), min($"vec_id").as("__rep"))
@@ -1013,12 +1135,15 @@ object TrainingQueries {
       // the denominator — an inner join would let a row-dropping
       // regression sail through with agreement 1.0 over the survivors.
       val agree = exact.select($"vec_id", $"cluster_id")
-        .join(ann.select($"vec_id", $"cluster_id".as("__ac")), Seq("vec_id"), "left")
+        .join(annS.select($"vec_id", $"cluster_id".as("__ac")), Seq("vec_id"), "left")
         .agg(avg(when($"__ac".isNotNull && $"__ac" === $"cluster_id", 1.0)
           .otherwise(0.0)).as("__frac"))
-      exact.crossJoin(broadcast(agree))
+      val cover = ann.agg((count(lit(1)) === lit(nVec) &&
+        countDistinct($"vec_id") === lit(nVec)).as("__cover"))
+      exact.crossJoin(broadcast(agree)).crossJoin(broadcast(cover))
         .select($"vec_id", $"cluster_id", $"cluster_size", $"keep",
-          ($"__frac" >= 0.95).as("ann_agree_ok"))
+          ($"__frac" >= 0.95).as("ann_agree_ok"),
+          $"__cover".as("full_cover_ok"))
     }),
 
     // S11: one distributed logistic-regression gradient step — train a
@@ -1150,11 +1275,14 @@ object TrainingQueries {
     // ---- round-9 bound-verdict oracles: deterministic exact columns the
     // oracle recomputes independently + contract verdicts it asserts as
     // literal `true` — an engine-side contract violation fails the hash.
+    // Twin slice: the w CTE samples exactly as the engine side
+    // (hashSampleCapFilter) — n_docs stays the FULL count.
     "d2_minhash_lsh_neardup" ->
-      """WITH w AS (
+      s"""WITH w AS (
            SELECT doc_id,
-                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
-           FROM documents),
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")}),
          sh AS (
            SELECT doc_id,
                   list_distinct(CASE WHEN len(words) < 2 THEN [words[1]]
@@ -1172,19 +1300,21 @@ object TrainingQueries {
       """SELECT lang, count(*) AS n_docs, true AS pairs_match_naive
          FROM documents GROUP BY lang""",
     "d5_embedding_neardup" ->
-      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
-                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                     WHERE ${twinSampleSql("embeddings", "vec_id")}),
          p AS (
            SELECT a.id AS id_a, b.id AS id_b,
                   round(list_dot_product(a.e, b.e) /
                         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
            FROM v a JOIN v b ON a.id < b.id)
-         SELECT id_a, id_b, cosine, true AS recall_ok
+         SELECT id_a, id_b, cosine, true AS recall_ok, true AS full_pipeline_ok
          FROM p ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 50""",
     "d13_semantic_dedup" ->
-      """WITH RECURSIVE v AS (
+      s"""WITH RECURSIVE v AS (
            SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings),
+           FROM embeddings
+           WHERE ${twinSampleSql("embeddings", "vec_id")}),
          pairs AS (
            SELECT a.id AS id_a, b.id AS id_b FROM v a JOIN v b ON a.id < b.id
            WHERE round(list_dot_product(a.e, b.e) /
@@ -1202,36 +1332,42 @@ object TrainingQueries {
                           min(vec_id) AS rep
                    FROM clusters GROUP BY cluster_id)
          SELECT c.vec_id, c.cluster_id, s.cluster_size,
-                c.vec_id = s.rep AS keep, true AS ann_agree_ok
+                c.vec_id = s.rep AS keep, true AS ann_agree_ok,
+                true AS full_cover_ok
          FROM clusters c JOIN sizes s USING (cluster_id)""",
     "s2_ann_lsh" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
                     FROM embeddings WHERE vec_id < 3),
+         samp AS (SELECT * FROM embeddings
+                  WHERE ${twinSampleSql("embeddings", "vec_id")}),
          scored AS (
            SELECT q.query_id, e.vec_id,
                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])) /
                         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
                          sqrt(list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])))), 6) AS cosine
-           FROM embeddings e CROSS JOIN q)
+           FROM samp e CROSS JOIN q)
          SELECT query_id, vec_id, cosine,
                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
                 true AS recall_ok, true AS self_hit_ok
          FROM scored
          QUALIFY rank <= 10""",
     "s5_ann_ivf" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id = 0),
+         samp AS (SELECT * FROM embeddings
+                  WHERE ${twinSampleSql("embeddings", "vec_id")}),
          scored AS (
            SELECT vec_id,
                   round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
                         (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
                          sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
-           FROM embeddings e CROSS JOIN q)
+           FROM samp e CROSS JOIN q)
          SELECT vec_id, cosine, true AS recall_ok, true AS self_hit_ok
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "s7_knn_graph" ->
-      """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
-                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
+                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+                     WHERE ${twinSampleSql("embeddings", "vec_id")}),
          p AS (
            SELECT a.id AS id, b.id AS nbr_id,
                   round(list_dot_product(a.e, b.e) /
@@ -1239,7 +1375,7 @@ object TrainingQueries {
            FROM v a JOIN v b ON a.id <> b.id)
          SELECT id, nbr_id, cosine,
                 CAST(row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr_id ASC) AS INT) AS rank,
-                true AS recall_ok
+                true AS recall_ok, true AS full_edges_ok
          FROM p
          QUALIFY rank <= 3""",
     "s8_pq_adc" ->

@@ -269,6 +269,33 @@ object Text {
     }
   }
 
+  /** [[hashSampleFilter]] with an absolute expected-size cap: keep a
+    * deterministic ~`target`-row slice of an `n`-row corpus (keep-all
+    * when n <= target, so at small scale the "sample" IS the corpus).
+    * The cut is a pure function of (n, target) using only arithmetic an
+    * external SQL engine reproduces bit-exactly — floor of a double
+    * ratio, never round-half — so a DuckDB oracle can rebuild the same
+    * slice from the same table:
+    *   count(*) <= target OR substr(md5(CAST(id AS VARCHAR)), 1, 4) <
+    *     printf('%04x', least(65535, CAST(floor(65536.0 * target /
+    *       count(*)) AS BIGINT) + 1))
+    * This is the seam that keeps O(N²) exact-verification twins
+    * affordable at any SF: twin cost is O(target²) regardless of corpus
+    * size while the production path still sees every row. floor+1 keeps
+    * the expected sample size >= target (never a starved slice); the
+    * 65535 clamp keeps the cut a 4-hex string (a 5-char "10000" would
+    * break the lexicographic compare). */
+  def hashSampleCapFilter(id: Column, n: Long, target: Long): Column = {
+    require(target > 0, "target must be positive")
+    require(n >= 0, "corpus size must be non-negative")
+    if (n <= target) lit(true)
+    else {
+      val buckets =
+        math.min(65535L, math.floor(65536.0 * target.toDouble / n.toDouble).toLong + 1L)
+      substring(md5(id.cast("string")), 1, 4) < lit(f"$buckets%04x")
+    }
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget packs
     * per group (the LLM-training step that concatenates documents into
     * context windows). Documents are walked in `orderCol` order; a doc
