@@ -184,6 +184,28 @@ class TextSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Text.hashSampleFilter($"id", 1e-6))
   }
 
+  test("hashSampleCapFilter: keep-all at or under cap, ~cap slice above, nested slices") {
+    val ids = (1L to 10000L).toDF("id")
+    // n <= target: the slice IS the corpus
+    assert(ids.filter(Text.hashSampleCapFilter($"id", 10000L, 10000L)).count() == 10000L)
+    assert(ids.filter(Text.hashSampleCapFilter($"id", 10000L, 20000L)).count() == 10000L)
+    // n > target: expected slice size ~= target (floor+1 keeps it >= target
+    // in expectation), independent of how much bigger n gets
+    val k2 = ids.filter(Text.hashSampleCapFilter($"id", 10000L, 2000L))
+      .as[Long].collect().toSet
+    assert(k2.size > 1600 && k2.size < 2500, s"got ${k2.size} of 10000, want ~2000")
+    // determinism + monotone nesting: a smaller cap's slice is contained in
+    // a larger cap's (cuts are prefixes of the same md5 ordering) — the
+    // property that makes incremental re-verification stable across SFs
+    val k500 = ids.filter(Text.hashSampleCapFilter($"id", 10000L, 500L))
+      .as[Long].collect().toSet
+    assert(k500.subsetOf(k2), "smaller cap slice must nest inside larger")
+    // stable under repartitioning (pure function of the id)
+    val k2b = ids.repartition(13).filter(Text.hashSampleCapFilter($"id", 10000L, 2000L))
+      .as[Long].collect().toSet
+    assert(k2 == k2b)
+  }
+
   test("token counts") {
     val df = Seq("Hello, world! 42 times").toDF("t")
     val r = df.select(
