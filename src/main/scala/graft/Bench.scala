@@ -69,6 +69,30 @@ object Bench {
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
       name -> dt
     }.toMap
+    // SPARK_GRAFT_SPLIT=1: re-time the PRODUCTION-ONLY form of each
+    // verdict-carrying query (TrainingQueries.productionOnly — the same
+    // pipeline minus the exact-twin/verdict harness) and print the
+    // twin-vs-production split, so bench movement is attributable to
+    // harness weight vs plan changes without a judge diff pass. Off by
+    // default: the official timed region above is untouched.
+    if (sys.env.get("SPARK_GRAFT_SPLIT").contains("1")) {
+      TrainingQueries.productionOnly.toSeq.sortBy(_._1)
+        .filter { case (k, _) => results.contains(k) }
+        .foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch {
+            case e: Throwable =>
+              System.err.println(s"[bench-split] $name prod FAILED: ${e.getMessage}")
+          }
+          val prod = (System.nanoTime() - t0) / 1e9
+          val tot = results(name)
+          val twin = math.max(0.0, tot - prod)
+          val pct = 100 * twin / math.max(tot, 1e-9)
+          System.err.println(f"[bench-split] $name%-28s total=$tot%7.2f s  prod=$prod%7.2f s  twin_overhead=$twin%7.2f s ($pct%5.1f%%)")
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        }
+    }
     // The driver captures only the final 2000 bytes of output, and sbt's
     // trailing "[success] Total time ..." line eats ~75 of them — an
     // unbounded per-query map overflows and the round's bench goes

@@ -483,28 +483,41 @@ object TrainingQueries {
 
     // S5: IVF ANN probe — the partition-pruned scale path for S1: only
     // nProbe of nLists inverted lists are scored (at 100 TB the lists are
-    // bucketed files, so the probe is I/O-pruned too). HASH-GATED
-    // (round 9): payload = the exact top-10 for the query (deterministic,
-    // DuckDB recomputes), verdicts = self_hit_ok (the query's own vector
-    // is found — its home list is always probed, structural) and
-    // recall_ok (≥ 6/10 overlap with exact; measured 10/10 at both SFs).
-    // SF-PROOF TWIN (round 10): exact-top-k twin + recall contract on
-    // the deterministic ≤~TwinSampleCap hash slice (keep-all through
-    // sf0.1); self_hit_ok always from the full-corpus production probe.
+    // the list_id-partitioned files of s16, so the probe is I/O-pruned
+    // too). HASH-GATED (round 9): payload = the exact top-10 for the
+    // query (deterministic, DuckDB recomputes), verdicts = self_hit_ok
+    // (the query's own vector is found) and recall_ok (≥ 6/10 overlap
+    // with exact). SF-PROOF TWIN (round 10): exact-top-k twin + recall
+    // contract on the deterministic ≤~TwinSampleCap hash slice (keep-all
+    // through sf0.1); self_hit_ok always from the full-corpus production
+    // probe.
     "s5_ann_ivf" -> ((s, dir) => {
+      // ROUND 10: trained centroids + centroid-routed probe. The round-9
+      // form probed by each list's lowest-id member vector over UNTRAINED
+      // first-k seeds, and its measured 10/10 recall was structural luck:
+      // the query (vec_id 0) was itself seed 1, so its home list led the
+      // probe order. The md5-rank seeding (this round) removed that
+      // accident and exposed the real recall of an untrained rep-routed
+      // probe (3-4/10 at sf0.1, measured). The production-shaped fix is
+      // the standard IVF probe: 1 Lloyd iteration on the seeds and route
+      // by CENTROID distance (topKIvfPruned — the same probe the
+      // index-at-rest path s16 uses), measured 10/10 (sf0.01) and 9/10
+      // (sf0.1) at nProbe = 8 of 16 against the recall_ok >= 6 bound.
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
       val (nVec, samp) = twinSample(emb, "vec_id")
-      val ivf = Similarity.topKIvf(
-        Similarity.ivfIndex(emb, "vec_id", "embedding"),
-        "vec_id", "embedding", q, k = 10)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      val ivf = Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, cents, k = 10, nProbe = 8)
       val ivfS =
         if (nVec <= TwinSampleCap) ivf
-        else Similarity.topKIvf(
-          Similarity.ivfIndex(samp, "vec_id", "embedding"),
-          "vec_id", "embedding", q, k = 10)
+        else Similarity.topKIvfPruned(
+          Similarity.ivfIndexWith(samp, "vec_id", "embedding", cents),
+          "vec_id", "embedding", q, cents, k = 10, nProbe = 8)
       val exact = Similarity.topKBrute(samp, "vec_id", "embedding", q, k = 10)
       val nHit = ivfS.select($"vec_id")
         .join(exact.select($"vec_id"), "vec_id").agg(count(lit(1)).as("n_hit"))
@@ -599,7 +612,8 @@ object TrainingQueries {
     // S6: one k-means Lloyd iteration — map-side nearest-centroid assignment
     // (Similarity.ivfIndex: broadcast seed centroids, zero shuffle) + the
     // distributed element-wise mean of S4. New centroids in long format for
-    // the cross-engine hash compare; seeds = first 8 vectors by id.
+    // the cross-engine hash compare; seeds = the 8 vectors of smallest
+    // md5(vec_id) rank (round 10 — the oracle ranks by the same md5).
     "s6_kmeans_step" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -1268,6 +1282,156 @@ object TrainingQueries {
     // distance exactly.
     "s15_kcenter_coreset" -> ((s, dir) => {
       Similarity.kCenterGreedy(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+    }),
+
+    // S16: the INDEX-AT-REST probe — the documented 100 TB shape for the
+    // whole IVF family made a gated path (round-9 verdict #2): the member
+    // assignment is WRITTEN partitioned by list_id
+    // (Similarity.saveIvfMemberTable), and the probe reads it back with a
+    // STATIC `list_id IN (...)` predicate routed by the persisted centroid
+    // table — partition pruning at the file listing, so only
+    // nProbe/nLists of the files are ever opened (the scan's
+    // PartitionFilters; PersistSpec captures the plan). HASH-GATED with
+    // the s5/s14 pattern: payload = exact cosine top-10 on the twin
+    // slice, verdicts = pruned_roundtrip_ok (probe-from-disk returns
+    // exactly the in-memory rows — id AND score equality) and recall_ok
+    // (≥ 6/10 overlap with exact on the slice). Same per-application
+    // scratch-dir posture as s14.
+    "s16_member_table_probe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s16_member_" +
+        s.sparkContext.applicationId
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      Similarity.saveIvfMemberTable(emb, "vec_id", "embedding", cents, tmp)
+      val fromDisk = Similarity.topKIvfPruned(s.read.parquet(tmp),
+        "vec_id", "embedding", q, cents, k = 10)
+      val inMem = Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, cents, k = 10)
+      val rt = fromDisk.select($"vec_id", $"cosine")
+        .join(inMem.select($"vec_id", $"cosine"), Seq("vec_id", "cosine"))
+        .agg(count(lit(1)).as("n_rt"))
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val prunedS =
+        if (nVec <= TwinSampleCap) fromDisk
+        else Similarity.topKIvfPruned(
+          Similarity.ivfIndexWith(samp, "vec_id", "embedding", cents),
+          "vec_id", "embedding", q, cents, k = 10)
+      val exact = Similarity.topKBrute(samp, "vec_id", "embedding", q, k = 10)
+      val nHit = prunedS.select($"vec_id")
+        .join(exact.select($"vec_id"), "vec_id").agg(count(lit(1)).as("n_hit"))
+      exact.crossJoin(broadcast(rt)).crossJoin(broadcast(nHit))
+        .select($"vec_id", $"cosine",
+          ($"n_rt" === 10L).as("pruned_roundtrip_ok"),
+          ($"n_hit" >= 6L).as("recall_ok"))
+    }),
+
+    // K5: the RANGE-SORTED LAYOUT + COMPACTION write path, driver-gated
+    // (round-9 verdict #5 — these sinks were spec-only): orders is
+    // written via Sinks.writeRangeSorted (repartitionByRange +
+    // sortWithinPartitions on o_orderdate — the sorted-at-rest layout
+    // that turns range predicates into parquet min/max file skipping),
+    // read back, and the layout CONTRACT is verified in-plan: per-file
+    // key ranges (input_file_name + per-file min/max — the data the
+    // parquet footer stats summarize) must be pairwise disjoint, the
+    // file count must be bounded by nRanges, and Sinks.compactTo must
+    // round-trip every row. Payload = deterministic source aggregates
+    // (row count + min/max key, recomputed by DuckDB from the source
+    // table); verdicts asserted as literal `true` by the oracle. Same
+    // per-application scratch-dir posture as s14/s16.
+    "k5_range_layout" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "orders")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k5_range_" +
+        s.sparkContext.applicationId
+      graft.sources.Sinks.writeRangeSorted(src, s"$tmp/ranged",
+        Seq("o_orderdate"), nRanges = 8)
+      graft.sources.Sinks.compactTo(s, s"$tmp/ranged", s"$tmp/compacted", Nil)
+      val ranged = s.read.parquet(s"$tmp/ranged")
+      val perFile = ranged
+        .select($"o_orderdate", input_file_name().as("__f"))
+        .groupBy($"__f")
+        .agg(min($"o_orderdate").as("__mn"), max($"o_orderdate").as("__mx"))
+      // 8 rows — the single-partition window is bounded by nRanges
+      val w = Window.orderBy($"__mn", $"__mx", $"__f")
+      val layout = perFile
+        .withColumn("__prev_mx", lag($"__mx", 1).over(w))
+        .agg(
+          (sum(when($"__prev_mx".isNotNull && $"__mn" <= $"__prev_mx", 1)
+            .otherwise(0)) === 0).as("__disj"),
+          (count(lit(1)) >= 1L && count(lit(1)) <= 8L).as("__bounded"))
+      val nCompact = s.read.parquet(s"$tmp/compacted")
+        .agg(count(lit(1)).as("__nc"))
+      ranged.agg(count(lit(1)).as("n_rows"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd").as("min_odate"),
+          date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_odate"))
+        .crossJoin(broadcast(layout)).crossJoin(broadcast(nCompact))
+        .select($"n_rows", $"min_odate", $"max_odate",
+          $"__disj".as("ranges_disjoint_ok"),
+          $"__bounded".as("files_bounded_ok"),
+          ($"__nc" === $"n_rows").as("compact_count_ok"))
+    })
+  )
+
+  /** PRODUCTION-ONLY variants of the verdict-carrying gate queries — the
+    * pipeline a user actually deploys, with the exact-twin/verdict harness
+    * stripped. Two consumers: (1) Bench's SPARK_GRAFT_SPLIT mode times
+    * these next to the gated forms, so bench movement is attributable to
+    * harness weight vs plan changes without a diff pass (round-9 verdict
+    * item 7); (2) they document the plain-API call for each capability.
+    * Parameters match the gated twins exactly. */
+  def productionOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d2_minhash_lsh_neardup" -> ((s, dir) =>
+      Dedup.nearDupMinhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)),
+    "d3_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        radius = 8, blockCols = Seq("lang"))),
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDupBlocked(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 50, nLists = 16, nProbe = 4)),
+    "d13_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, k = 5, nLists = 64,
+        trainIters = 2, maxCandidateFraction = 0.25)),
+    "s2_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+      Similarity.topKLshBatch(emb, queries, "vec_id", "embedding",
+        "query_id", k = 10, dim = 64, bits = 16, hammingRadius = 6)
+    }),
+    "s5_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, cents, k = 10, nProbe = 8)
+    }),
+    "s7_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphBlockedAuto(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, nLists = 64, trainIters = 2,
+        maxCandidateFraction = 0.4)),
+    "t22_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = shingles4(s, dir)
+      val bench = sh.filter($"doc_id" % 100 === 0).select($"shingle").distinct()
+      val nBench = math.max(1L, bench.count())
+      val bloom = Prune.bloomLiteral(bench, $"shingle",
+        nItems = nBench, nBits = math.max(1024L, 24L * nBench))
+      sh.filter($"doc_id" % 100 =!= 0)
+        .groupBy($"doc_id")
+        .agg(sum(when(Prune.mightContain(bloom, $"shingle"), 1L).otherwise(0L))
+          .as("n_flagged"))
     })
   )
 
@@ -1400,6 +1564,27 @@ object TrainingQueries {
            FROM embeddings e CROSS JOIN q)
          SELECT vec_id, cosine, true AS ivf_roundtrip_ok, true AS pq_roundtrip_ok
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "s16_member_table_probe" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+         samp AS (SELECT * FROM embeddings
+                  WHERE ${twinSampleSql("embeddings", "vec_id")}),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+           FROM samp e CROSS JOIN q)
+         SELECT vec_id, cosine, true AS pruned_roundtrip_ok, true AS recall_ok
+         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "k5_range_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS max_odate,
+                true AS ranges_disjoint_ok,
+                true AS files_bounded_ok,
+                true AS compact_count_ok
+         FROM orders""",
     "s15_kcenter_coreset" ->
       """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2066,8 +2251,8 @@ object TrainingQueries {
     "s6_kmeans_step" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          seeds AS (
-           SELECT row_number() OVER (ORDER BY vec_id) AS list_id, v AS c
-           FROM e ORDER BY vec_id LIMIT 8),
+           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS list_id, v AS c
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
          scored AS (
            SELECT e.vec_id, e.v, s.list_id,
                   row_number() OVER (PARTITION BY e.vec_id

@@ -388,8 +388,9 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding", nLists = 8)
     // brute-force check: for each vector, cosine to its assigned seed is
-    // the max over all seeds (ties -> lowest list_id)
-    val seeds = emb.orderBy($"vec_id").limit(8)
+    // the max over all seeds (ties -> lowest list_id); seeds are the 8
+    // vectors of smallest md5(id) rank (round-10 hash-rank seeding)
+    val seeds = emb.orderBy(md5($"vec_id".cast("string")), $"vec_id").limit(8)
       .select($"embedding".cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
     def cos(a: Seq[Double], b: Array[Double]): Double = {

@@ -217,6 +217,28 @@ class RunnerSpec extends SparkSpec {
     assert(mses.last < mses.head, s"training never improved on the seeds: $mses")
   }
 
+  test("pqTrain: md5-rank seeding starts no worse than first-k-by-id") {
+    import graft.functions.Similarity
+    // Ids ordered by blob (block layout): first-k draws every seed from
+    // the first blob, while the md5 rank spreads seeds over all blobs, so
+    // the UNTRAINED (iters = 0) codebooks must already quantize at least
+    // as tightly — the kmeansTrain seed-quality property, PQ edition.
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 4 - 2))
+    val vecs = Array.tabulate(160) { i =>
+      centers(i / 20).map(_ + rnd.nextGaussian() * 0.3) // block-ordered ids
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val m = 4; val k = 8; val dsub = 16 / m
+    val hashBooks = Similarity.pqTrain(df, "vec_id", "embedding", m, k, iters = 0)
+    // first-k-by-id seed books, built exactly as pqTrain seeds them
+    val firstK = vecs.take(k)
+    val firstBooks = Array.tabulate(m, k)((s, c) =>
+      firstK(c % firstK.length).slice(s * dsub, (s + 1) * dsub))
+    assert(pqMse(vecs, hashBooks) <= pqMse(vecs, firstBooks) + 1e-9,
+      s"md5-rank PQ seeds (${pqMse(vecs, hashBooks)}) worse than first-k (${pqMse(vecs, firstBooks)})")
+  }
+
   test("pqTopKAdc: top-k recall vs exact cosine on clustered unit-ish vectors") {
     import graft.functions.Similarity
     val centers = Array.fill(6)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
