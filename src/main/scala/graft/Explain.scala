@@ -29,7 +29,8 @@ object Explain {
     "s8_pq_adc", "a20_countmin_probe", "g2_pagerank_iter",
     "s12_kmeans_train", "s13_logreg_train",
     "s7_knn_graph", "d13_semantic_dedup", "d2_minhash_lsh_neardup",
-    "t22_bloom_decontaminate", "s14_index_persist")
+    "t22_bloom_decontaminate", "s14_index_persist",
+    "s16_member_table_probe", "k5_range_layout", "s15_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
