@@ -1374,6 +1374,113 @@ object TrainingQueries {
           $"__disj".as("ranges_disjoint_ok"),
           $"__bounded".as("files_bounded_ok"),
           ($"__nc" === $"n_rows").as("compact_count_ok"))
+    }),
+
+    // K6: INCREMENTAL re-aggregation over persisted partials — the other
+    // half of the reference's daily-materialization story (delete-then-
+    // append per partition, bigquery_io_manager.py:115-167) and the
+    // 100 TB rollup shape: each day's partition stores ALGEBRAIC partial
+    // aggregates (count / exact-cents sum / min / max) per status, so any
+    // cross-day rollup is a merge of day partials — never a rescan of the
+    // fact table. Gate, in one plan: (a) write day-partitioned partials
+    // through the K1 dynamic-partition-overwrite sink; (b) re-materialize
+    // the 3 most recent days a second time (the idempotence contract K1
+    // exists to provide); (c) merge the persisted partials into
+    // per-status totals. Verdicts (oracle asserts literal `true`):
+    // merge ≡ direct aggregation of the source — EXACT equality, the sum
+    // is kept in integer cents so partial-merge order cannot perturb it —
+    // and the double overwrite left the partial table unchanged. Payload
+    // columns come from the MERGED side; DuckDB recomputes them straight
+    // from `orders`, so a wrong merge fails the hash too.
+    "k6_partial_agg_merge" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "orders").select(
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_day"),
+        $"o_orderstatus",
+        $"o_totalprice",
+        round($"o_totalprice" * 100).cast("long").as("price_cents"))
+      val partial = src.groupBy($"o_day", $"o_orderstatus")
+        .agg(count(lit(1)).as("p_n"), sum($"price_cents").as("p_cents"),
+          min($"o_totalprice").as("p_min"), max($"o_totalprice").as("p_max"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k6_incr_" +
+        s.sparkContext.applicationId
+      graft.sources.Sinks.overwritePartitions(partial, tmp, Seq("o_day"))
+      val n1 = s.read.parquet(tmp).count()
+      // idempotent re-materialization of the 3 most recent days: only
+      // those partitions are rewritten (dynamic overwrite), rest untouched
+      val recentDays = partial.select($"o_day").distinct()
+        .orderBy($"o_day".desc).limit(3)
+      graft.sources.Sinks.overwritePartitions(
+        partial.join(broadcast(recentDays), Seq("o_day")), tmp, Seq("o_day"))
+      val n2 = s.read.parquet(tmp).count()
+      val merged = s.read.parquet(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(sum($"p_n").as("m_n"), sum($"p_cents").as("m_cents"),
+          min($"p_min").as("m_min"), max($"p_max").as("m_max"))
+      val direct = src.groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("d_n"), sum($"price_cents").as("d_cents"),
+          min($"o_totalprice").as("d_min"), max($"o_totalprice").as("d_max"))
+      merged.join(direct, Seq("o_orderstatus"), "full")
+        .select($"o_orderstatus",
+          $"m_n".as("n_orders"),
+          $"m_cents".as("sum_price_cents"),
+          round($"m_min", 4).as("min_price"),
+          round($"m_max", 4).as("max_price"),
+          ($"m_n" <=> $"d_n" && $"m_cents" <=> $"d_cents" &&
+            $"m_min" <=> $"d_min" && $"m_max" <=> $"d_max")
+            .as("merge_matches_direct"),
+          lit(n1 == n2).as("idempotent_overwrite_ok"))
+    }),
+
+    // C1: the END-TO-END corpus-prep pipeline — the composition a real
+    // pretraining-data run executes, as ONE declarative plan: language-ID
+    // (t3's marker voting) → quality filter (t13's three rules, pass
+    // side) → exact dedup (keep smallest doc_id per canonical-text md5,
+    // d1's fingerprint) → whitespace token count → greedy sequence
+    // packing at a 2048-token budget (t5) → per-pack manifest (t21's
+    // aggregate shape). Every stage is the library primitive the
+    // standalone queries already gate, so the whole pipeline is
+    // oracle-expressible: DuckDB recomputes all six stages and the
+    // result hash must match exactly — no verdict weakening.
+    // Shuffle ledger (the point of composing declaratively instead of
+    // materializing between stages) — TWO exchanges total for a
+    // six-stage pipeline (verified via graft.Explain): (1) on the dedup
+    // fingerprint, where Spark additionally pushes a PARTIAL
+    // WindowGroupLimit below the exchange so at most one candidate row
+    // per fingerprint per input partition shuffles at all; (2) on
+    // pred_lang for the packing window — and the manifest groupBy
+    // (pred_lang, pack_id) reuses that very partitioning (hash on a
+    // subset of the grouping keys satisfies ClusteredDistribution), so
+    // the final aggregate needs NO exchange of its own. The langid +
+    // quality-metric projection fuses into the scan's
+    // whole-stage-codegen pass, and the quality filter runs before the
+    // first exchange so dup/low-quality rows never shuffle.
+    // At 100 TB the shape is identical with one swap: per-language
+    // packing windows (5 huge groups = 5 tasks) become
+    // Text.packSequencesScalable's distributed prefix scan (t20).
+    "c1_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scored = docs.select($"doc_id", $"text",
+        Text.langId($"text").as("pred_lang"),
+        Text.tokenCountWs($"text").cast("long").as("n_tokens"),
+        Text.stopwordRatio($"text").as("stop_ratio"),
+        Text.meanWordLen($"text").as("mean_wl"))
+      val kept = scored.filter($"pred_lang" =!= "und" &&
+        $"n_tokens" >= 20 && $"mean_wl" <= 4.75 && $"stop_ratio" >= 0.05)
+      val wFp = Window.partitionBy(Text.fingerprintMd5($"text"))
+        .orderBy($"doc_id")
+      val deduped = kept
+        .withColumn("__rn", row_number().over(wFp))
+        .filter($"__rn" === 1)
+        .select($"doc_id", $"pred_lang", $"n_tokens")
+      val packed = Text.packSequences(deduped, "pred_lang", "doc_id",
+        "n_tokens", budget = 2048L)
+      packed.groupBy($"pred_lang", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("pack_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
     })
   )
 
@@ -2296,6 +2403,62 @@ object TrainingQueries {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          sha256(text) AS content_sha256,
          lower(to_hex(encode(substring(text, 1, 8)))) AS head_bytes_hex
-         FROM documents"""
+         FROM documents""",
+    "k6_partial_agg_merge" ->
+      """SELECT o_orderstatus,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                round(min(o_totalprice), 4) AS min_price,
+                round(max(o_totalprice), 4) AS max_price,
+                true AS merge_matches_direct,
+                true AS idempotent_overwrite_ok
+         FROM orders GROUP BY o_orderstatus""",
+    "c1_corpus_pipeline" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         sc AS (SELECT doc_id, text, words, n_tokens,
+           len(list_filter(words, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+           len(list_filter(words, x -> list_contains(['le','la','les','des','est','une','dans','pour','que'], x))) AS s_fr,
+           len(list_filter(words, x -> list_contains(['el','los','las','es','una','para','como','por','del'], x))) AS s_es,
+           len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für'], x))) AS s_de,
+           len(list_filter(words, x -> list_contains(['的','是','了','在','我','有','他','这'], x))) AS s_zh
+           FROM w),
+         l AS (SELECT doc_id, text, words, n_tokens,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang
+           FROM sc),
+         q AS (SELECT doc_id, text, pred_lang, n_tokens,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(words, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE)
+                     / len(words) END AS stop_ratio,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                     / len(words) END AS mean_wl
+           FROM l),
+         kept AS (SELECT doc_id, text, pred_lang, n_tokens FROM q
+                  WHERE pred_lang <> 'und' AND n_tokens >= 20
+                    AND mean_wl <= 4.75 AND stop_ratio >= 0.05),
+         dd AS (SELECT doc_id, pred_lang, n_tokens FROM kept
+                QUALIFY row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) = 1),
+         p AS (SELECT pred_lang, doc_id, n_tokens,
+                 CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY pred_lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                      / 2048) AS BIGINT) AS pack_id
+               FROM dd)
+         SELECT pred_lang, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM p GROUP BY pred_lang, pack_id"""
   )
 }

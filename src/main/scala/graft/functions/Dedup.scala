@@ -68,7 +68,7 @@ object Dedup {
   private def checkpointNoAqe(df: DataFrame): DataFrame = {
     val caller = df.sparkSession
     org.apache.spark.sql.GraftColumns.rebind(
-      noAqe(df).localCheckpoint(true), caller)
+      noAqe(df).transform(Ckpt.materialize), caller)
   }
 
   /** Fan a narrow input out to the session's default parallelism before
@@ -992,7 +992,7 @@ object Dedup {
       .groupBy(col("__v"))
       .agg(min(col("src")).as("__mn"))
       .select(col("__v"), least(col("__v"), col("__mn")).as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Ckpt.materialize)
     // FRONTIER (delta) iteration: only vertices whose label changed last
     // round emit messages. Sound for min-label propagation because a
     // label is (re-)sent exactly the round after it changes, and round 1's
@@ -1046,7 +1046,7 @@ object Dedup {
         .observe(obs,
           coalesce(sum(when(col("cluster_id") =!= col("__old"), 1L)
             .otherwise(0L)), lit(0L)).as("changed"))
-        .localCheckpoint(true)
+        .transform(Ckpt.materialize)
       // The frontier is a narrow filter over the just-checkpointed step —
       // leave it LAZY: next round's three joins re-run a cheap in-memory
       // filter instead of paying a second materialization job per round.
@@ -1083,7 +1083,7 @@ object Dedup {
     val result = vertices.select(col(idCol))
       .join(labels.withColumnRenamed("__v", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(Ckpt.materialize)
     und.unpersist()
     result
   }

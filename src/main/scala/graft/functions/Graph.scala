@@ -84,10 +84,10 @@ object Graph {
     e.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val nDf = verts.agg(count(lit(1)).as("__n")).localCheckpoint(true)
+      .transform(Ckpt.materialize)
+    val nDf = verts.agg(count(lit(1)).as("__n")).transform(Ckpt.materialize)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
+      .transform(Ckpt.materialize)
     var ranks = uniform(verts, nDf)
     var prev = ranks
     var i = 0
@@ -108,7 +108,7 @@ object Graph {
             .observe(obs, coalesce(sum(abs(col("rank") - col("__pr"))), lit(0.0))
               .as("l1_delta"))
             .select(col("node"), col("rank"))
-            .localCheckpoint(true)
+            .transform(Ckpt.materialize)
           delta = {
             import scala.concurrent.Await
             import scala.concurrent.duration._
@@ -119,7 +119,7 @@ object Graph {
           ranks = ck
           prev = ck
         } else {
-          ranks = next.localCheckpoint(true)
+          ranks = next.transform(Ckpt.materialize)
         }
       } else {
         ranks = next

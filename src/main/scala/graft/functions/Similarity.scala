@@ -666,14 +666,16 @@ object Similarity {
     // projection is materialized once — the occupancy histogram, the
     // member side (for memberAssign = 1 it IS the home assignment), and
     // the probe side all read it instead of re-scanning and re-assigning
-    // the corpus. localCheckpoint: eager, lineage-truncating, reclaimed
-    // by the context cleaner when the plan is dropped (the pageRank loop
-    // discipline); at cluster scale write it as a list_id-bucketed table
-    // instead and every downstream join becomes partition-pruned I/O.
+    // the corpus. Ckpt.materialize: eager, lineage-truncating —
+    // localCheckpoint locally, reliable checkpoint when a checkpoint dir
+    // is configured (executor loss under dynamic allocation); at cluster
+    // scale write it as a list_id-bucketed table instead (s16 /
+    // saveIvfMemberTable) and every downstream join becomes
+    // partition-pruned I/O.
     val home = spread.select(
         col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
         probeUdf(seeds, seedNorms, 1)(asDouble(col(vecCol))).getItem(0).as("__home"))
-      .localCheckpoint()
+      .transform(Ckpt.materialize)
     val counts = {
       val rows = home.groupBy(col("__home")).agg(count(lit(1)).as("c")).collect()
       val arr = Array.fill(seeds.length)(0L)

@@ -12,12 +12,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
-  /** K1 — idempotent partition overwrite. Requires
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by GraftSession).
+  /** K1 — idempotent partition overwrite. The dynamic mode is pinned as a
+    * PER-WRITE option (not inherited from the session conf): on a static-
+    * mode session, `mode("overwrite").partitionBy(...)` would silently
+    * truncate the whole table and keep only the incoming partitions — the
+    * exact data-loss failure this sink exists to prevent. The write-level
+    * option overrides the session conf, so the sink is safe under any
+    * session (GraftSession also sets the conf, for writes outside Sinks).
     */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
 

@@ -51,6 +51,26 @@ class PipelineSpec extends SparkSpec {
     assert(nSampled == nSampled2)
   }
 
+  test("c1_corpus_pipeline: manifest invariants and per-lang pack contiguity") {
+    val m = TrainingQueries.queries("c1_corpus_pipeline")(spark, sfDir)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != "und", "quality filter must drop 'und' docs")
+      assert(r.getLong(2) >= 1L, "n_docs")
+      assert(r.getLong(3) > 0L, "pack_tokens")
+      assert(r.getLong(4) <= r.getLong(5), "first_doc <= last_doc")
+    }
+    // pack ids per language are contiguous from 0 (greedy packing never
+    // skips a pack), and only the LAST pack of a language may be under
+    // half-full is not guaranteed — but ids must be dense.
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.indices.map(_.toLong)),
+        s"pack ids not dense: ${ids.mkString(",")}")
+    }
+  }
+
   test("packs respect the token budget for in-budget docs") {
     val (_, _, _, packed, _) = runPipeline()
     // a pack's summed tokens may overshoot only via its LAST (straddling)
