@@ -46,5 +46,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction(binary("graft_might_contain",
       (b, h) => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, h)))
+
+    // Text-pipeline surface for pure-SQL users (the reference's audience
+    // runs dbt SQL models): each builder applies the same Column
+    // combinators the Scala API uses (Text.*), so SQL and Scala produce
+    // the IDENTICAL expression tree — codegen'd builtins, no UDFs, and
+    // one implementation to keep correct. Registered here rather than as
+    // session UDFs so any session with the extension gets them, including
+    // thriftserver/SQL-only deployments.
+    textFns.foreach { case (name, f) => ext.injectFunction(unaryText(name, f)) }
   }
+
+  private val textFns: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = {
+    import graft.functions.Text
+    Seq(
+      "graft_normalize" -> Text.normalize _,
+      "graft_langid" -> Text.langId _,
+      "graft_tokens_ws" -> Text.tokenCountWs _,
+      "graft_tokens_bpe" -> Text.tokenCountBpe _,
+      "graft_stopword_ratio" -> Text.stopwordRatio _,
+      "graft_mean_word_len" -> Text.meanWordLen _,
+      "graft_quality" -> Text.qualityScore _,
+      "graft_fingerprint" -> Text.fingerprintMd5 _)
+  }
+
+  private def unaryText(name: String,
+                        build: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(graft.functions.Text.getClass.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name expects exactly 1 argument")
+        org.apache.spark.sql.GraftColumns.eagerExpression(
+          build(org.apache.spark.sql.GraftColumns.column(children(0))))
+      })
 }

@@ -360,4 +360,77 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  // ---- streaming corpus-prep (round 10: the live twin of c1) ------------
+
+  /** [[dedupIncremental]] generalized to carry arbitrary row payloads:
+    * permanent fingerprint state (NoTimeout — a duplicate document must
+    * drop no matter how much later it arrives), first batch wins across
+    * batches, `id`-min wins within a batch. Append-mode safe. */
+  def dedupIncrementalBy[T: org.apache.spark.sql.Encoder](
+      docs: Dataset[T], fp: T => String, id: T => Long): Dataset[T] = {
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    docs.groupByKey(fp)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(it.minBy(id))
+          }
+      }
+  }
+
+  case class PackDoc(doc_id: Long, lang: String, n_tokens: Long)
+  case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, pack_id: Long)
+
+  /** Streaming greedy sequence packing — the live twin of
+    * `Text.packSequences`: per-language state is ONE long (tokens packed
+    * so far); each micro-batch's docs are walked in doc_id order and
+    * assigned `pack_id = tokens_before / budget`, exactly the batch
+    * window's semantics when batches arrive in doc_id order (the
+    * file-source replay contract the corpus tail satisfies — history
+    * reprocessing belongs to the batch path, t5/t20). State size is
+    * O(languages), not O(docs): this operator never buffers documents,
+    * only the running token count. */
+  def packStream(docs: Dataset[PackDoc], budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(budget > 0, "budget must be positive")
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lang, it, state: GroupState[Long]) =>
+          var before = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val pid = before / budget
+            before += d.n_tokens
+            PackedDoc(d.doc_id, lang, d.n_tokens, pid)
+          }
+          state.update(before)
+          out.iterator
+      }
+  }
+
+  /** Stateless front of the corpus-prep pipeline on a STREAM — identical
+    * Column combinators to the batch c1 query (one implementation of
+    * langid / quality / fingerprint to keep correct), so stream and batch
+    * keep the same docs with the same fingerprints by construction.
+    * Returns (doc_id, lang, n_tokens, fingerprint) for the surviving docs;
+    * feed through [[dedupIncrementalBy]] then [[packStream]] (two hops —
+    * Spark does not chain two arbitrary-stateful operators in one query;
+    * the intermediate table is the standard multi-hop streaming shape). */
+  def corpusPrepStream(raw: DataFrame): DataFrame = {
+    import graft.functions.Text
+    raw.select(col("doc_id").cast("long").as("doc_id"),
+        Text.langId(col("text")).as("lang"),
+        Text.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        Text.stopwordRatio(col("text")).as("stop_ratio"),
+        Text.meanWordLen(col("text")).as("mean_wl"),
+        Text.fingerprintMd5(col("text")).as("fingerprint"))
+      .filter(col("lang") =!= "und" && col("n_tokens") >= 20 &&
+        col("mean_wl") <= 4.75 && col("stop_ratio") >= 0.05)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("fingerprint"))
+  }
 }

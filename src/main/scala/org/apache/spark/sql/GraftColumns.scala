@@ -12,6 +12,17 @@ object GraftColumns {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `expression` above wraps the
+    * column's node in a lazy `ColumnNodeExpression` (Unevaluable) that only
+    * the session's own analysis pass unwraps — returning it from a
+    * FunctionRegistry builder (mid-analysis) leaves it unevaluable at
+    * codegen time. This converts through the classic ColumnNode converter
+    * immediately, yielding a plain catalyst tree (possibly with
+    * UnresolvedFunction children, which the analyzer's fixed-point pass
+    * then resolves normally). */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Rebind a DataFrame's analyzed logical plan onto another session of the
     * SAME SparkContext (`spark.newSession()`), so a pipeline can run under
     * isolated SQLConf (e.g. AQE scoped off) without mutating the caller's

@@ -52,6 +52,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0)
   }
 
+  test("SQL text-function surface ≡ Scala Text API on real docs") {
+    import graft.functions.Text
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sfDir, "documents").limit(50)
+    docs.createOrReplaceTempView("__tfdocs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_normalize(text) AS n, graft_langid(text) AS l,
+                graft_tokens_ws(text) AS tw, graft_tokens_bpe(text) AS tb,
+                graft_stopword_ratio(text) AS sr, graft_mean_word_len(text) AS mw,
+                graft_quality(text) AS q, graft_fingerprint(text) AS fp
+         FROM __tfdocs""").orderBy("doc_id").collect()
+    val viaApi = docs.select(col("doc_id"),
+        Text.normalize(col("text")).as("n"), Text.langId(col("text")).as("l"),
+        Text.tokenCountWs(col("text")).as("tw"), Text.tokenCountBpe(col("text")).as("tb"),
+        Text.stopwordRatio(col("text")).as("sr"), Text.meanWordLen(col("text")).as("mw"),
+        Text.qualityScore(col("text")).as("q"), Text.fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.length == 50)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+    spark.catalog.dropTempView("__tfdocs")
+  }
+
   test("expression evaluates inside whole-stage codegen (no fallback)") {
     val df = spark.range(1000)
       .select(array((0 until 8).map(i => (col("id") + i).cast("double")): _*).as("v"))

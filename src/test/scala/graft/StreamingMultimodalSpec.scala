@@ -198,6 +198,69 @@ class StreamingSpec extends SparkSpec {
       s"fpA must stay first-batch-wins, got $got2")
   }
 
+  test("streaming corpus-prep (two stateful hops) ≡ batch c1 packing, with state continuation") {
+    import graft.functions.Text
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sc1").toString
+    val src = s"$tmp/src"; val mid = s"$tmp/mid"; val out = s"$tmp/out"
+    val ckpt1 = s"$tmp/ckpt1"; val ckpt2 = s"$tmp/ckpt2"
+    val docs = Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // hop 1: stateless front (langid/quality/fingerprint) + permanent-state dedup
+    def runHop1(): Unit = {
+      val stream1 = Streams.corpusPrepStream(
+          Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000))
+        .as[(Long, String, Long, String)]
+      Streams.runAvailableNow(
+        Streams.dedupIncrementalBy[(Long, String, Long, String)](stream1, _._4, _._1)
+          .toDF("doc_id", "lang", "n_tokens", "fingerprint"), mid, ckpt1)
+    }
+    runHop1()
+    // hop 2: per-language greedy packing (O(languages) state)
+    def runPack(): Unit = {
+      val midSchema = spark.read.parquet(mid).schema
+      val stream2 = Streams.parquetStream(spark, mid, midSchema, maxFilesPerTrigger = 100000)
+        .select($"doc_id", $"lang", $"n_tokens").as[Streams.PackDoc]
+      Streams.runAvailableNow(Streams.packStream(stream2, 2048L).toDF(), out, ckpt2)
+    }
+    runPack()
+    // batch reference: the SAME stages composed in batch mode
+    val keptB = Streams.corpusPrepStream(docs)
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fingerprint").orderBy($"doc_id")
+    val dedupB = keptB.withColumn("rn", row_number().over(wFp))
+      .filter($"rn" === 1).select($"doc_id", $"lang", $"n_tokens")
+    val packedB = Text.packSequences(dedupB, "lang", "doc_id", "n_tokens", 2048L)
+    val a = spark.read.parquet(out).select($"doc_id", $"pack_id")
+      .as[(Long, Long)].collect().toMap
+    val b = packedB.select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(a.nonEmpty && a == b, s"stream pack != batch pack (sizes ${a.size}/${b.size})")
+    // continuation: a later wave of NEW documents lands in `src` (appends
+    // to `mid` must go through hop 1 — the streaming file sink's
+    // _spark_metadata log is authoritative, out-of-band files are
+    // invisible); dedup state must drop the replayed corpus, and pack
+    // state (tokens so far per language) must carry across the restart so
+    // pack ids CONTINUE rather than restarting at 0
+    val maxDoc = docs.agg(max($"doc_id")).head.getLong(0)
+    val t1 = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "to the old barn with a friend of the family"
+    val t2 = t1 + " again and again for good measure of the test"
+    val wave = Seq((maxDoc + 1, t1), (maxDoc + 2, t2)).toDF("doc_id", "text")
+    wave.write.mode("append").parquet(src)
+    runHop1()
+    runPack()
+    val after = spark.read.parquet(out).select($"doc_id", $"pack_id")
+      .as[(Long, Long)].collect().toMap
+    val keptB2 = Streams.corpusPrepStream(docs.unionByName(wave))
+    val dedupB2 = keptB2.withColumn("rn", row_number().over(wFp))
+      .filter($"rn" === 1).select($"doc_id", $"lang", $"n_tokens")
+    val fullB = Text.packSequences(dedupB2, "lang", "doc_id", "n_tokens", 2048L)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(after.contains(maxDoc + 1) && after.contains(maxDoc + 2),
+      "wave docs must survive langid/quality and be emitted")
+    assert(after == fullB, "pack state must continue across runs")
+  }
+
   test("intervalJoin pairs events within the time bound, drops out-of-window") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
     val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
