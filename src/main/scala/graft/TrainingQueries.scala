@@ -1379,12 +1379,13 @@ object TrainingQueries {
     // K6: INCREMENTAL re-aggregation over persisted partials — the other
     // half of the reference's daily-materialization story (delete-then-
     // append per partition, bigquery_io_manager.py:115-167) and the
-    // 100 TB rollup shape: each day's partition stores ALGEBRAIC partial
-    // aggregates (count / exact-cents sum / min / max) per status, so any
-    // cross-day rollup is a merge of day partials — never a rescan of the
-    // fact table. Gate, in one plan: (a) write day-partitioned partials
-    // through the K1 dynamic-partition-overwrite sink; (b) re-materialize
-    // the 3 most recent days a second time (the idempotence contract K1
+    // 100 TB rollup shape: each period's partition stores ALGEBRAIC
+    // partial aggregates (count / exact-cents sum / min / max) per
+    // status, so any cross-period rollup is a merge of partials — never a
+    // rescan of the fact table. Gate, in one plan: (a) write
+    // month-partitioned partials through the K1
+    // dynamic-partition-overwrite sink; (b) re-materialize the 3 most
+    // recent months a second time (the idempotence contract K1
     // exists to provide); (c) merge the persisted partials into
     // per-status totals. Verdicts (oracle asserts literal `true`):
     // merge ≡ direct aggregation of the source — EXACT equality, the sum
@@ -1392,26 +1393,37 @@ object TrainingQueries {
     // and the double overwrite left the partial table unchanged. Payload
     // columns come from the MERGED side; DuckDB recomputes them straight
     // from `orders`, so a wrong merge fails the hash too.
+    // Partition GRAIN and FILE hygiene (round-10 lesson, 43 s → ~2 s at
+    // sf0.1): day-grain partitions over this table's multi-year span mean
+    // ~2,400 partition dirs, and without clustering every shuffle task
+    // writes a file into every dir it touches — the small-files explosion
+    // that kills object-store warehouses. Month grain sizes the partition
+    // count to the data (~80 dirs), and the repartition-by-partition-key
+    // inside a dynamic overwrite yields exactly ONE file per partition
+    // per write while staying fully parallel ACROSS partitions. Both are
+    // the documented at-scale posture, now exercised by the gate.
     "k6_partial_agg_merge" -> ((s, dir) => {
       import s.implicits._
       val src = t(s, dir, "orders").select(
-        date_format($"o_orderdate", "yyyy-MM-dd").as("o_day"),
+        date_format($"o_orderdate", "yyyy-MM").as("o_month"),
         $"o_orderstatus",
         $"o_totalprice",
         round($"o_totalprice" * 100).cast("long").as("price_cents"))
-      val partial = src.groupBy($"o_day", $"o_orderstatus")
+      val partial = src.groupBy($"o_month", $"o_orderstatus")
         .agg(count(lit(1)).as("p_n"), sum($"price_cents").as("p_cents"),
           min($"o_totalprice").as("p_min"), max($"o_totalprice").as("p_max"))
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k6_incr_" +
         s.sparkContext.applicationId
-      graft.sources.Sinks.overwritePartitions(partial, tmp, Seq("o_day"))
-      val n1 = s.read.parquet(tmp).count()
-      // idempotent re-materialization of the 3 most recent days: only
-      // those partitions are rewritten (dynamic overwrite), rest untouched
-      val recentDays = partial.select($"o_day").distinct()
-        .orderBy($"o_day".desc).limit(3)
       graft.sources.Sinks.overwritePartitions(
-        partial.join(broadcast(recentDays), Seq("o_day")), tmp, Seq("o_day"))
+        partial.repartition($"o_month"), tmp, Seq("o_month"))
+      val n1 = s.read.parquet(tmp).count()
+      // idempotent re-materialization of the 3 most recent months: only
+      // those partitions are rewritten (dynamic overwrite), rest untouched
+      val recentMonths = partial.select($"o_month").distinct()
+        .orderBy($"o_month".desc).limit(3)
+      graft.sources.Sinks.overwritePartitions(
+        partial.join(broadcast(recentMonths), Seq("o_month"))
+          .repartition($"o_month"), tmp, Seq("o_month"))
       val n2 = s.read.parquet(tmp).count()
       val merged = s.read.parquet(tmp)
         .groupBy($"o_orderstatus")
@@ -1458,21 +1470,38 @@ object TrainingQueries {
     // At 100 TB the shape is identical with one swap: per-language
     // packing windows (5 huge groups = 5 tasks) become
     // Text.packSequencesScalable's distributed prefix scan (t20).
+    // PLAN NOTE (round-10 tuning, 4.4 s → see PLANS.md): the naive
+    // filter-then-window form evaluates the langid/quality expressions in
+    // a FilterExec, and filter codegen has NO subexpression elimination —
+    // `split(normalize(text))` re-runs ~25× per row and dominates. This
+    // form computes every text metric ONCE in the scan-stage Project
+    // (where CSE applies, like t3), folds the quality rules into a tiny
+    // `__fail` flag, and moves the filter ABOVE the dedup window — which
+    // Catalyst cannot push back down (the predicate isn't on the window's
+    // partition key), so nothing is re-derived. Rejected rows do now
+    // cross the fingerprint exchange, but as ~50-byte metadata rows (the
+    // text never shuffles), a cost that stays negligible at 100 TB while
+    // the regex work stays single-pass. The winner rule is IDENTICAL to
+    // filter-then-dedup: ordering the window by (__fail ASC, doc_id ASC)
+    // and keeping rn=1 ∧ ¬__fail selects exactly the minimum PASSING
+    // doc_id of each fingerprint group (groups with no passing row rank a
+    // failing row first, which the filter then drops).
     "c1_corpus_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val scored = docs.select($"doc_id", $"text",
+      val scored = docs.select($"doc_id",
         Text.langId($"text").as("pred_lang"),
         Text.tokenCountWs($"text").cast("long").as("n_tokens"),
-        Text.stopwordRatio($"text").as("stop_ratio"),
-        Text.meanWordLen($"text").as("mean_wl"))
-      val kept = scored.filter($"pred_lang" =!= "und" &&
-        $"n_tokens" >= 20 && $"mean_wl" <= 4.75 && $"stop_ratio" >= 0.05)
-      val wFp = Window.partitionBy(Text.fingerprintMd5($"text"))
-        .orderBy($"doc_id")
-      val deduped = kept
+        Text.fingerprintMd5($"text").as("__fp"),
+        (Text.langId($"text") === "und" ||
+          Text.tokenCountWs($"text").cast("long") < 20 ||
+          Text.meanWordLen($"text") > 4.75 ||
+          Text.stopwordRatio($"text") < 0.05).as("__fail"))
+      val wFp = Window.partitionBy($"__fp")
+        .orderBy($"__fail".asc, $"doc_id".asc)
+      val deduped = scored
         .withColumn("__rn", row_number().over(wFp))
-        .filter($"__rn" === 1)
+        .filter($"__rn" === 1 && !$"__fail")
         .select($"doc_id", $"pred_lang", $"n_tokens")
       val packed = Text.packSequences(deduped, "pred_lang", "doc_id",
         "n_tokens", budget = 2048L)
