@@ -587,6 +587,62 @@ object Dedup {
     * is provably lossless but pays its index shuffles; this form exists
     * so verdict queries can afford an exact twin in-plan.
     */
+  /** EXACT shared-span detection — the cross-document exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), re-expressed relationally instead
+    * of via their suffix array: any run of `n` consecutive shared words
+    * is witnessed by a shared word-`n`-gram, so (1) build the gram
+    * inverted index — one `posexplode` over [[Text.wordNgrams]], md5 per
+    * gram, no UDF; (2) keep only PAIR-INFORMATIVE grams, present in 2 to
+    * `maxDocsPerGram` distinct docs (a gram in every doc is boilerplate
+    * carrying no pair signal — dropping it is the same hot-key cap as the
+    * LSH hot buckets, and what bounds the self-join at corpus scale);
+    * (3) self-join the surviving index on the hash (doc_a < doc_b); (4)
+    * merge runs: within (pair, pos_a − pos_b) consecutive positions form
+    * maximal islands via the pos − row_number() trick — one window, one
+    * aggregate. A maximal island of R grams is a maximal shared span of
+    * R + n − 1 words.
+    *
+    * Docs shorter than `n` normalized words are skipped (whole-doc
+    * duplication is [[exact]]'s job). Everything is deterministic —
+    * DuckDB recomputes the identical index, cap, and island merge, so
+    * the d14 gate hash-checks the full output.
+    *
+    * Scale: shuffles are keyed on gram hash then (pair, diff) — both
+    * fine-grained; the only quadratic term is per-hash fan-out, bounded
+    * by `maxDocsPerGram`² per gram. */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 8, maxDocsPerGram: Int = 8): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(maxDocsPerGram >= 2, "maxDocsPerGram must be >= 2")
+    val words = split(Text.normalize(col(textCol)), " ")
+    val grams = spread(df)
+      .filter(size(words) >= n)
+      .select(col(idCol).as("doc"),
+        posexplode(Text.wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col("doc"), col("pos"), md5(col("gram")).as("h"))
+    val informative = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("__nd"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram)
+      .select(col("h"))
+    val idx = grams.join(informative, Seq("h"))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val diff = col("pos_a") - col("pos_b")
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("__diff"))
+      .orderBy(col("pos_a"))
+    pairs.withColumn("__diff", diff)
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__diff"), col("__isl"))
+      .agg(min(col("pos_a")).cast("long").as("start_a"),
+        min(col("pos_b")).cast("long").as("start_b"),
+        (count(lit(1)) + (n - 1)).cast("long").as("span_words"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_words"))
+  }
+
   def jaccardAllPairsAbove(df: DataFrame, textCol: String, idCol: String,
                            threshold: Double, ngram: Int = 1): DataFrame = {
     val spark = df.sparkSession

@@ -413,6 +413,76 @@ object Streams {
       }
   }
 
+  // ---- transformWithState (Spark 4 arbitrary-state API) -----------------
+
+  case class FpMeta(doc_id: Long, lang: String, n_tokens: Long, fingerprint: String)
+
+  /** [[dedupIncrementalBy]] on Spark 4's `transformWithState` API — typed
+    * per-state handles, RocksDB-provider state store, and (the structural
+    * win over flatMapGroupsWithState) CHAINABILITY with further stateful
+    * operators inside one streaming query. Same contract: permanent
+    * fingerprint state, first batch wins, min doc_id within a batch. */
+  class TwsDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, FpMeta, FpMeta] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[FpMeta],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[FpMeta] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator(rows.minBy(_.doc_id))
+      }
+  }
+
+  /** [[packStream]] on `transformWithState`: per-language running token
+    * count in a single ValueState[Long]; emits pack assignments in doc_id
+    * order per micro-batch. State is O(languages). */
+  class TwsPackProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, PackDoc, PackedDoc] {
+    @transient private var tokens: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tokens = getHandle.getValueState[Long]("tokens",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[PackDoc],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[PackedDoc] = {
+      var before = if (tokens.exists()) tokens.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val pid = before / budget
+        before += d.n_tokens
+        PackedDoc(d.doc_id, key, d.n_tokens, pid)
+      }
+      tokens.update(before)
+      out.iterator
+    }
+  }
+
+  /** The WHOLE stateful tail of the corpus-prep pipeline as ONE streaming
+    * query — permanent-state dedup CHAINED into per-language packing, the
+    * composition `flatMapGroupsWithState` cannot express (Spark rejects
+    * two FMGWS operators in a query; `transformWithState` operators
+    * chain). Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). */
+  def corpusPrepTws(kept: Dataset[FpMeta], budget: Long): Dataset[PackedDoc] = {
+    import kept.sparkSession.implicits._
+    val deduped = kept.groupByKey(_.fingerprint)
+      .transformWithState(new TwsDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+    deduped.map(d => PackDoc(d.doc_id, d.lang, d.n_tokens))
+      .groupByKey(_.lang)
+      .transformWithState(new TwsPackProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   /** Stateless front of the corpus-prep pipeline on a STREAM — identical
     * Column combinators to the batch c1 query (one implementation of
     * langid / quality / fingerprint to keep correct), so stream and batch

@@ -94,6 +94,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sharedSpans: planted interior span found maximal with exact offsets; boilerplate gram cap") {
+    import spark.implicits._
+    // 12 shared words planted at word 5 of doc 1 and word 3 of doc 2;
+    // n=4 grams → expected island = 12-4+1 = 9 grams → span_words = 12
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    def filler(p: String, k: Int) = (1 to k).map(i => s"$p$i").mkString(" ")
+    val d1 = s"${filler("aa", 5)} $shared ${filler("bb", 6)}"
+    val d2 = s"${filler("cc", 3)} $shared ${filler("dd", 4)}"
+    val docs2 = Seq((1L, d1), (2L, d2), (3L, filler("ee", 20))).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs2, "text", "doc_id", n = 4, maxDocsPerGram = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 5L, 3L, 12L)), s"got ${got.toSeq}")
+    // a gram shared by MORE than maxDocsPerGram docs is boilerplate: capped out
+    val many = (1L to 10L).map(i => (i, s"x$i ${filler("common", 6)} y$i")).toDF("doc_id", "text")
+    val capped = Dedup.sharedSpans(many, "text", "doc_id", n = 4, maxDocsPerGram = 4)
+    assert(capped.count() == 0, "grams in >cap docs must not generate pairs")
+    val uncapped = Dedup.sharedSpans(many, "text", "doc_id", n = 4, maxDocsPerGram = 10)
+    assert(uncapped.count() == 45, "10 docs sharing one span -> all 45 pairs when under cap")
+  }
+
   test("jaccardAllPairsAbove == provably-exact prefix filter (size/early-exit pruning lossless)") {
     val docs = Tables.t(spark, sfDir, "documents")
     Seq(0.4, 0.8).foreach { t =>

@@ -261,6 +261,40 @@ class StreamingSpec extends SparkSpec {
     assert(after == fullB, "pack state must continue across runs")
   }
 
+  test("transformWithState: dedup CHAINED into packing in ONE query ≡ batch (RocksDB state)") {
+    import graft.functions.Text
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val kept = Streams.corpusPrepStream(
+          Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000))
+        .as[Streams.FpMeta]
+      Streams.runAvailableNow(Streams.corpusPrepTws(kept, 2048L).toDF(), out, ckpt)
+      val a = spark.read.parquet(out).select($"doc_id", $"pack_id")
+        .as[(Long, Long)].collect().toMap
+      val keptB = Streams.corpusPrepStream(docs)
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fingerprint").orderBy($"doc_id")
+      val dedupB = keptB.withColumn("rn", row_number().over(wFp))
+        .filter($"rn" === 1).select($"doc_id", $"lang", $"n_tokens")
+      val b = Text.packSequences(dedupB, "lang", "doc_id", "n_tokens", 2048L)
+        .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+      assert(a.nonEmpty && a == b,
+        s"chained TWS pack != batch pack (sizes ${a.size}/${b.size})")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("intervalJoin pairs events within the time bound, drops out-of-window") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
     val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
