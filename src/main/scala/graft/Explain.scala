@@ -31,7 +31,8 @@ object Explain {
     "s7_knn_graph", "d13_semantic_dedup", "d2_minhash_lsh_neardup",
     "t22_bloom_decontaminate", "s14_index_persist",
     "s16_member_table_probe", "k5_range_layout", "s15_kcenter_coreset",
-    "c1_corpus_pipeline", "k6_partial_agg_merge", "d14_shared_spans")
+    "c1_corpus_pipeline", "k6_partial_agg_merge", "d14_shared_spans",
+    "k7_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

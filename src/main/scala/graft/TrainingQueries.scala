@@ -1376,6 +1376,51 @@ object TrainingQueries {
           ($"__nc" === $"n_rows").as("compact_count_ok"))
     }),
 
+    // K7: Z-ORDERED layout gate — multi-dimensional file skipping, the
+    // lakehouse complement of k5's single-key range layout: Morton-
+    // interleaved rank buckets bound EVERY indexed dimension's per-file
+    // extent, so predicates on any of the z-columns prune files (a
+    // single-key sort leaves every other column spanning ~the full range
+    // per file — measured 0.998 vs 0.297 normalized extent in SinksSpec).
+    // Verdicts: avg normalized per-file extent ≤ 0.55 on BOTH dims (z
+    // property; measured ~0.40/0.30 at sf0.001, sf0.01 and sf0.1), file
+    // count bounded, and the write preserves every row. Payload =
+    // deterministic source aggregates recomputed by DuckDB.
+    "k7_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "orders")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k7_zorder_" +
+        s.sparkContext.applicationId
+      graft.sources.Sinks.writeZOrdered(src, s"$tmp/z",
+        Seq("o_orderdate", "o_custkey"), nFiles = 16)
+      val z = s.read.parquet(s"$tmp/z")
+      val perFile = z.groupBy(input_file_name().as("__f"))
+        .agg(min($"o_orderdate".cast("timestamp_ltz").cast("double")).as("dlo"),
+          max($"o_orderdate".cast("timestamp_ltz").cast("double")).as("dhi"),
+          min($"o_custkey").as("clo"), max($"o_custkey").as("chi"))
+      val g = perFile.agg(min($"dlo").as("gdlo"), max($"dhi").as("gdhi"),
+        min($"clo").as("gclo"), max($"chi").as("gchi"))
+      val verdicts = perFile.crossJoin(broadcast(g))
+        .agg(
+          (avg(($"dhi" - $"dlo") / greatest($"gdhi" - $"gdlo", lit(1.0))) <= 0.55)
+            .as("__date_bounded"),
+          (avg(($"chi" - $"clo").cast("double") /
+            greatest(($"gchi" - $"gclo").cast("double"), lit(1.0))) <= 0.55)
+            .as("__cust_bounded"),
+          (count(lit(1)) >= 2L && count(lit(1)) <= 16L).as("__files_ok"))
+      val nZ = z.agg(count(lit(1)).as("__nz"))
+      src.agg(count(lit(1)).as("n_rows"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd").as("min_odate"),
+          date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_odate"),
+          min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"))
+        .crossJoin(broadcast(verdicts)).crossJoin(broadcast(nZ))
+        .select($"n_rows", $"min_odate", $"max_odate", $"min_cust", $"max_cust",
+          $"__date_bounded".as("date_extent_bounded_ok"),
+          $"__cust_bounded".as("cust_extent_bounded_ok"),
+          $"__files_ok".as("files_bounded_ok"),
+          ($"__nz" === $"n_rows").as("rows_preserved_ok"))
+    }),
+
     // D14: EXACT shared-span detection (Lee et al. 2021's exact-substring
     // dedup, relational form — see Dedup.sharedSpans): word-8-gram
     // inverted index → pair-informative hash cap (2..8 docs) → bucket
@@ -2444,6 +2489,16 @@ object TrainingQueries {
          sha256(text) AS content_sha256,
          lower(to_hex(encode(substring(text, 1, 8)))) AS head_bytes_hex
          FROM documents""",
+    "k7_zorder_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,
+                strftime(max(o_orderdate), '%Y-%m-%d') AS max_odate,
+                min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                true AS date_extent_bounded_ok,
+                true AS cust_extent_bounded_ok,
+                true AS files_bounded_ok,
+                true AS rows_preserved_ok
+         FROM orders""",
     "d14_shared_spans" ->
       """WITH w AS (
            SELECT doc_id,

@@ -120,4 +120,56 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-ORDERED table layout — multi-dimensional skipping, the lakehouse
+    * technique [[writeRangeSorted]] cannot provide: a single-key sort
+    * gives file-skipping power on that key ONLY (every file still spans
+    * the full range of every other column); interleaving the bits of
+    * per-column rank buckets into a Morton code and range-partitioning on
+    * it bounds EVERY indexed dimension's per-file min/max extent to
+    * ~1/2^(totalBits/k), so predicates on ANY of the k columns skip files.
+    * All pure Catalyst: per-column linear bucketing against driver-collected
+    * min/max (one tiny agg — 2k doubles), bit interleave via
+    * shiftleft/shiftright/bitwiseAND folds, then the same
+    * repartitionByRange + sortWithinPartitions + parquet-stats contract as
+    * the range layout. Columns must be numeric/date/timestamp (cast to
+    * double for bucketing — rank fidelity, not value fidelity, is what
+    * matters for clustering).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    nFiles: Int, bitsPerCol: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (use writeRangeSorted for 1)")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62, "bit budget must fit a long")
+    val k = zCols.size
+    // rank-bucketing needs a DOUBLE view of each column; temporal types
+    // don't cast to double directly, so route them through an epoch cast
+    def asD(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          datediff(col(c), to_date(lit("1970-01-01"))).cast("double")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast("timestamp_ltz").cast("double")
+        case _ => col(c).cast("double")
+      }
+    val stats = df.select(zCols.flatMap(c =>
+      Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c"))): _*).head()
+    val levels = (1L << bitsPerCol) - 1
+    val buckets = zCols.zipWithIndex.map { case (c, j) =>
+      val (mn, mx) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(levels), greatest(lit(0L),
+        floor((asD(c) - lit(mn)) / lit(span) * levels).cast("long")))
+    }
+    val z = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, bit) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * k + j))
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -212,6 +212,35 @@ class SinksSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted), "rows inside a file must be sorted")
   }
 
+  test("writeZOrdered: EVERY indexed dim gets bounded per-file extent (vs single-key sort)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sortedDir = java.nio.file.Files.createTempDirectory("graft_zorder_ref").toString
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    def avgRanges(d: String): (Double, Double, Int) = {
+      val g = spark.read.parquet(d)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"l_orderkey").as("ko"), max($"l_orderkey").as("khi"),
+          min($"l_partkey").as("po"), max($"l_partkey").as("phi"))
+        .collect()
+      val (kLo, kHi) = (g.map(_.getLong(1)).min, g.map(_.getLong(2)).max)
+      val (pLo, pHi) = (g.map(_.getLong(3)).min, g.map(_.getLong(4)).max)
+      val ak = g.map(r => (r.getLong(2) - r.getLong(1)).toDouble / math.max(1L, kHi - kLo)).sum / g.length
+      val ap = g.map(r => (r.getLong(4) - r.getLong(3)).toDouble / math.max(1L, pHi - pLo)).sum / g.length
+      (ak, ap, g.length)
+    }
+    Sinks.writeZOrdered(li, dir, Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    Sinks.writeRangeSorted(li, sortedDir, Seq("l_orderkey"), nRanges = 16)
+    val (zk, zp, zn) = avgRanges(dir)
+    val (sk, sp, _) = avgRanges(sortedDir)
+    info(f"z-order: key=$zk%.3f part=$zp%.3f files=$zn; keysort: key=$sk%.3f part=$sp%.3f")
+    assert(spark.read.parquet(dir).count() == li.count(), "zorder write must preserve rows")
+    // the z-order contract: BOTH dims bounded well below full extent
+    assert(zk < 0.55 && zp < 0.55, f"z-order extents not bounded: $zk%.3f / $zp%.3f")
+    // and the single-key layout demonstrably lacks it on the second dim
+    assert(sp > 0.9, f"reference layout should span ~full partkey range, got $sp%.3f")
+  }
+
   test("K1 dynamic partition overwrite only replaces incoming partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val day1 = Seq(("2024-01-01", "ethereum", 1.0), ("2024-01-01", "polygon", 2.0))
