@@ -1421,6 +1421,43 @@ object TrainingQueries {
           ($"__nz" === $"n_rows").as("rows_preserved_ok"))
     }),
 
+    // K8: PERSISTED mergeable sketches — k6's incremental-rollup pattern
+    // for the aggregate that is NOT algebraic over raw values: distinct
+    // counts. Each month's partition stores a fixed-size Datasketches HLL
+    // binary (Spark 4's hll_sketch_agg); any cross-month distinct-count
+    // rollup is hll_union_agg over the persisted sketches — never a
+    // rescan, never a per-key shuffle. This is THE warehouse shape for
+    // "distinct users per arbitrary date range" at 100 TB: sketch size is
+    // O(2^lgK) per partition regardless of cardinality. Verdicts (oracle
+    // emits `true`): the merged estimate lands within the sketch's error
+    // bound of the EXACT distinct count (lgK=12 → rsd ≈ 1.6%, bound 6%),
+    // and merging the persisted partials tracks the direct full-table
+    // sketch within 3% (HLL union is NOT bit-identical to direct — the
+    // union operator promotes through coupon/HLL mode and target-type
+    // transitions, measured ~0.9% apart here — but both carry the same
+    // statistical guarantee; the verdict pins that). Payload = exact
+    // count, recomputed by DuckDB.
+    "k8_sketch_partials" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "orders").select(
+        date_format($"o_orderdate", "yyyy-MM").as("o_month"), $"o_custkey")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k8_hll_" +
+        s.sparkContext.applicationId
+      graft.sources.Sinks.replaceTable(
+        src.groupBy($"o_month").agg(hll_sketch_agg($"o_custkey", 12).as("hll")),
+        tmp)
+      val merged = s.read.parquet(tmp)
+        .agg(hll_sketch_estimate(hll_union_agg($"hll")).as("m_est"))
+      val direct = src.agg(
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey", 12)).as("d_est"),
+        countDistinct($"o_custkey").as("exact_custs"))
+      direct.crossJoin(broadcast(merged))
+        .select($"exact_custs",
+          (abs($"m_est" - $"exact_custs") <= $"exact_custs" * 0.06)
+            .as("within_bound"),
+          (abs($"m_est" - $"d_est") <= $"d_est" * 0.03).as("merge_close"))
+    }),
+
     // D14: EXACT shared-span detection (Lee et al. 2021's exact-substring
     // dedup, relational form — see Dedup.sharedSpans): word-8-gram
     // inverted index → pair-informative hash cap (2..8 docs) → bucket
@@ -2489,6 +2526,11 @@ object TrainingQueries {
          sha256(text) AS content_sha256,
          lower(to_hex(encode(substring(text, 1, 8)))) AS head_bytes_hex
          FROM documents""",
+    "k8_sketch_partials" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                true AS within_bound,
+                true AS merge_close
+         FROM orders""",
     "k7_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,

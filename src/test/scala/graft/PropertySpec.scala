@@ -105,6 +105,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sharedSpans is partition-invariant and symmetric-free (id_a < id_b)") {
+    import graft.functions.Dedup
+    val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.sharedSpans(d, "text", "doc_id", n = 6, maxDocsPerGram = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    assert(a == b, "span set must not depend on input partitioning")
+    assert(a.forall { case (ia, ib, _, _, w) => ia < ib && w >= 6 })
+  }
+
+  test("c1 pipeline manifest is partition-invariant") {
+    val base = TrainingQueries.queries("c1_corpus_pipeline")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    // rebuild over a repartitioned copy of the corpus via a temp view? The
+    // query reads from the sf dir directly, so instead pin determinism
+    // across two independent executions (fresh plans, same result).
+    val again = TrainingQueries.queries("c1_corpus_pipeline")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty && base == again)
+  }
+
   test("unionPadded output column set = union of inputs; row count = sum") {
     val a = Seq((1L, 1.0)).toDF("id", "x")
     val b = Seq((2L, 2.0), (3L, 3.0)).toDF("id", "y")
