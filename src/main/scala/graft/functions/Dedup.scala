@@ -616,11 +616,17 @@ object Dedup {
     require(n >= 2, "n must be >= 2")
     require(maxDocsPerGram >= 2, "maxDocsPerGram must be >= 2")
     val words = split(Text.normalize(col(textCol)), " ")
+    // The gram index feeds THREE consumers (the informative-hash aggregate
+    // and both sides of the pair self-join); without materialization the
+    // scan + tokenize + md5 pass runs once per consumer (4 corpus passes
+    // measured in the plan). Persist eagerly, d2's signature discipline.
     val grams = spread(df)
       .filter(size(words) >= n)
       .select(col(idCol).as("doc"),
         posexplode(Text.wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
       .select(col("doc"), col("pos"), md5(col("gram")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    noAqe(grams).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     val informative = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("__nd"))
       .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram)
@@ -633,7 +639,7 @@ object Dedup {
     val diff = col("pos_a") - col("pos_b")
     val w = Window.partitionBy(col("id_a"), col("id_b"), col("__diff"))
       .orderBy(col("pos_a"))
-    pairs.withColumn("__diff", diff)
+    val spans = pairs.withColumn("__diff", diff)
       .withColumn("__isl", col("pos_a") - row_number().over(w))
       .groupBy(col("id_a"), col("id_b"), col("__diff"), col("__isl"))
       .agg(min(col("pos_a")).cast("long").as("start_a"),
@@ -641,6 +647,10 @@ object Dedup {
         (count(lit(1)) + (n - 1)).cast("long").as("span_words"))
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
         col("span_words"))
+    // materialize the (small) span table, release the gram cache
+    val out = checkpointNoAqe(spans)
+    grams.unpersist()
+    out
   }
 
   def jaccardAllPairsAbove(df: DataFrame, textCol: String, idCol: String,
