@@ -1421,6 +1421,24 @@ object TrainingQueries {
           ($"__nz" === $"n_rows").as("rows_preserved_ok"))
     }),
 
+    // E13: the SQL-registered text surface exercised END TO END through
+    // `spark.sql` — a dbt-style user's view of the library: the
+    // GraftExtensions function registry (graft_langid / graft_tokens_ws /
+    // graft_stopword_ratio / graft_fingerprint) must produce the exact
+    // rows the Scala API produces (one implementation — the SQL builders
+    // apply the same Column combinators), which the DuckDB oracle then
+    // recomputes independently. Fails loudly if the extension is not
+    // installed on the session — that IS the contract being gated.
+    "e13_sql_text_surface" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_e13_docs")
+      s.sql("""SELECT doc_id,
+                      graft_langid(text) AS pred_lang,
+                      CAST(graft_tokens_ws(text) AS BIGINT) AS n_words,
+                      round(graft_stopword_ratio(text), 6) AS stop_ratio,
+                      graft_fingerprint(text) AS fp
+               FROM graft_e13_docs""")
+    }),
+
     // K8: PERSISTED mergeable sketches — k6's incremental-rollup pattern
     // for the aggregate that is NOT algebraic over raw values: distinct
     // counts. Each month's partition stores a fixed-size Datasketches HLL
@@ -2526,6 +2544,32 @@ object TrainingQueries {
          sha256(text) AS content_sha256,
          lower(to_hex(encode(substring(text, 1, 8)))) AS head_bytes_hex
          FROM documents""",
+    "e13_sql_text_surface" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         s AS (SELECT doc_id, text, words,
+           len(list_filter(words, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+           len(list_filter(words, x -> list_contains(['le','la','les','des','est','une','dans','pour','que'], x))) AS s_fr,
+           len(list_filter(words, x -> list_contains(['el','los','las','es','una','para','como','por','del'], x))) AS s_es,
+           len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für'], x))) AS s_de,
+           len(list_filter(words, x -> list_contains(['的','是','了','在','我','有','他','这'], x))) AS s_zh
+           FROM w)
+         SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+           round(CASE WHEN len(words) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(words, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE)
+                     / len(words) END, 6) AS stop_ratio,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+         FROM s""",
     "k8_sketch_partials" ->
       """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
                 true AS within_bound,
