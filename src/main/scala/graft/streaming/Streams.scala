@@ -465,6 +465,79 @@ object Streams {
     }
   }
 
+  case class TwsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class TwsSessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  case class TwsSession(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        total_value: Double)
+
+  /** EVENT-TIME TIMER-driven sessionization on `transformWithState` — the
+    * capability the older arbitrary-state APIs approximate with
+    * processing-time timeouts: a session closes exactly when the
+    * WATERMARK passes lastSeen + gap (never earlier, regardless of
+    * wall-clock; late events within the watermark reopen nothing
+    * incorrectly because closure waits for the watermark, not the
+    * clock). Timers are first-class state here: each batch re-registers
+    * the key's single close-timer at the new lastSeen + gap and deletes
+    * the stale one; `handleExpiredTimer` emits the finished session and
+    * clears state. Input must carry `withWatermark` on `ts`
+    * (TimeMode.EventTime requires it). */
+  class TwsSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsSession] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TwsSessionState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsSessionState]("sess",
+        org.apache.spark.sql.Encoders.product[TwsSessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def close(key: Long, s: TwsSessionState): TwsSession =
+      TwsSession(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[TwsSession] = {
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[TwsSession]
+      var s = if (st.exists()) st.get() else null
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        if (s == null) s = TwsSessionState(t, t, 1L, e.value)
+        else if (t - s.lastSeen <= gapMs)
+          s = s.copy(lastSeen = math.max(s.lastSeen, t), n = s.n + 1,
+            total = s.total + e.value)
+        else { // gap exceeded WITHIN the replayed data: close inline
+          out ::= close(key, s)
+          s = TwsSessionState(t, t, 1L, e.value)
+        }
+      }
+      // one live close-timer per key: drop stale ones, arm lastSeen + gap
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(s.lastSeen + gapMs)
+      st.update(s)
+      out.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long,
+                                    tv: org.apache.spark.sql.streaming.TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo
+                                   ): Iterator[TwsSession] =
+      if (st.exists() && st.get().lastSeen + gapMs <= info.getExpiryTimeInMs) {
+        val s = st.get(); st.clear()
+        Iterator(close(key, s))
+      } else Iterator.empty
+  }
+
+  /** [[TwsSessionProcessor]] wired to a watermarked stream. */
+  def sessionizeTws(events: Dataset[TwsEvent], gapMs: Long,
+                    watermarkDelay: String = "0 seconds"): Dataset[TwsSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** The WHOLE stateful tail of the corpus-prep pipeline as ONE streaming
     * query — permanent-state dedup CHAINED into per-language packing, the
     * composition `flatMapGroupsWithState` cannot express (Spark rejects

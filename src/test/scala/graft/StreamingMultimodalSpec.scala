@@ -295,6 +295,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS event-time timers: sessions close exactly when the watermark passes lastSeen+gap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twstimer").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:05:00"), 2.0),
+        (2L, ts("2024-01-01 10:02:00"), 5.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val st = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+          .as[Streams.TwsEvent]
+        Streams.runAvailableNow(
+          Streams.sessionizeTws(st, gapMs = 30 * 60 * 1000L).toDF(), out, ckpt)
+      }
+      run()
+      // watermark after run 1 (10:05) has NOT passed lastSeen+gap → no
+      // session may close yet (file sink dir holds only metadata)
+      val n1 = try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      assert(n1 == 0, s"no session may close before the watermark passes, got $n1")
+      // run 2: one much later event advances the watermark past both gaps
+      Seq((3L, ts("2024-01-01 12:00:00"), 9.0))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+      run()
+      val got = spark.read.parquet(out)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"total_value")
+        .as[(Long, String, String, Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L, 3.0),
+        (2L, "2024-01-01 10:02:00", "2024-01-01 10:02:00", 1L, 5.0)),
+        s"got ${got.toSeq}")
+      // user 3's session is still open (its timer sits at 12:30)
+      assert(!got.exists(_._1 == 3L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("intervalJoin pairs events within the time bound, drops out-of-window") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
     val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
