@@ -465,6 +465,50 @@ object Streams {
     }
   }
 
+  /** [[TwsDedupProcessor]] with INITIAL STATE — the batch→streaming
+    * migration path: bootstrap the permanent fingerprint set from the
+    * EXISTING warehouse corpus (one batch Dataset of fingerprints, e.g.
+    * d12's index table) so the live tail never re-emits documents the
+    * batch pipeline already ingested. `handleInitialState` runs once per
+    * initial-state key before any input; everything else is
+    * [[TwsDedupProcessor]]'s contract. */
+  class TwsDedupWithCorpusProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, FpMeta, FpMeta, String] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: String, initial: String,
+                                    tv: org.apache.spark.sql.streaming.TimerValues
+                                   ): Unit =
+      seen.update(true)
+    override def handleInputRows(key: String, rows: Iterator[FpMeta],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[FpMeta] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator(rows.minBy(_.doc_id))
+      }
+  }
+
+  /** Streaming incremental dedup SEEDED from an existing corpus: only
+    * documents whose fingerprint is in neither the seed corpus nor the
+    * stream's own history are emitted. `existingFps` is a BATCH Dataset
+    * of the already-ingested fingerprints (at scale: the fingerprint
+    * index table the batch pipeline maintains — d12's existing side). */
+  def dedupIncrementalSeeded(docs: Dataset[FpMeta],
+                             existingFps: Dataset[String]): Dataset[FpMeta] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fingerprint)
+      .transformWithState(new TwsDedupWithCorpusProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append,
+        existingFps.groupByKey(identity[String] _))
+  }
+
   case class TwsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class TwsSessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   case class TwsSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -295,6 +295,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS initial state: streaming dedup seeded from the existing corpus emits only novel docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twsinit").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // batch corpus already ingested fpA and fpB; the live tail replays
+    // fpA (must NOT re-emit) and brings novel fpC (must emit, min id)
+    Seq((100L, "en", 10L, "fpA"), (101L, "en", 20L, "fpC"), (99L, "en", 30L, "fpC"))
+      .toDF("doc_id", "lang", "n_tokens", "fingerprint").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val existing = Seq("fpA", "fpB").toDS()
+      val stream = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+        .as[Streams.FpMeta]
+      Streams.runAvailableNow(
+        Streams.dedupIncrementalSeeded(stream, existing).toDF(), out, ckpt)
+      val got = spark.read.parquet(out).select($"doc_id", $"fingerprint")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((99L, "fpC")), s"got $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TWS event-time timers: sessions close exactly when the watermark passes lastSeen+gap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_twstimer").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
