@@ -509,6 +509,61 @@ object Streams {
         existingFps.groupByKey(identity[String] _))
   }
 
+  case class SampleDoc(lang: String, doc_id: Long)
+  case class SampleEntry(h: String, doc_id: Long)
+  case class SampleOut(lang: String, n_seen: Long, sample_ids: String)
+
+  /** Streaming BOTTOM-K uniform sample per key on ListState — the live
+    * counterpart of the deterministic hash-sampling family (t4/t16): keep
+    * the k docs with the SMALLEST md5(doc_id). md5 rank is uniform and
+    * engine-independent, so at any point the retained set is EXACTLY the
+    * batch bottom-k over everything seen so far — a reproducible uniform
+    * sample with O(k) state per key and no RNG (a true reservoir needs
+    * one; hash-rank sampling doesn't, which is what makes replay and
+    * cross-engine verification possible). Emits the updated sample (ids
+    * in hash order) plus a running seen-count each batch; the max-n_seen
+    * row per key is the current sample. */
+  class TwsBottomKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, SampleDoc, SampleOut] {
+    @transient private var kept:
+      org.apache.spark.sql.streaming.ListState[SampleEntry] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    private def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      kept = getHandle.getListState[SampleEntry]("kept",
+        org.apache.spark.sql.Encoders.product[SampleEntry],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[SampleDoc],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[SampleOut] = {
+      val incoming = rows.map(d => SampleEntry(md5hex(d.doc_id.toString), d.doc_id)).toSeq
+      val prev = if (kept.exists()) kept.get().toSeq else Seq.empty
+      val merged = (prev ++ incoming)
+        .groupBy(_.doc_id).map(_._2.head).toSeq
+        .sortBy(e => (e.h, e.doc_id)).take(k)
+      kept.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      Iterator(SampleOut(key, n, merged.map(_.doc_id).mkString(",")))
+    }
+  }
+
+  /** [[TwsBottomKProcessor]] wired to a keyed doc stream. */
+  def bottomKSampleStream(docs: Dataset[SampleDoc], k: Int): Dataset[SampleOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new TwsBottomKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   case class TwsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class TwsSessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   case class TwsSession(user_id: Long, session_start: java.sql.Timestamp,

@@ -295,6 +295,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS ListState bottom-k sample ≡ batch hash bottom-k at every point, across runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twsbk").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.t(spark, sfDir, "documents").select($"lang", $"doc_id")
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val st = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+          .as[Streams.SampleDoc]
+        Streams.runAvailableNow(Streams.bottomKSampleStream(st, k = 5).toDF(), out, ckpt)
+      }
+      run()
+      def currentSamples: Map[String, String] = {
+        val rows = spark.read.parquet(out)
+          .as[(String, Long, String)].collect()
+        rows.groupBy(_._1).map { case (l, rs) => l -> rs.maxBy(_._2)._3 }
+      }
+      def batchBottomK(d: org.apache.spark.sql.DataFrame): Map[String, String] = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+        d.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .groupBy($"lang")
+          .agg(concat_ws(",", transform(
+            sort_array(collect_list(struct(
+              md5($"doc_id".cast("string")).as("h"), $"doc_id".as("d")))),
+            x => x.getField("d"))).as("ids"))
+          .as[(String, String)].collect().toMap
+      }
+      assert(currentSamples == batchBottomK(docs), "stream sample != batch bottom-k")
+      // a later wave lands; the sample must update as if computed in batch
+      // over the full history (ListState carries the bottom-k across runs)
+      val maxDoc = docs.agg(max($"doc_id")).head.getLong(0)
+      val wave = Seq(("en", maxDoc + 1), ("en", maxDoc + 2), ("fr", maxDoc + 3))
+        .toDF("lang", "doc_id")
+      wave.write.mode("append").parquet(src)
+      run()
+      assert(currentSamples == batchBottomK(docs.unionByName(wave)),
+        "post-wave stream sample != batch bottom-k over full history")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TWS initial state: streaming dedup seeded from the existing corpus emits only novel docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_twsinit").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
