@@ -141,7 +141,6 @@ object Sinks {
     import org.apache.spark.sql.functions._
     require(zCols.size >= 2, "z-ordering needs >= 2 columns (use writeRangeSorted for 1)")
     require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 62, "bit budget must fit a long")
-    val k = zCols.size
     // rank-bucketing needs a DOUBLE view of each column; temporal types
     // don't cast to double directly, so route them through an epoch cast
     def asD(c: String): org.apache.spark.sql.Column =
@@ -154,16 +153,26 @@ object Sinks {
       }
     val stats = df.select(zCols.flatMap(c =>
       Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c"))): _*).head()
+    // an all-null column has null min/max: it contributes no skipping
+    // power — drop it from the interleave (single-column remainder
+    // degrades to the plain range layout) instead of failing the write
+    val live = zCols.zipWithIndex.filterNot { case (_, j) => stats.isNullAt(2 * j) }
+    if (live.size < 2) {
+      writeRangeSorted(df, path,
+        if (live.nonEmpty) live.map(_._1) else zCols.take(1), nFiles)
+      return
+    }
     val levels = (1L << bitsPerCol) - 1
-    val buckets = zCols.zipWithIndex.map { case (c, j) =>
+    val buckets = live.map { case (c, j) =>
       val (mn, mx) = (stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
       val span = if (mx > mn) mx - mn else 1.0
       least(lit(levels), greatest(lit(0L),
         floor((asD(c) - lit(mn)) / lit(span) * levels).cast("long")))
     }
+    val stride = live.size
     val z = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, bit) =>
       buckets.zipWithIndex.foldLeft(acc) { case (a, (b, j)) =>
-        a.bitwiseOR(shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * k + j))
+        a.bitwiseOR(shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)), bit * stride + j))
       }
     }
     df.withColumn("__z", z)

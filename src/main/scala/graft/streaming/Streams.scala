@@ -529,9 +529,12 @@ object Streams {
       org.apache.spark.sql.streaming.ListState[SampleEntry] = _
     @transient private var seen:
       org.apache.spark.sql.streaming.ValueState[Long] = _
+    // one digest instance per task thread (digest() resets it), not one
+    // per row — getInstance is a provider lookup
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
     private def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(
-        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       kept = getHandle.getListState[SampleEntry]("kept",
