@@ -567,6 +567,45 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
+  case class DomainDoc(lang: String, domain: String, doc_id: Long)
+
+  /** Streaming per-(lang, domain) document cap on MapState — the live
+    * twin of t18's WindowGroupLimit domain cap: admit the first `cap`
+    * docs (doc_id order) of each domain within each language, forever
+    * (the cap is corpus-lifetime, so the count map is permanent state,
+    * like the dedup fingerprints). Keyed by LANGUAGE with a
+    * domain→count MapState per key rather than by (lang, domain)
+    * directly: languages are few, so the shuffle key space stays small
+    * and RocksDB stores each language's domain map contiguously — the
+    * state layout trade MapState exists to offer. */
+  class TwsDomainCapProcessor(cap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DomainDoc, DomainDoc] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DomainDoc],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[DomainDoc] =
+      rows.toSeq.sortBy(_.doc_id).iterator.filter { d =>
+        val c = if (counts.containsKey(d.domain)) counts.getValue(d.domain) else 0L
+        if (c < cap) { counts.updateValue(d.domain, c + 1); true }
+        else false
+      }
+  }
+
+  /** [[TwsDomainCapProcessor]] wired to a keyed doc stream. */
+  def domainCapStream(docs: Dataset[DomainDoc], cap: Long): Dataset[DomainDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new TwsDomainCapProcessor(cap),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+
   case class TwsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class TwsSessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   case class TwsSession(user_id: Long, session_start: java.sql.Timestamp,

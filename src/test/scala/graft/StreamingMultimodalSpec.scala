@@ -345,6 +345,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS MapState domain cap ≡ batch WindowGroupLimit cap, counts persist across runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twscap").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.t(spark, sfDir, "documents").select($"lang", $"source".as("domain"), $"doc_id")
+    docs.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val st = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+          .as[Streams.DomainDoc]
+        Streams.runAvailableNow(Streams.domainCapStream(st, cap = 7L).toDF(), out, ckpt)
+      }
+      run()
+      def batchCap(d: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"domain").orderBy($"doc_id")
+        d.withColumn("rn", row_number().over(w)).filter($"rn" <= 7)
+          .select($"doc_id").as[Long].collect().toSet
+      }
+      val a = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      assert(a.nonEmpty && a == batchCap(docs), "stream cap != batch cap")
+      // a replayed wave for an already-full domain adds nothing; a fresh
+      // domain admits up to cap
+      val maxDoc = docs.agg(max($"doc_id")).head.getLong(0)
+      val full = docs.groupBy($"lang", $"domain").count().filter($"count" >= 7)
+        .select($"lang", $"domain").as[(String, String)].head()
+      val wave = Seq(
+        (full._1, full._2, maxDoc + 1),            // full domain: dropped
+        ("en", "brand-new.example", maxDoc + 2))   // novel domain: kept
+        .toDF("lang", "domain", "doc_id")
+      wave.write.mode("append").parquet(src)
+      run()
+      val b = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      assert(!b.contains(maxDoc + 1), "full domain must stay capped across runs")
+      assert(b.contains(maxDoc + 2), "novel domain must admit")
+      assert(b == batchCap(docs.unionByName(wave)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TWS initial state: streaming dedup seeded from the existing corpus emits only novel docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_twsinit").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
