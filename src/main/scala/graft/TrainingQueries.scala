@@ -31,6 +31,30 @@ object TrainingQueries {
     * [[twinSampleSql]]. */
   private val TwinSampleCap = 2000L
 
+  /** Per-application scratch dir for the write-path gate queries
+    * (s14/s16/k5/k6/k7/k8): the applicationId suffix isolates concurrent
+    * runs/users (round-9 ADVICE item) while staying deterministic within
+    * a run, and every registered dir is recursively REMOVED by one JVM
+    * shutdown hook — without it each bench/gate/plan-audit run leaks six
+    * parquet-filled directories into java.io.tmpdir until the disk fills. */
+  private object Scratch {
+    private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private lazy val hookInstalled: Unit =
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        dirs.forEach(p => rm(new java.io.File(p)))))
+    private def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    def dir(s: SparkSession, tag: String): String = {
+      hookInstalled
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+        s.sparkContext.applicationId
+      dirs.add(path)
+      path
+    }
+  }
+
   /** Driver-side corpus count + matching sample predicate — ONE metadata
     * count action per gate query at build time (parquet row-group counts,
     * no data scan). */
@@ -1237,8 +1261,7 @@ object TrainingQueries {
       // across runs. Local-filesystem path is the gate posture only: in a
       // real deployment these artifact tables live at warehouse paths
       // (see PersistSpec / Similarity docs).
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s14_index_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "s14_index")
       // build → save
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         nLists = 16, iters = 1)
@@ -1302,8 +1325,7 @@ object TrainingQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter($"vec_id" === 0)
         .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s16_member_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "s16_member")
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         nLists = 16, iters = 1)
       Similarity.saveIvfMemberTable(emb, "vec_id", "embedding", cents, tmp)
@@ -1346,8 +1368,7 @@ object TrainingQueries {
     "k5_range_layout" -> ((s, dir) => {
       import s.implicits._
       val src = t(s, dir, "orders")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k5_range_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "k5_range")
       graft.sources.Sinks.writeRangeSorted(src, s"$tmp/ranged",
         Seq("o_orderdate"), nRanges = 8)
       graft.sources.Sinks.compactTo(s, s"$tmp/ranged", s"$tmp/compacted", Nil)
@@ -1389,8 +1410,7 @@ object TrainingQueries {
     "k7_zorder_layout" -> ((s, dir) => {
       import s.implicits._
       val src = t(s, dir, "orders")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k7_zorder_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "k7_zorder")
       graft.sources.Sinks.writeZOrdered(src, s"$tmp/z",
         Seq("o_orderdate", "o_custkey"), nFiles = 16)
       val z = s.read.parquet(s"$tmp/z")
@@ -1459,8 +1479,7 @@ object TrainingQueries {
       import s.implicits._
       val src = t(s, dir, "orders").select(
         date_format($"o_orderdate", "yyyy-MM").as("o_month"), $"o_custkey")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k8_hll_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "k8_hll")
       graft.sources.Sinks.replaceTable(
         src.groupBy($"o_month").agg(hll_sketch_agg($"o_custkey", 12).as("hll")),
         tmp)
@@ -1523,8 +1542,7 @@ object TrainingQueries {
       val partial = src.groupBy($"o_month", $"o_orderstatus")
         .agg(count(lit(1)).as("p_n"), sum($"price_cents").as("p_cents"),
           min($"o_totalprice").as("p_min"), max($"o_totalprice").as("p_max"))
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_k6_incr_" +
-        s.sparkContext.applicationId
+      val tmp = Scratch.dir(s, "k6_incr")
       graft.sources.Sinks.overwritePartitions(
         partial.repartition($"o_month"), tmp, Seq("o_month"))
       val n1 = s.read.parquet(tmp).count()

@@ -254,9 +254,14 @@ object Similarity {
     * scan carry a STATIC partition filter (see [[topKIvfPruned]]).
     * Ranking matches the in-plan probe UDF exactly: cosine distance
     * ascending, list_id ascending on ties. */
-  def probeListsFor(query: Seq[Double], centroids: DataFrame, nProbe: Int): Seq[Int] = {
-    val (seeds, seedNorms) = collectCentroids(centroids)
-    val x = query.toArray
+  /** THE probe-ranking rule: cosine distance to each 1-based list
+    * centroid, (dist, list) tie-break, truncated-dim dot, zero-denominator
+    * fallback. ONE implementation shared by the driver-side router
+    * ([[probeListsFor]]) and the in-plan assignment UDF ([[probeUdf]]) —
+    * the static-partition-filter correctness of [[topKIvfPruned]] depends
+    * on the two ranking IDENTICALLY, so they must not be able to drift. */
+  private def rankLists(x: Array[Double], seeds: Array[Array[Double]],
+                        seedNorms: Array[Double], nProbe: Int): Seq[Int] = {
     var nx = 0.0; var i = 0
     while (i < x.length) { nx += x(i) * x(i); i += 1 }
     nx = math.sqrt(nx)
@@ -271,6 +276,11 @@ object Similarity {
       (1.0 - cos, c + 1)
     }
     dists.sortBy(identity).take(math.min(nProbe, seeds.length)).map(_._2).toSeq
+  }
+
+  def probeListsFor(query: Seq[Double], centroids: DataFrame, nProbe: Int): Seq[Int] = {
+    val (seeds, seedNorms) = collectCentroids(centroids)
+    rankLists(query.toArray, seeds, seedNorms, nProbe)
   }
 
   /** Write the IVF member assignment AT REST, partitioned by `list_id` —
@@ -585,23 +595,7 @@ object Similarity {
     * [[ivfIndex]] single-list argmin. */
   private def probeUdf(seeds: Array[Array[Double]], seedNorms: Array[Double],
                        nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Double]) => {
-      val x = v.toArray
-      var nx = 0.0; var i = 0
-      while (i < x.length) { nx += x(i) * x(i); i += 1 }
-      nx = math.sqrt(nx)
-      val dists = Array.tabulate(seeds.length) { c =>
-        val cv = seeds(c)
-        var dot = 0.0
-        val n = math.min(x.length, cv.length)
-        var j = 0
-        while (j < n) { dot += x(j) * cv(j); j += 1 }
-        val denom = nx * seedNorms(c)
-        val cos = if (denom == 0.0) 0.0 else dot / denom
-        (1.0 - cos, c + 1)
-      }
-      dists.sortBy(identity).take(math.min(nProbe, seeds.length)).map(_._2).toSeq
-    })
+    udf((v: Seq[Double]) => rankLists(v.toArray, seeds, seedNorms, nProbe))
 
   /** BLOCKED kNN graph — the scale path for [[knnGraph]]: members are
     * IVF-assigned to their single nearest list map-side, every vector

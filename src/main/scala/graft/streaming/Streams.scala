@@ -417,6 +417,25 @@ object Streams {
 
   case class FpMeta(doc_id: Long, lang: String, n_tokens: Long, fingerprint: String)
 
+  /** Shared core of the two TWS dedup processors (plain and
+    * initial-state-seeded): ONE place owns the 'seen' state layout and
+    * the first-batch-wins / min-doc_id winner rule, so the seeded and
+    * unseeded paths cannot diverge. */
+  private object TwsDedupCore {
+    def seenState(handle: org.apache.spark.sql.streaming.StatefulProcessorHandle)
+        : org.apache.spark.sql.streaming.ValueState[Boolean] =
+      handle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    def handle(seen: org.apache.spark.sql.streaming.ValueState[Boolean],
+               rows: Iterator[FpMeta]): Iterator[FpMeta] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator(rows.minBy(_.doc_id))
+      }
+  }
+
   /** [[dedupIncrementalBy]] on Spark 4's `transformWithState` API — typed
     * per-state handles, RocksDB-provider state store, and (the structural
     * win over flatMapGroupsWithState) CHAINABILITY with further stateful
@@ -427,17 +446,11 @@ object Streams {
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      seen = getHandle.getValueState[Boolean]("seen",
-        org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = TwsDedupCore.seenState(getHandle)
     override def handleInputRows(key: String, rows: Iterator[FpMeta],
                                  tv: org.apache.spark.sql.streaming.TimerValues
                                 ): Iterator[FpMeta] =
-      if (seen.exists()) Iterator.empty
-      else {
-        seen.update(true)
-        Iterator(rows.minBy(_.doc_id))
-      }
+      TwsDedupCore.handle(seen, rows)
   }
 
   /** [[packStream]] on `transformWithState`: per-language running token
@@ -445,6 +458,7 @@ object Streams {
     * order per micro-batch. State is O(languages). */
   class TwsPackProcessor(budget: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, PackDoc, PackedDoc] {
+    require(budget > 0, "budget must be positive")
     @transient private var tokens: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
@@ -478,9 +492,7 @@ object Streams {
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      seen = getHandle.getValueState[Boolean]("seen",
-        org.apache.spark.sql.Encoders.scalaBoolean,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = TwsDedupCore.seenState(getHandle)
     override def handleInitialState(key: String, initial: String,
                                     tv: org.apache.spark.sql.streaming.TimerValues
                                    ): Unit =
@@ -488,11 +500,7 @@ object Streams {
     override def handleInputRows(key: String, rows: Iterator[FpMeta],
                                  tv: org.apache.spark.sql.streaming.TimerValues
                                 ): Iterator[FpMeta] =
-      if (seen.exists()) Iterator.empty
-      else {
-        seen.update(true)
-        Iterator(rows.minBy(_.doc_id))
-      }
+      TwsDedupCore.handle(seen, rows)
   }
 
   /** Streaming incremental dedup SEEDED from an existing corpus: only
@@ -506,7 +514,11 @@ object Streams {
     docs.groupByKey(_.fingerprint)
       .transformWithState(new TwsDedupWithCorpusProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append,
-        existingFps.groupByKey(identity[String] _))
+        // distinct is load-bearing: Spark REJECTS duplicate initial-state
+        // keys (STATEFUL_PROCESSOR_CANNOT_REINITIALIZE_STATE_ON_KEY), and
+        // a fingerprint list derived from a corpus rather than an index
+        // table legitimately carries dups
+        existingFps.distinct().groupByKey(identity[String] _))
   }
 
   case class SampleDoc(lang: String, doc_id: Long)
@@ -625,48 +637,62 @@ object Streams {
     * (TimeMode.EventTime requires it). */
   class TwsSessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsSession] {
-    @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[TwsSessionState] = _
+    // OPEN sessions are a LIST, not a single value: within the watermark
+    // horizon an out-of-order event may yet BRIDGE two gap-separated
+    // groups into one session, so nothing may close (or merge-freeze)
+    // until the watermark passes lastSeen + gap. handleInputRows only
+    // interval-merges; emission happens exclusively in the timer path —
+    // that is what makes the "watermark-exact closure" contract true
+    // rather than just documented.
+    @transient private var open:
+      org.apache.spark.sql.streaming.ListState[TwsSessionState] = _
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[TwsSessionState]("sess",
+      open = getHandle.getListState[TwsSessionState]("open",
         org.apache.spark.sql.Encoders.product[TwsSessionState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     private def close(key: Long, s: TwsSessionState): TwsSession =
       TwsSession(key, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+    /** One live timer per key, armed at the EARLIEST possible closure. */
+    private def rearm(sessions: Seq[TwsSessionState]): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (sessions.nonEmpty)
+        getHandle.registerTimer(sessions.map(_.lastSeen).min + gapMs)
+    }
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
                                  tv: org.apache.spark.sql.streaming.TimerValues
                                 ): Iterator[TwsSession] = {
-      val evs = rows.toSeq.sortBy(_.ts.getTime)
-      var out = List.empty[TwsSession]
-      var s = if (st.exists()) st.get() else null
-      evs.foreach { e =>
-        val t = e.ts.getTime
-        if (s == null) s = TwsSessionState(t, t, 1L, e.value)
-        else if (t - s.lastSeen <= gapMs)
-          s = s.copy(lastSeen = math.max(s.lastSeen, t), n = s.n + 1,
-            total = s.total + e.value)
-        else { // gap exceeded WITHIN the replayed data: close inline
-          out ::= close(key, s)
-          s = TwsSessionState(t, t, 1L, e.value)
-        }
+      // classical interval merge with tolerance `gap`: existing open
+      // sessions plus each event as a 1-point session, sorted by start;
+      // a piece whose start is within gap of the running group's end
+      // joins (and thereby BRIDGES groups an out-of-order event connects)
+      val pieces = (if (open.exists()) open.get().toSeq else Seq.empty) ++
+        rows.map(e => TwsSessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[TwsSessionState]
+      pieces.sortBy(p => (p.start, p.lastSeen)).foreach { p =>
+        if (merged.nonEmpty && p.start - merged.last.lastSeen <= gapMs) {
+          val m = merged.last
+          merged(merged.size - 1) = TwsSessionState(m.start,
+            math.max(m.lastSeen, p.lastSeen), m.n + p.n, m.total + p.total)
+        } else merged += p
       }
-      // one live close-timer per key: drop stale ones, arm lastSeen + gap
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(s.lastSeen + gapMs)
-      st.update(s)
-      out.reverseIterator
+      open.put(merged.toArray)
+      rearm(merged.toSeq)
+      Iterator.empty
     }
     override def handleExpiredTimer(key: Long,
                                     tv: org.apache.spark.sql.streaming.TimerValues,
                                     info: org.apache.spark.sql.streaming.ExpiredTimerInfo
-                                   ): Iterator[TwsSession] =
-      if (st.exists() && st.get().lastSeen + gapMs <= info.getExpiryTimeInMs) {
-        val s = st.get(); st.clear()
-        Iterator(close(key, s))
-      } else Iterator.empty
+                                   ): Iterator[TwsSession] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val sessions = if (open.exists()) open.get().toSeq else Seq.empty
+      val (done, still) = sessions.partition(s => s.lastSeen + gapMs <= wm)
+      if (still.isEmpty) open.clear() else open.put(still.toArray)
+      rearm(still)
+      done.sortBy(_.start).map(close(key, _)).iterator
+    }
   }
 
   /** [[TwsSessionProcessor]] wired to a watermarked stream. */

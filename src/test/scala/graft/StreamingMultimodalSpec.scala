@@ -420,6 +420,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS sessions: an out-of-order event within the watermark BRIDGES gap-separated groups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twsbridge").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: 10:00 and 10:35 — 35 min apart with gap 30 min: LOOK like
+    // two sessions, but the 2h watermark delay means a bridging event may
+    // still arrive, so neither may close or freeze
+    Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:35:00"), 2.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val st = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+          .as[Streams.TwsEvent]
+        Streams.runAvailableNow(
+          Streams.sessionizeTws(st, gapMs = 30 * 60 * 1000L,
+            watermarkDelay = "2 hours").toDF(), out, ckpt)
+      }
+      run()
+      // batch 2: the out-of-order bridge at 10:20 (allowed: watermark is
+      // 10:35 - 2h) — the two groups must MERGE, not emit separately
+      Seq((1L, ts("2024-01-01 10:20:00"), 4.0))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+      run()
+      // batch 3: a far-future event pushes the watermark past the merged
+      // session's close point
+      Seq((2L, ts("2024-01-02 09:00:00"), 0.5))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+      run()
+      val got = spark.read.parquet(out)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"total_value")
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 3L, 7.0)),
+        s"bridged session expected, got $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TWS event-time timers: sessions close exactly when the watermark passes lastSeen+gap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_twstimer").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
