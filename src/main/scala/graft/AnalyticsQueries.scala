@@ -389,6 +389,79 @@ object AnalyticsQueries {
         .select($"l_suppkey", $"cnt", $"rank",
           round($"cnt" / $"total", 6).as("share"),
           round($"cum" / $"total", 6).as("cum_share"))
+    }),
+
+    // A21: per-group closed-form OLS (slope / intercept / r²) from the
+    // five algebraic moments — the regression-in-SQL every warehouse
+    // serves without ML machinery: one partial-agg'd groupBy computes
+    // n, Σx, Σy, Σxy, Σx², Σy² and the fit falls out in the projection.
+    // Both engines evaluate the IDENTICAL moment algebra (the oracle
+    // spells out the same formula rather than using DuckDB's regr_*),
+    // so round(4) is stable.
+    "a21_group_ols" -> ((s, dir) => {
+      import s.implicits._
+      val m = t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"l_quantity").as("sx"),
+          sum($"l_extendedprice").as("sy"),
+          sum($"l_quantity" * $"l_extendedprice").as("sxy"),
+          sum($"l_quantity" * $"l_quantity").as("sxx"),
+          sum($"l_extendedprice" * $"l_extendedprice").as("syy"))
+      val cov = $"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n")
+      val vx = $"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n")
+      val vy = $"syy" / $"n" - ($"sy" / $"n") * ($"sy" / $"n")
+      m.select($"l_returnflag", $"n".cast("long").as("n_rows"),
+        round(cov / vx, 4).as("slope"),
+        round($"sy" / $"n" - (cov / vx) * ($"sx" / $"n"), 4).as("intercept"),
+        round(cov * cov / (vx * vy), 6).as("r2"))
+    }),
+
+    // W16: time-weighted average (TWAP) per event type — irregular ticks
+    // weighted by the exact integer-microsecond interval to the NEXT tick
+    // of the same type (last tick carries no forward interval). The
+    // weights are INTEGERS on both engines (parquet nanos: Spark reads
+    // them as a long via nanosAsLong, DuckDB via epoch_ns — verified
+    // equal), so the only float is the value itself; round(4).
+    "w16_twap" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"event_id", $"ts".cast("long").as("ts_ns"), $"value")
+      val w = Window.partitionBy($"event_type").orderBy($"ts_ns", $"event_id")
+      ev.withColumn("nxt", lead($"ts_ns", 1).over(w))
+        .withColumn("dur_us", (($"nxt" - $"ts_ns") / 1000L).cast("long"))
+        .filter($"dur_us".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dur_us").as("total_us"),
+          round(sum($"value" * $"dur_us") / sum($"dur_us"), 4).as("twap"))
+    }),
+
+    // O15: SCD TYPE-2 history build — collapse a per-user event stream
+    // into effective-dated attribute versions (the dim-history shape
+    // every warehouse derives from snapshot/CDC feeds): a change row
+    // starts whenever the attribute differs from its lag; its validity
+    // ends at the next change (null = current). Timestamps are emitted
+    // as integer microseconds (exact on both engines, see w16).
+    "o15_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        // integral `div`, NOT `/`: absolute epoch-ns values (~1.7e18)
+        // exceed double's 2^53 exact-integer range, and Spark's `/`
+        // evaluates in double
+        .select($"user_id", $"event_id",
+          expr("CAST(ts AS BIGINT) div 1000").as("ts_us"), $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val changes = ev
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .filter($"prev".isNull || $"prev" =!= $"event_type")
+      val w2 = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      changes
+        .withColumn("version", row_number().over(w2))
+        .withColumn("effective_to_us", lead($"ts_us", 1).over(w2))
+        .select($"user_id", $"version", $"event_type".as("attr"),
+          $"ts_us".as("effective_from_us"), $"effective_to_us",
+          $"effective_to_us".isNull.as("is_current"))
     })
   )
 
@@ -600,6 +673,54 @@ object AnalyticsQueries {
                   CAST(count(*) AS BIGINT) AS n_k
            FROM wk GROUP BY k)
          SELECT o_orderkey, k, avg_price_k, n_k
-         FROM wk JOIN dim ON k IS NOT DISTINCT FROM k2"""
+         FROM wk JOIN dim ON k IS NOT DISTINCT FROM k2""",
+    "a21_group_ols" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+                  sum(l_quantity * l_extendedprice) AS sxy,
+                  sum(l_quantity * l_quantity) AS sxx,
+                  sum(l_extendedprice * l_extendedprice) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 4) AS slope,
+                round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 4) AS intercept,
+                round((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))
+                      / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))), 6) AS r2
+         FROM m""",
+    "w16_twap" ->
+      """WITH e AS (
+           SELECT event_type, event_id, epoch_ns(ts) AS ts_ns, value
+           FROM events),
+         d AS (
+           SELECT event_type, value,
+                  (lead(ts_ns) OVER (PARTITION BY event_type
+                     ORDER BY ts_ns, event_id) - ts_ns) // 1000 AS dur_us
+           FROM e)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_intervals,
+                CAST(sum(dur_us) AS BIGINT) AS total_us,
+                round(sum(value * dur_us) / sum(dur_us), 4) AS twap
+         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type""",
+    "o15_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+           FROM events),
+         ch AS (
+           SELECT user_id, event_id, ts_us, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS prev
+           FROM e)
+         SELECT user_id,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS INT) AS version,
+                event_type AS attr,
+                ts_us AS effective_from_us,
+                lead(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS effective_to_us,
+                lead(ts_us) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM ch WHERE prev IS NULL OR prev <> event_type"""
   )
 }
