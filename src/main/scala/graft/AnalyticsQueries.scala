@@ -391,50 +391,56 @@ object AnalyticsQueries {
           round($"cum" / $"total", 6).as("cum_share"))
     }),
 
-    // A21: per-group closed-form OLS (slope / intercept / r²) from the
-    // five algebraic moments — the regression-in-SQL every warehouse
-    // serves without ML machinery: one partial-agg'd groupBy computes
-    // n, Σx, Σy, Σxy, Σx², Σy² and the fit falls out in the projection.
-    // Both engines evaluate the IDENTICAL moment algebra (the oracle
-    // spells out the same formula rather than using DuckDB's regr_*),
-    // so round(4) is stable.
+    // A21: per-group closed-form OLS (slope / intercept / r²) — the
+    // regression-in-SQL every warehouse serves without ML machinery.
+    // TWO-PASS CENTERED moments, not the one-pass raw-moment identity:
+    // `Σxy/n − x̄·ȳ` subtracts near-equal large moments, so any
+    // accumulation-order ulp (Spark partial-agg vs DuckDB) is AMPLIFIED
+    // by the cancellation and can flip a round(4) boundary. Centered
+    // sums Σ(x−x̄)(y−ȳ) have no cancellation (relative error stays
+    // ~1e-15 regardless of data magnitude), and the result is smooth in
+    // x̄ itself, so sub-ulp mean differences can't move it. Cost: a
+    // second scan plus a BROADCAST of the |groups|-row means table —
+    // the robust default for a gate query; use the one-pass form only
+    // when a second scan is genuinely unaffordable. Both engines
+    // evaluate the identical centered algebra (the oracle spells it out
+    // rather than using DuckDB's regr_*).
     "a21_group_ols" -> ((s, dir) => {
       import s.implicits._
-      val m = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      val means = li.groupBy($"l_returnflag")
+        .agg(avg($"x").as("mx"), avg($"y").as("my"), count(lit(1)).as("n"))
+      li.join(broadcast(means), "l_returnflag")
         .groupBy($"l_returnflag")
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum($"l_quantity").as("sx"),
-          sum($"l_extendedprice").as("sy"),
-          sum($"l_quantity" * $"l_extendedprice").as("sxy"),
-          sum($"l_quantity" * $"l_quantity").as("sxx"),
-          sum($"l_extendedprice" * $"l_extendedprice").as("syy"))
-      val cov = $"sxy" / $"n" - ($"sx" / $"n") * ($"sy" / $"n")
-      val vx = $"sxx" / $"n" - ($"sx" / $"n") * ($"sx" / $"n")
-      val vy = $"syy" / $"n" - ($"sy" / $"n") * ($"sy" / $"n")
-      m.select($"l_returnflag", $"n".cast("long").as("n_rows"),
-        round(cov / vx, 4).as("slope"),
-        round($"sy" / $"n" - (cov / vx) * ($"sx" / $"n"), 4).as("intercept"),
-        round(cov * cov / (vx * vy), 6).as("r2"))
+        .agg(first($"n").as("n"), first($"mx").as("mx"), first($"my").as("my"),
+          sum(($"x" - $"mx") * ($"y" - $"my")).as("sxy"),
+          sum(($"x" - $"mx") * ($"x" - $"mx")).as("sxx"),
+          sum(($"y" - $"my") * ($"y" - $"my")).as("syy"))
+        .select($"l_returnflag", $"n".as("n_rows"),
+          round($"sxy" / $"sxx", 4).as("slope"),
+          round($"my" - ($"sxy" / $"sxx") * $"mx", 4).as("intercept"),
+          round($"sxy" * $"sxy" / ($"sxx" * $"syy"), 6).as("r2"))
     }),
 
     // W16: time-weighted average (TWAP) per event type — irregular ticks
     // weighted by the exact integer-microsecond interval to the NEXT tick
     // of the same type (last tick carries no forward interval). The
-    // weights are INTEGERS on both engines (parquet nanos: Spark reads
-    // them as a long via nanosAsLong, DuckDB via epoch_ns — verified
-    // equal), so the only float is the value itself; round(4).
+    // weights are INTEGERS on both engines: Tables.t normalizes events.ts
+    // to an epoch-NANOS long at the read point (Tables.scala:20-48; the
+    // DuckDB twin reads the same value via epoch_ns), and the µs interval
+    // is integral `div` — never double `/`, which loses exactness past
+    // 2^53 ns — so the only float is the value itself; round(4). Built on
+    // Temporal.timeWeightedAvgExact (the audited-TWAP form of w15's
+    // Temporal.timeWeightedAvg: same single-window shape, exact integral
+    // durations plus interval-count/total-duration audit columns).
     "w16_twap" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events")
-        .select($"event_type", $"event_id", $"ts".cast("long").as("ts_ns"), $"value")
-      val w = Window.partitionBy($"event_type").orderBy($"ts_ns", $"event_id")
-      ev.withColumn("nxt", lead($"ts_ns", 1).over(w))
-        .withColumn("dur_us", (($"nxt" - $"ts_ns") / 1000L).cast("long"))
-        .filter($"dur_us".isNotNull)
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_intervals"),
-          sum($"dur_us").as("total_us"),
-          round(sum($"value" * $"dur_us") / sum($"dur_us"), 4).as("twap"))
+        .select($"event_type", $"event_id", $"ts".as("ts_ns"), $"value")
+      graft.operators.Temporal.timeWeightedAvgExact(ev, Seq("event_type"),
+          "ts_ns", "value", tieCols = Seq("event_id"), durDiv = 1000L)
+        .withColumnRenamed("total_dur", "total_us")
     }),
 
     // O15: SCD TYPE-2 history build — collapse a per-user event stream
@@ -451,17 +457,23 @@ object AnalyticsQueries {
         // evaluates in double
         .select($"user_id", $"event_id",
           expr("CAST(ts AS BIGINT) div 1000").as("ts_us"), $"event_type")
+      // Change detection + validity ranges come from Relational.scd2 —
+      // the spec-pinned operator (RelationalSpec "scd2 collapses...") with
+      // NULL-SAFE comparison semantics: lag() returns NULL both for "no
+      // previous row" and "previous attr was NULL", so plain <> would
+      // silently drop X→NULL transitions while versioning every row of a
+      // NULL run; scd2 disambiguates via a lag-over-constant first-row
+      // probe + <=> . This query only adds the per-key version number
+      // (same window spec = same single exchange/sort) and the warehouse
+      // column names.
       val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      val changes = ev
-        .withColumn("prev", lag($"event_type", 1).over(w))
-        .filter($"prev".isNull || $"prev" =!= $"event_type")
-      val w2 = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      changes
-        .withColumn("version", row_number().over(w2))
-        .withColumn("effective_to_us", lead($"ts_us", 1).over(w2))
+      graft.operators.Relational
+        .scd2(ev, keyCols = Seq("user_id"),
+          orderCols = Seq("ts_us", "event_id"), trackCols = Seq("event_type"))
+        .withColumn("version", row_number().over(w))
         .select($"user_id", $"version", $"event_type".as("attr"),
-          $"ts_us".as("effective_from_us"), $"effective_to_us",
-          $"effective_to_us".isNull.as("is_current"))
+          $"valid_from".as("effective_from_us"),
+          $"valid_to".as("effective_to_us"), $"is_current")
     })
   )
 
@@ -676,19 +688,22 @@ object AnalyticsQueries {
          FROM wk JOIN dim ON k IS NOT DISTINCT FROM k2""",
     "a21_group_ols" ->
       """WITH m AS (
-           SELECT l_returnflag,
-                  CAST(count(*) AS DOUBLE) AS n,
-                  sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
-                  sum(l_quantity * l_extendedprice) AS sxy,
-                  sum(l_quantity * l_quantity) AS sxx,
-                  sum(l_extendedprice * l_extendedprice) AS syy
-           FROM lineitem GROUP BY l_returnflag)
+           SELECT l_returnflag, avg(l_quantity) AS mx,
+                  avg(l_extendedprice) AS my, count(*) AS n
+           FROM lineitem GROUP BY l_returnflag),
+         c AS (
+           SELECT l.l_returnflag,
+                  any_value(m.n) AS n, any_value(m.mx) AS mx, any_value(m.my) AS my,
+                  sum((l_quantity - m.mx) * (l_extendedprice - m.my)) AS sxy,
+                  sum((l_quantity - m.mx) * (l_quantity - m.mx)) AS sxx,
+                  sum((l_extendedprice - m.my) * (l_extendedprice - m.my)) AS syy
+           FROM lineitem l JOIN m USING (l_returnflag)
+           GROUP BY l.l_returnflag)
          SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-                round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 4) AS slope,
-                round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 4) AS intercept,
-                round((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))
-                      / ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))), 6) AS r2
-         FROM m""",
+                round(sxy / sxx, 4) AS slope,
+                round(my - (sxy / sxx) * mx, 4) AS intercept,
+                round(sxy * sxy / (sxx * syy), 6) AS r2
+         FROM c""",
     "w16_twap" ->
       """WITH e AS (
            SELECT event_type, event_id, epoch_ns(ts) AS ts_ns, value
@@ -702,7 +717,8 @@ object AnalyticsQueries {
                 CAST(count(*) AS BIGINT) AS n_intervals,
                 CAST(sum(dur_us) AS BIGINT) AS total_us,
                 round(sum(value * dur_us) / sum(dur_us), 4) AS twap
-         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type""",
+         FROM d WHERE dur_us IS NOT NULL GROUP BY event_type
+         HAVING sum(dur_us) > 0""",
     "o15_scd2_history" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
@@ -710,7 +726,9 @@ object AnalyticsQueries {
          ch AS (
            SELECT user_id, event_id, ts_us, event_type,
                   lag(event_type) OVER (PARTITION BY user_id
-                    ORDER BY ts_us, event_id) AS prev
+                    ORDER BY ts_us, event_id) AS prev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS rn
            FROM e)
          SELECT user_id,
                 CAST(row_number() OVER (PARTITION BY user_id
@@ -721,6 +739,6 @@ object AnalyticsQueries {
                   ORDER BY ts_us, event_id) AS effective_to_us,
                 lead(ts_us) OVER (PARTITION BY user_id
                   ORDER BY ts_us, event_id) IS NULL AS is_current
-         FROM ch WHERE prev IS NULL OR prev <> event_type"""
+         FROM ch WHERE rn = 1 OR prev IS DISTINCT FROM event_type"""
   )
 }

@@ -151,17 +151,51 @@ object Temporal {
     * deterministically.
     */
   def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String,
-                      valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
-    df.withColumn("__dur",
-        (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("double"))
-      .filter(col("__dur").isNotNull)
+                      valueCol: String, tieCols: Seq[String] = Nil): DataFrame =
+    withHoldingDur(df, keys, tsCol, tieCols)(
+        (col("__nxt") - col(tsCol)).cast("double"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol) * col("__dur")).as("__num"),
         sum(col("__dur")).as("__den"))
       .filter(col("__den") > 0)
       .select(keys.map(col) :+ round(col("__num") / col("__den"), 6).as("twap"): _*)
+
+  /** [[timeWeightedAvg]] with EXACT integer durations: the ts column must be
+    * an integral epoch value, and each holding duration is `(next - ts) div
+    * durDiv` in integral arithmetic — never double, so the weights and their
+    * sum are bit-exact at any magnitude (`/` on longs evaluates in double
+    * and loses integer exactness past 2^53 ≈ 104 days of nanos). Emits the
+    * audit columns a warehouse TWAP serves alongside the average: interval
+    * count and exact total duration. Same single-shuffle window + partial-agg
+    * shape as [[timeWeightedAvg]]; zero-total-duration keys are dropped, not
+    * 0/0.
+    */
+  def timeWeightedAvgExact(df: DataFrame, keys: Seq[String], tsCol: String,
+                           valueCol: String, tieCols: Seq[String] = Nil,
+                           durDiv: Long = 1L, scale: Int = 4): DataFrame =
+    withHoldingDur(df, keys, tsCol, tieCols)(
+        expr(s"(__nxt - `$tsCol`) div $durDiv"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("total_dur"),
+        round(sum(col(valueCol) * col("__dur")) / sum(col("__dur")), scale)
+          .as("twap"))
+      .filter(col("total_dur") > 0)
+
+  /** Shared TWAP-core: holding duration of each observation = the gap to
+    * the key's NEXT observation (`durExpr` may reference the lead-ts as
+    * `__nxt`); open-ended final observations (NULL duration) are dropped.
+    * One window = one exchange on the key columns.
+    */
+  private def withHoldingDur(df: DataFrame, keys: Seq[String], tsCol: String,
+                             tieCols: Seq[String])
+                            (durExpr: => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+    df.withColumn("__nxt", lead(col(tsCol), 1).over(w))
+      .withColumn("__dur", durExpr)
+      .filter(col("__dur").isNotNull)
+      .drop("__nxt")
   }
 }

@@ -104,6 +104,26 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set(("a", "ok")))
   }
 
+  test("timeWeightedAvgExact: integral durations exact past 2^53, zero-duration keys dropped") {
+    // Key "big": epoch-ns gaps beyond double's 2^53 exact-integer range —
+    // double `/` would mis-round the µs weight by ±1; integral `div` must
+    // not. Gap 1 = 2^53+1001 ns (9007199254741992 ÷ 1000 = 9007199254741 µs
+    // + r, div truncates to 9007199254741), gap 2 = 1000 ns = 1 µs.
+    // Key "zero": both ticks share one ts → total duration 0 → dropped.
+    val big1 = 9007199254741992L // 2^53 + 1000
+    val ticks = Seq(
+      ("big", 0L, 10.0), ("big", big1, 20.0), ("big", big1 + 1000L, 99.0),
+      ("zero", 5L, 1.0), ("zero", 5L, 2.0))
+      .toDF("k", "ts", "v")
+    val got = Temporal.timeWeightedAvgExact(ticks, Seq("k"), "ts", "v",
+        tieCols = Seq("v"), durDiv = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val d1 = big1 / 1000L // exact integral µs
+    val expTwap = BigDecimal((10.0 * d1 + 20.0 * 1L) / (d1 + 1L))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("big", 2L, d1 + 1L, expTwap)))
+  }
+
   test("rangeJoinBucketed: point-in-interval matches across bin sizes") {
     val sessions = Seq(
       ("u1", 100L, 200L, "s1"), ("u1", 200L, 300L, "s2"), ("u2", 0L, 1000L, "s3"))
