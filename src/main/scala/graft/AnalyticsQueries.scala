@@ -443,6 +443,65 @@ object AnalyticsQueries {
         .withColumnRenamed("total_dur", "total_us")
     }),
 
+    // K9: data-contract expectation checks — the reference's declared dbt
+    // test vocabulary (unique / not_null / accepted_values / relationships,
+    // aave_dbt/models/datamart/schema.yml:6-11, shipped there as comments)
+    // plus dbt-utils accepted_range, evaluated at runtime by
+    // Quality.expect: the three scalar rules share ONE scan (a single
+    // conditional-count aggregate), unique adds one key-bounded groupBy,
+    // relationships one broadcast anti-join against the dim's keys. The
+    // oracle recomputes every count independently in SQL.
+    "k9_expectation_checks" -> ((s, dir) => {
+      import graft.functions.Quality
+      val li = t(s, dir, "lineitem")
+      Quality.expect(li, Seq(
+        Quality.NotNull("l_orderkey"),
+        Quality.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Quality.InRange("l_quantity", 1, 50),
+        Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+        Quality.References(Seq("l_orderkey"),
+          () => t(s, dir, "orders"), Seq("o_orderkey"))))
+    }),
+
+    // O16: keyed snapshot reconciliation — rebuild the per-(user, day)
+    // activity rollup from events up to a mid-corpus cutoff, diff it
+    // against the full rebuild (Relational.snapshotDiff: one full-outer
+    // join on the key), and publish the report every warehouse rebuild
+    // ships: per diff-status key counts with per-column change
+    // attribution. The (user, day) grain exercises three branches in one
+    // corpus: days fully before the cutoff are byte-identical in both
+    // snapshots (`unchanged`), the day straddling the cutoff gains late
+    // events (`changed`), days after exist only in the rebuild (`added`);
+    // `removed` can't occur on an append-only log — RelationalSpec pins
+    // that branch. Compare columns are EXACT integer aggregates (count,
+    // max id) — a double sum would make the changed/unchanged boundary
+    // hinge on accumulation-order ulps and flake the cross-engine hash.
+    // The cutoff is (min+max) div 2 of the integer-µs event time.
+    "o16_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id",
+          expr("CAST(ts AS BIGINT) div 1000").as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      // snap the raw midpoint to NOON of its day: a cutoff near a day
+      // boundary would leave the straddling day's "before" side empty and
+      // the changed branch unexercised
+      val mid = ev.agg(expr(
+        "((min(ts_us) + max(ts_us)) div 2 div 86400000000) * 86400000000" +
+          " + 43200000000").as("mid"))
+      val rollup = (d: DataFrame) => d.groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n_events"), max($"event_id").as("last_event_id"))
+      val before = rollup(ev.crossJoin(broadcast(mid)).filter($"ts_us" <= $"mid"))
+      val after = rollup(ev)
+      Relational.snapshotDiff(before, after, Seq("user_id", "day"),
+          Seq("n_events", "last_event_id"))
+        .groupBy($"diff_status")
+        .agg(count(lit(1)).as("n_keys"),
+          count(when($"chg_n_events", 1)).as("n_chg_n_events"),
+          count(when($"chg_last_event_id", 1)).as("n_chg_last_event_id"))
+    }),
+
     // O15: SCD TYPE-2 history build — collapse a per-user event stream
     // into effective-dated attribute versions (the dim-history shape
     // every warehouse derives from snapshot/CDC feeds): a change row
@@ -704,6 +763,73 @@ object AnalyticsQueries {
                 round(my - (sxy / sxx) * mx, 4) AS intercept,
                 round(sxy * sxy / (sxx * syy), 6) AS r2
          FROM c""",
+    "k9_expectation_checks" ->
+      """SELECT 'not_null(l_orderkey)' AS rule,
+                CAST(count(*) AS BIGINT) AS n_checked,
+                CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+                count(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0 AS passed
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values(l_returnflag)',
+                CAST(count(l_returnflag) AS BIGINT),
+                CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT),
+                count(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A','N','R') THEN 1 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_range(l_quantity)',
+                CAST(count(l_quantity) AS BIGINT),
+                CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT),
+                count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique(l_orderkey,l_linenumber)',
+                CAST(count(*) AS BIGINT),
+                CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
+                count(CASE WHEN n > 1 THEN 1 END) = 0
+         FROM (SELECT count(*) AS n FROM lineitem
+               GROUP BY l_orderkey, l_linenumber)
+         UNION ALL
+         SELECT 'relationships(l_orderkey)',
+                CAST(count(*) AS BIGINT),
+                CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT),
+                count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0
+         FROM (SELECT o.o_orderkey FROM lineitem l
+               LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+               WHERE l.l_orderkey IS NOT NULL)""",
+    "o16_snapshot_diff" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                  event_type, value
+           FROM events),
+         m AS (SELECT ((min(ts_us) + max(ts_us)) // 2 // 86400000000)
+                        * 86400000000 + 43200000000 AS mid FROM e),
+         bf AS (
+           SELECT user_id, ts_us // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  max(event_id) AS last_event_id
+           FROM e, m WHERE ts_us <= mid GROUP BY 1, 2),
+         af AS (
+           SELECT user_id, ts_us // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  max(event_id) AS last_event_id
+           FROM e GROUP BY 1, 2),
+         d AS (
+           SELECT CASE WHEN bf.user_id IS NULL THEN 'added'
+                       WHEN af.user_id IS NULL THEN 'removed'
+                       WHEN bf.n_events IS DISTINCT FROM af.n_events
+                         OR bf.last_event_id IS DISTINCT FROM af.last_event_id
+                       THEN 'changed'
+                       ELSE 'unchanged' END AS diff_status,
+                  bf.n_events IS DISTINCT FROM af.n_events AS cn,
+                  bf.last_event_id IS DISTINCT FROM af.last_event_id AS cl
+           FROM bf FULL JOIN af ON bf.user_id = af.user_id
+             AND bf.day = af.day)
+         SELECT diff_status, CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(count(CASE WHEN diff_status = 'changed' AND cn THEN 1 END) AS BIGINT) AS n_chg_n_events,
+                CAST(count(CASE WHEN diff_status = 'changed' AND cl THEN 1 END) AS BIGINT) AS n_chg_last_event_id
+         FROM d GROUP BY diff_status""",
     "w16_twap" ->
       """WITH e AS (
            SELECT event_type, event_id, epoch_ns(ts) AS ts_ns, value

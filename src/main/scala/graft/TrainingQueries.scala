@@ -894,6 +894,47 @@ object TrainingQueries {
             .as("fp_rate_ok"))
     }),
 
+    // T23: leakage-safe train/val/test split — assignment is a pure
+    // function of the exact-dedup GROUP (Text.fingerprintMd5 of the
+    // normalized text), not the doc, so duplicate documents can never
+    // straddle train and eval (the group key is pluggable: feed d6's
+    // near-dup cluster id for the stronger guarantee). 80/10/10 via
+    // Text.deterministicSplit's md5-bucket cuts — reproducible across
+    // runs, engines, partitionings, and corpus growth (a doc's split
+    // never changes when new docs arrive). Map-side split label + one
+    // groupBy; the oracle recomputes the same buckets in SQL.
+    "t23_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("grp", Text.fingerprintMd5($"text"))
+        .withColumn("split", Text.deterministicSplit($"grp",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"grp").as("n_groups"))
+    }),
+
+    // T24: distribution drift between corpus snapshots — per-language
+    // Population Stability Index (Stats.psiByCategory) comparing the
+    // even-doc_id half (reference mix) against the odd half (candidate
+    // batch): the monitor a production ingestion pipeline runs on every
+    // batch before it joins the training mix. Two map-side-combined
+    // groupBys collapse both corpora to |languages| rows; all share/PSI
+    // arithmetic runs on that tiny table (Jeffreys 0.5 smoothing keeps
+    // ln finite when a language appears on only one side). Deterministic:
+    // identical double algebra on both engines, round(6/8).
+    "t24_distribution_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.functions.Stats.psiByCategory(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 =!= 0), "lang")
+        .select($"lang", $"n_ref", $"n_cand",
+          round($"share_ref", 6).as("share_ref"),
+          round($"share_cand", 6).as("share_cand"),
+          round($"psi_contrib", 8).as("psi_contrib"))
+    }),
+
     // T12: unigram-LM scoring — the perplexity-proxy quality filter: score
     // each doc by its average per-word log-probability under the corpus's
     // own unigram model. Two aggregations (build the LM, score the docs)
@@ -2334,6 +2375,38 @@ object TrainingQueries {
     "t4_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""",
+    "t23_leakage_safe_split" ->
+      """WITH g AS (
+           SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g'))) AS grp
+           FROM documents),
+         s AS (
+           SELECT grp,
+                  CASE WHEN substr(md5(grp), 1, 4) < 'cccd' THEN 'train'
+                       WHEN substr(md5(grp), 1, 4) < 'e666' THEN 'val'
+                       ELSE 'test' END AS split
+           FROM g)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+         FROM s GROUP BY split""",
+    "t24_distribution_drift" ->
+      """WITH r AS (SELECT lang, count(*) AS n_ref FROM documents
+                    WHERE doc_id % 2 = 0 GROUP BY lang),
+         c AS (SELECT lang, count(*) AS n_cand FROM documents
+               WHERE doc_id % 2 <> 0 GROUP BY lang),
+         j AS (SELECT coalesce(r.lang, c.lang) AS lang,
+                      CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                      CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand
+               FROM r FULL JOIN c ON r.lang = c.lang),
+         t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                      CAST(sum(n_cand) AS DOUBLE) AS tc,
+                      CAST(count(*) AS DOUBLE) AS k
+               FROM j)
+         SELECT lang, n_ref, n_cand,
+                round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS share_ref,
+                round((n_cand + 0.5) / (tc + 0.5 * k), 6) AS share_cand,
+                round(((n_cand + 0.5) / (tc + 0.5 * k) - (n_ref + 0.5) / (tr + 0.5 * k))
+                      * ln(((n_cand + 0.5) / (tc + 0.5 * k)) / ((n_ref + 0.5) / (tr + 0.5 * k))), 8) AS psi_contrib
+         FROM j, t""",
     "t5_sequence_pack" ->
       """WITH d AS (
            SELECT doc_id, lang,

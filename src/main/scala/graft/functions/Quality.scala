@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-contract expectation checks — the runtime form of the reference's
+  * declared (dbt) test surface: `unique`, `not_null`, `accepted_values`,
+  * `relationships` (aave_dbt/models/datamart/schema.yml declares these as
+  * the schema-test vocabulary; the reference ships them as descriptions,
+  * this engine runs them), plus the dbt-utils `accepted_range` everyone
+  * adds in practice. A contract is a list of [[Quality.Rule]]s; [[expect]]
+  * evaluates all of them and returns one summary row per rule —
+  * `(rule, n_checked, n_violations, passed)` — the table a warehouse gate
+  * job writes next to every asset.
+  *
+  * Scale shape: all SCALAR rules (not-null / accepted-values / range) fold
+  * into ONE conditional-sum aggregate = a single scan with map-side
+  * partials, regardless of how many such rules the contract carries.
+  * Each `Unique` adds one groupBy on its key (a shuffle bounded by key
+  * cardinality after partial aggregation); each `References` adds one
+  * join against the dim's distinct keys (broadcast when the dim is
+  * dim-sized, which relationship targets are by definition). Violation
+  * counts, not violating rows: the summary is O(rules), safe to collect,
+  * and a follow-up query filtered by the failing rule retrieves examples.
+  */
+object Quality {
+
+  sealed trait Rule { def name: String }
+
+  /** dbt `not_null`: column must have no NULLs. */
+  final case class NotNull(column: String) extends Rule {
+    def name: String = s"not_null($column)"
+  }
+
+  /** dbt `accepted_values`: non-null values must be in `values`
+    * (NULLs are not violations here — pair with [[NotNull]] to forbid
+    * them, exactly like dbt composes the two tests). */
+  final case class AcceptedValues(column: String, values: Seq[String]) extends Rule {
+    def name: String = s"accepted_values($column)"
+  }
+
+  /** dbt-utils `accepted_range` (inclusive): non-null values must lie in
+    * [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    def name: String = s"accepted_range($column)"
+  }
+
+  /** dbt `unique` (composite form): no key may occur more than once.
+    * `n_violations` = number of DISTINCT duplicated keys (dbt's grouped
+    * convention), `n_checked` = distinct keys. */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def name: String = s"unique(${columns.mkString(",")})"
+  }
+
+  /** dbt `relationships`: every non-null child key must exist in the
+    * parent's key set. `dim` is evaluated lazily so contracts can be
+    * declared before sessions exist. */
+  final case class References(columns: Seq[String], dim: () => DataFrame,
+                              dimColumns: Seq[String]) extends Rule {
+    require(columns.length == dimColumns.length,
+      "child/parent key lists must align")
+    def name: String = s"relationships(${columns.mkString(",")})"
+  }
+
+  /** Evaluate `rules` against `df`; returns `(rule, n_checked,
+    * n_violations, passed)` with one row per rule, in the declared rule
+    * order (`rule_idx` column drives deterministic ordering). */
+  def expect(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "contract must declare at least one rule")
+
+    val scalarRules: Seq[(Int, Rule, Column, Column)] = rules.zipWithIndex.collect {
+      case (r @ NotNull(c), i) =>
+        (i, r: Rule, count(lit(1)), count(when(col(c).isNull, 1)))
+      case (r @ AcceptedValues(c, vs), i) =>
+        (i, r: Rule, count(col(c)),
+          count(when(col(c).isNotNull && !col(c).isin(vs: _*), 1)))
+      case (r @ InRange(c, lo, hi), i) =>
+        (i, r: Rule, count(col(c)),
+          count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1)))
+    }
+
+    val scalarSummary: Option[DataFrame] =
+      if (scalarRules.isEmpty) None
+      else {
+        // one scan for every scalar rule: 2 conditional counts per rule in
+        // a single agg, then unpivot the one-row result into rule rows
+        val aggs = scalarRules.flatMap { case (i, _, chk, vio) =>
+          Seq(chk.as(s"__c$i"), vio.as(s"__v$i"))
+        }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        val rows = scalarRules.map { case (i, r, _, _) =>
+          struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+            col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
+        }
+        Some(one.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      }
+
+    val groupedSummaries: Seq[DataFrame] = rules.zipWithIndex.collect {
+      case (r @ Unique(cols), i) =>
+        df.groupBy(cols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+            count(lit(1)).as("n_checked"),
+            count(when(col("__n") > 1, 1)).as("n_violations"))
+      case (r @ References(cols, dim, dimCols), i) =>
+        val parent = broadcast(
+          dim().select(dimCols.map(col): _*).toDF(cols: _*).distinct())
+        val child = df.select(cols.map(col): _*)
+          .na.drop("any") // dbt relationships: NULL child keys are skipped
+        child.join(parent, cols, "left_anti")
+          .agg(count(lit(1)).as("__orphans"))
+          .crossJoin(child.agg(count(lit(1)).as("__n")))
+          .select(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+            col("__n").as("n_checked"), col("__orphans").as("n_violations"))
+    }
+
+    (scalarSummary.toSeq ++ groupedSummaries)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule_idx")
+      .drop("rule_idx")
+  }
+}

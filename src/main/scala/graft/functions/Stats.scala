@@ -103,4 +103,42 @@ object Stats {
           .otherwise(abs(col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))))
       .withColumn("is_outlier", coalesce(col("robust_z") > k, lit(false)))
   }
+
+  /** Population Stability Index per category — the drift monitor a
+    * production data pipeline runs between a reference corpus snapshot
+    * and each new candidate batch (per-language mix shift, source-domain
+    * shift, quality-bucket shift): PSI = Σ_cat (p_cand − p_ref) ·
+    * ln(p_cand / p_ref), with the conventional reading ≤ 0.1 stable /
+    * 0.1–0.25 drifting / > 0.25 shifted. Returns one row per category in
+    * either side — `(cat, n_ref, n_cand, share_ref, share_cand,
+    * psi_contrib)` — so the report attributes the total to categories;
+    * sum `psi_contrib` for the headline number.
+    *
+    * Additive smoothing (`smooth`, default 0.5 — Jeffreys) keeps the log
+    * finite when a category appears on only one side: shares are
+    * (n + smooth) / (N + smooth·K) over the K categories of the UNION.
+    * Shape: two map-side-combined groupBys collapse both corpora to
+    * K-row tables; the join and share arithmetic run on K rows. Nothing
+    * here ever shuffles the fact tables beyond the two aggregates.
+    */
+  def psiByCategory(ref: org.apache.spark.sql.DataFrame,
+                    cand: org.apache.spark.sql.DataFrame,
+                    catCol: String, smooth: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(smooth > 0, "smoothing must be positive (zero reintroduces ln(0))")
+    val r = ref.groupBy(col(catCol)).agg(count(lit(1)).as("n_ref"))
+    val c = cand.groupBy(col(catCol)).agg(count(lit(1)).as("n_cand"))
+    val joined = r.join(c, Seq(catCol), "full")
+      .select(col(catCol), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+    val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cand").as("__tc"),
+      count(lit(1)).as("__k"))
+    val sm = lit(smooth)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("share_ref", (col("n_ref") + sm) / (col("__tr") + sm * col("__k")))
+      .withColumn("share_cand", (col("n_cand") + sm) / (col("__tc") + sm * col("__k")))
+      .withColumn("psi_contrib",
+        (col("share_cand") - col("share_ref")) * log(col("share_cand") / col("share_ref")))
+      .drop("__tr", "__tc", "__k")
+  }
 }

@@ -296,6 +296,31 @@ object Text {
     }
   }
 
+  /** Deterministic weighted split assignment — the train/val/test splitter
+    * of a training-data pipeline, as a pure function of a GROUP key rather
+    * than the row: every row sharing `groupKey` lands in the same split,
+    * which is what makes the split LEAKAGE-SAFE (near-duplicate documents
+    * must not straddle train and eval — group by a dedup fingerprint or
+    * cluster id and the guarantee is structural, not statistical).
+    * `fracs` are (label, fraction) in declared order, summing to 1;
+    * assignment is by md5 bucket of the key's string form (same 4-hex
+    * space as [[hashSampleFilter]]), so it is reproducible across runs,
+    * engines, partitionings, and incremental re-runs — a doc's split
+    * never changes when the corpus grows. */
+  def deterministicSplit(groupKey: Column, fracs: Seq[(String, Double)]): Column = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = substring(md5(groupKey.cast("string")), 1, 4)
+    // 65535 clamp: a cut of 65536 would format as 5-char "10000" and break
+    // the 4-hex lexicographic compare (same guard as hashSampleCapFilter)
+    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail.dropRight(1)
+      .map(f => f"${math.min(65535L, math.round(65536.0 * f))}%04x")
+    // chained when: bucket < cut1 -> label1, < cut2 -> label2, ..., else last
+    cuts.zip(fracs.map(_._1)).foldRight(lit(fracs.last._1)) {
+      case ((cut, label), rest) => when(bucket < lit(cut), label).otherwise(rest)
+    }
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget packs
     * per group (the LLM-training step that concatenates documents into
     * context windows). Documents are walked in `orderCol` order; a doc

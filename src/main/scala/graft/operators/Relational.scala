@@ -243,4 +243,41 @@ object Relational {
     base.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(survivors)
   }
+
+  /** Keyed snapshot reconciliation — the diff report every warehouse
+    * publishes when a table is rebuilt or re-ingested: classify each key
+    * as `added` (only in `after`), `removed` (only in `before`),
+    * `changed` (present in both, any `compareCols` value differs,
+    * null-safely) or `unchanged`. Returns per-key rows `(keys...,
+    * diff_status)` plus, for `changed` keys, one `chg_<col>` boolean per
+    * compared column — the per-column attribution a reconciliation
+    * report needs ("which columns drifted?").
+    *
+    * One full-outer join on the key columns = one co-partitioned shuffle
+    * of both snapshots; compare columns evaluate in the joined
+    * projection (no second pass). At 100 TB, bucket both snapshots by
+    * the key to make the shuffle a zipper merge.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_b", lit(1))
+      .toDF(keys ++ compareCols.map("__b_" + _) ++ Seq("__in_b"): _*)
+    val a = after.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__in_a", lit(1))
+      .toDF(keys ++ compareCols.map("__a_" + _) ++ Seq("__in_a"): _*)
+    val joined = b.join(a, keys, "full")
+    val anyChanged = compareCols
+      .map(c => !(col("__b_" + c) <=> col("__a_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val status = when(col("__in_b").isNull, "added")
+      .when(col("__in_a").isNull, "removed")
+      .when(anyChanged, "changed")
+      .otherwise("unchanged")
+    val chgCols = compareCols.map { c =>
+      when(status === "changed", !(col("__b_" + c) <=> col("__a_" + c)))
+        .as(s"chg_$c")
+    }
+    joined.select(keys.map(col) ++ Seq(status.as("diff_status")) ++ chgCols: _*)
+  }
 }

@@ -172,6 +172,62 @@ class TextSpec extends SparkSpec {
     assert(kept.size > 150 && kept.size < 350, s"got ${kept.size} of 2000")
   }
 
+  test("deterministicSplit: group-coherent, ~declared fractions, stable under growth") {
+    val docs = (1L to 4000L).map(i => (i, s"grp${i % 1000}")).toDF("id", "grp")
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val split = docs.withColumn("s", Text.deterministicSplit($"grp", fracs))
+    // leakage-safety is structural: every group maps to exactly one split
+    val perGroup = split.groupBy($"grp")
+      .agg(countDistinct($"s").as("n")).agg(max($"n")).as[Long].head()
+    assert(perGroup == 1L)
+    // fractions land near declared (md5 is uniform; 1000 groups, ±5% abs)
+    val shares = split.groupBy($"s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 4000.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.05, shares.toString)
+    assert(math.abs(shares("val") - 0.1) < 0.05, shares.toString)
+    // growth-stability: a doc's split never changes when the corpus doubles
+    val first = split.filter($"id" <= 2000).select($"id", $"s")
+    val rerun = docs.filter($"id" <= 2000)
+      .withColumn("s2", Text.deterministicSplit($"grp", fracs))
+    assert(first.join(rerun, "id").filter($"s" =!= $"s2").count() == 0)
+  }
+
+  test("deterministicSplit rejects bad fractions") {
+    assertThrows[IllegalArgumentException](
+      Text.deterministicSplit($"g", Seq(("a", 0.5), ("b", 0.4))))
+    assertThrows[IllegalArgumentException](
+      Text.deterministicSplit($"g", Seq(("a", 1.5), ("b", -0.5))))
+  }
+
+  test("psiByCategory: identical mixes give ~0, a known shift gives the closed form") {
+    import graft.functions.Stats
+    val ref = Seq.fill(60)("en").map(Tuple1(_)).toDF("lang")
+      .union(Seq.fill(40)("fr").map(Tuple1(_)).toDF("lang"))
+    val same = Stats.psiByCategory(ref, ref, "lang")
+      .agg(sum(abs(col("psi_contrib")))).as[Double].head()
+    assert(same < 1e-12, s"identical mixes must give PSI 0, got $same")
+    // shifted candidate: en 80 / fr 20 vs ref 60/40 — closed-form check
+    val cand = Seq.fill(80)("en").map(Tuple1(_)).toDF("lang")
+      .union(Seq.fill(20)("fr").map(Tuple1(_)).toDF("lang"))
+    val got = Stats.psiByCategory(ref, cand, "lang")
+      .select(col("lang"), col("psi_contrib")).as[(String, Double)]
+      .collect().toMap
+    def share(n: Long) = (n + 0.5) / (100.0 + 0.5 * 2)
+    def contrib(r: Long, c: Long) =
+      (share(c) - share(r)) * math.log(share(c) / share(r))
+    assert(math.abs(got("en") - contrib(60, 80)) < 1e-12)
+    assert(math.abs(got("fr") - contrib(40, 20)) < 1e-12)
+  }
+
+  test("psiByCategory: one-sided category stays finite via smoothing") {
+    import graft.functions.Stats
+    val ref = Seq("en", "en", "fr").map(Tuple1(_)).toDF("lang")
+    val cand = Seq("en", "de").map(Tuple1(_)).toDF("lang")  // fr missing, de new
+    val rows = Stats.psiByCategory(ref, cand, "lang").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
+  }
+
   test("hashSampleFilter edge rates: 1.0 keeps all, sub-resolution rejected") {
     val ids = (1L to 500L).toDF("id")
     // rate = 1 must keep EVERY row (the old 2-hex-char cut clamped to "ff"

@@ -274,6 +274,36 @@ class SinksSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("snapshotDiff classifies all four statuses with per-column attribution") {
+    val before = Seq(
+      (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0), (4L, "D", 40.0))
+      .toDF("id", "state", "v")
+    val after = Seq(
+      (1L, "A", 10.0),   // unchanged
+      (2L, "Z", 20.0),   // changed: state only
+      (3L, "C", 33.0),   // changed: v only
+      (5L, "E", 50.0))   // added; 4 removed
+      .toDF("id", "state", "v")
+    val got = Relational.snapshotDiff(before, after, Seq("id"), Seq("state", "v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getBoolean(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+    assert(got(1L) == (("unchanged", None, None)))
+    assert(got(2L) == (("changed", Some(true), Some(false))))
+    assert(got(3L) == (("changed", Some(false), Some(true))))
+    assert(got(4L) == (("removed", None, None)))
+    assert(got(5L) == (("added", None, None)))
+  }
+
+  test("snapshotDiff: null compare values are null-safe (null vs null = unchanged)") {
+    val before = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "state")
+    val after = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "state")
+    val got = Relational.snapshotDiff(before, after, Seq("id"), Seq("state"))
+      .select($"id", $"diff_status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
   test("scd2 collapses a change log into validity intervals") {
     // entity 1: A(t1) A(t2) B(t4) A(t5) -> three versions (A re-opens);
     // entity 2: single state, null-tracked attr counts as a change vs null
