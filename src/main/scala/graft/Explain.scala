@@ -32,7 +32,9 @@ object Explain {
     "t22_bloom_decontaminate", "s14_index_persist",
     "s16_member_table_probe", "k5_range_layout", "s15_kcenter_coreset",
     "c1_corpus_pipeline", "k6_partial_agg_merge", "d14_shared_spans",
-    "k7_zorder_layout", "k8_sketch_partials")
+    "k7_zorder_layout", "k8_sketch_partials",
+    "k9_expectation_checks", "o16_snapshot_diff", "t23_leakage_safe_split",
+    "t24_distribution_drift", "k10_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

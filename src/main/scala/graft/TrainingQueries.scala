@@ -1438,6 +1438,52 @@ object TrainingQueries {
           ($"__nc" === $"n_rows").as("compact_count_ok"))
     }),
 
+    // K10: BUCKETED co-located join gate — the 100 TB shuffle eliminator
+    // (SURVEY §4): both join sides are written once via
+    // Sinks.writeBucketed (8 buckets on the join key, catalog-backed
+    // saveAsTable into a per-application scratch DATABASE), and the join
+    // of the two bucketed tables then requires NO exchange on either side
+    // — the scan's bucket layout satisfies the join's distribution, so
+    // the fact table never reshuffles for this key again. The no-shuffle
+    // property is asserted IN-PLAN as a verdict: the SMJ-forced physical
+    // plan string (broadcast disabled during planning, restored after)
+    // must contain no Exchange operator; the oracle emits `true`, so a
+    // regression to a shuffling plan fails the hash gate, not just a
+    // spec. Payload = exact join aggregates (counts + integer-valued
+    // quantity sums — order-independent in double) recomputed by DuckDB
+    // from the raw tables.
+    "k10_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val db = "graft_k10_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val loc = Scratch.dir(s, "k10_buck")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        s"$db.b_orders", Seq("o_orderkey"), 8)
+      graft.sources.Sinks.writeBucketed(
+        t(s, dir, "lineitem")
+          .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+        s"$db.b_lineitem", Seq("o_orderkey"), 8)
+      val joined = s.table(s"$db.b_orders")
+        .join(s.table(s"$db.b_lineitem"), "o_orderkey")
+      // plan the join with broadcast disabled so the bucket layout (not a
+      // BroadcastExchange) is what satisfies the distribution; the verdict
+      // is computed from THAT plan, the output aggregate replans freely
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val noShuffle =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          !s.table(s"$db.b_orders")
+            .join(s.table(s"$db.b_lineitem"), "o_orderkey")
+            .queryExecution.executedPlan.toString.contains("Exchange")
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      joined.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_quantity"), 1).as("sum_qty"))
+        .withColumn("no_shuffle_join", lit(noShuffle))
+    }),
+
     // K7: Z-ORDERED layout gate — multi-dimensional file skipping, the
     // lakehouse complement of k5's single-key range layout: Morton-
     // interleaved rank buckets bound EVERY indexed dimension's per-file
@@ -1891,6 +1937,12 @@ object TrainingQueries {
                 true AS files_bounded_ok,
                 true AS compact_count_ok
          FROM orders""",
+    "k10_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                round(sum(l_quantity), 1) AS sum_qty,
+                true AS no_shuffle_join
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o_orderpriority""",
     "s15_kcenter_coreset" ->
       """WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
