@@ -128,9 +128,12 @@ object Stats {
     require(smooth > 0, "smoothing must be positive (zero reintroduces ln(0))")
     val r = ref.groupBy(col(catCol)).agg(count(lit(1)).as("n_ref"))
     val c = cand.groupBy(col(catCol)).agg(count(lit(1)).as("n_cand"))
-    val joined = r.join(c, Seq(catCol), "full")
+    // materialize the K-row category table ONCE: it is referenced twice
+    // below (output rows + totals), and without truncation each reference
+    // re-aggregates BOTH corpora — 4 full scans instead of 2
+    val joined = Ckpt.materialize(r.join(c, Seq(catCol), "full")
       .select(col(catCol), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+        coalesce(col("n_cand"), lit(0L)).as("n_cand")))
     val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cand").as("__tc"),
       count(lit(1)).as("__k"))
     val sm = lit(smooth)
