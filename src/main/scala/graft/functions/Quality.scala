@@ -62,13 +62,10 @@ object Quality {
     def name: String = s"relationships(${columns.mkString(",")})"
   }
 
-  /** Evaluate `rules` against `df`; returns `(rule, n_checked,
-    * n_violations, passed)` with one row per rule, in the declared rule
-    * order (`rule_idx` column drives deterministic ordering). */
-  def expect(df: DataFrame, rules: Seq[Rule]): DataFrame = {
-    require(rules.nonEmpty, "contract must declare at least one rule")
-
-    val scalarRules: Seq[(Int, Rule, Column, Column)] = rules.zipWithIndex.collect {
+  /** The scalar rules of a contract, with their original declaration
+    * indexes (order drives the report's `rule_idx`). */
+  private[graft] def scalarRules(rules: Seq[Rule]): Seq[(Int, Rule, Column, Column)] =
+    rules.zipWithIndex.collect {
       case (r @ NotNull(c), i) =>
         (i, r: Rule, count(lit(1)), count(when(col(c).isNull, 1)))
       case (r @ AcceptedValues(c, vs), i) =>
@@ -79,20 +76,40 @@ object Quality {
           count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1)))
     }
 
+  /** Flat named aggregate columns for the scalar rules — 2 conditional
+    * counts per rule, designed to ride ONE aggregate (batch `df.agg` or a
+    * streaming global aggregate: every count is an algebraic sum, so
+    * map-side partials and streaming state merges are exact). */
+  private[graft] def scalarAggColumns(sr: Seq[(Int, Rule, Column, Column)]): Seq[Column] =
+    sr.flatMap { case (i, _, chk, vio) =>
+      Seq(chk.as(s"__c$i"), vio.as(s"__v$i"))
+    }
+
+  /** Unpivot the one-row scalar aggregate into per-rule report rows. */
+  private[graft] def explodeScalarSummary(one: DataFrame,
+                                          sr: Seq[(Int, Rule, Column, Column)]): DataFrame = {
+    val rows = sr.map { case (i, r, _, _) =>
+      struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+        col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Evaluate `rules` against `df`; returns `(rule, n_checked,
+    * n_violations, passed)` with one row per rule, in the declared rule
+    * order (`rule_idx` column drives deterministic ordering). */
+  def expect(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "contract must declare at least one rule")
+
+    val sr = scalarRules(rules)
+
     val scalarSummary: Option[DataFrame] =
-      if (scalarRules.isEmpty) None
+      if (sr.isEmpty) None
       else {
         // one scan for every scalar rule: 2 conditional counts per rule in
         // a single agg, then unpivot the one-row result into rule rows
-        val aggs = scalarRules.flatMap { case (i, _, chk, vio) =>
-          Seq(chk.as(s"__c$i"), vio.as(s"__v$i"))
-        }
-        val one = df.agg(aggs.head, aggs.tail: _*)
-        val rows = scalarRules.map { case (i, r, _, _) =>
-          struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
-            col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
-        }
-        Some(one.select(explode(array(rows: _*)).as("r")).select("r.*"))
+        val aggs = scalarAggColumns(sr)
+        Some(explodeScalarSummary(df.agg(aggs.head, aggs.tail: _*), sr))
       }
 
     val groupedSummaries: Seq[DataFrame] = rules.zipWithIndex.collect {

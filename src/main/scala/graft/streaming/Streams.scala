@@ -743,4 +743,50 @@ object Streams {
         col("mean_wl") <= 4.75 && col("stop_ratio") >= 0.05)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("fingerprint"))
   }
+
+  /** Streaming DATA-CONTRACT monitor — the live twin of
+    * [[graft.functions.Quality.expect]]'s fused scalar path: the same
+    * per-rule conditional counts ride ONE streaming global aggregate, so
+    * in update/complete mode each emitted row carries the RUNNING
+    * (n_checked, n_violations, passed) per rule over everything ingested
+    * so far. Every counter is an algebraic sum, so streaming state merges
+    * are exact and the running report equals the batch `expect` over the
+    * same rows, by construction (pinned in StreamingMultimodalSpec).
+    * Scalar rules only: `unique` needs per-key state (that's
+    * [[dedupStream]]/[[dedupIncremental]]'s job — a violation IS a
+    * duplicate) and `relationships` is [[excludeKnown]]'s anti-join; the
+    * streaming contract composes from those rather than re-deriving them.
+    */
+  def contractStream(stream: DataFrame,
+                     rules: Seq[graft.functions.Quality.Rule]): DataFrame = {
+    import graft.functions.Quality
+    val sr = Quality.scalarRules(rules)
+    require(sr.nonEmpty, "contractStream needs at least one scalar rule")
+    require(sr.size == rules.size,
+      "contractStream takes scalar rules only (not_null / accepted_values / " +
+        "accepted_range); unique -> dedupStream, relationships -> excludeKnown")
+    val aggs = Quality.scalarAggColumns(sr)
+    Quality.explodeScalarSummary(stream.agg(aggs.head, aggs.tail: _*), sr)
+      .withColumn("passed", col("n_violations") === 0L)
+      .drop("rule_idx")
+  }
+
+  /** Per-batch DRIFT MONITOR — the live twin of t24's
+    * [[graft.functions.Stats.psiByCategory]]: every micro-batch is scored
+    * against the reference snapshot (re-read fresh per batch via
+    * `refProvider`, same refresh discipline as [[runRefreshedAvailableNow]])
+    * and writes its per-category PSI report to its own `batch_id=<n>`
+    * partition — idempotent under batch replay. Per-BATCH drift is the
+    * monitor semantics an ingestion gate wants ("is the batch that just
+    * landed off-mix?"); for cumulative drift, feed a running-count
+    * aggregate instead of the raw stream. Each batch's work is two K-row
+    * aggregates + K-row arithmetic — the stream side never shuffles more
+    * than its category counts. */
+  def runDriftMonitorAvailableNow(stream: DataFrame,
+                                  refProvider: () => DataFrame,
+                                  catCol: String, outPath: String,
+                                  checkpoint: String): Unit =
+    runRefreshedAvailableNow(stream, refProvider,
+      (batch, ref) => graft.functions.Stats.psiByCategory(ref, batch, catCol),
+      outPath, checkpoint)
 }

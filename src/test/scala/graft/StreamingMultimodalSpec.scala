@@ -105,6 +105,77 @@ class StreamingSpec extends SparkSpec {
       "batch 2 enriched against the rewritten dim; batch 1's output untouched")
   }
 
+  test("contractStream: running violation counters ≡ batch Quality.expect") {
+    import graft.functions.Quality
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contract").toString
+    val src = s"$tmp/src"
+    val rows = Seq(
+      (Some(1L), Some("A"), 10.0), (Some(2L), Some("X"), -5.0),
+      (None, Some("N"), 60.0), (Some(4L), None, 25.0))
+    rows.toDF("id", "flag", "qty").write.mode("append").parquet(src)
+    val rules: Seq[Quality.Rule] = Seq(
+      Quality.NotNull("id"),
+      Quality.AcceptedValues("flag", Seq("A", "N", "R")),
+      Quality.InRange("qty", 0.0, 50.0))
+    val schema = spark.read.parquet(src).schema
+    val q = Streams.contractStream(Streams.parquetStream(spark, src, schema), rules)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("contract_live")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val live = spark.table("contract_live")
+      .select("rule", "n_checked", "n_violations", "passed")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    val batch = Quality.expect(spark.read.parquet(src), rules)
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(live == batch, s"live=$live batch=$batch")
+    assert(live.exists(r => r._1.startsWith("not_null") && r._3 == 1L))
+  }
+
+  test("contractStream rejects stateful rule types (unique/relationships)") {
+    import graft.functions.Quality
+    val df = Seq((1L, "A")).toDF("id", "flag")
+    assertThrows[IllegalArgumentException](
+      Streams.contractStream(df, Seq(Quality.Unique(Seq("id")))))
+  }
+
+  test("runDriftMonitorAvailableNow: each batch scored against the reference mix") {
+    import graft.functions.Stats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val refPath = s"$tmp/ref"
+    (Seq.fill(60)("en") ++ Seq.fill(40)("fr")).toDF("lang")
+      .write.mode("overwrite").parquet(refPath)
+    // batch 1: same mix as the reference -> PSI ~ 0
+    (Seq.fill(30)("en") ++ Seq.fill(20)("fr")).toDF("lang")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = Streams.runDriftMonitorAvailableNow(
+      Streams.parquetStream(spark, src, schema),
+      () => spark.read.parquet(refPath), "lang", out, ckpt)
+    run()
+    val psi0 = spark.read.parquet(out)
+      .agg(sum(abs($"psi_contrib"))).as[Double].head()
+    assert(psi0 < 0.01, s"same-mix batch must score ~0, got $psi0")
+    // batch 2: shifted mix -> its OWN report (batch_id=1) shows drift and
+    // equals the batch psiByCategory of exactly that slice
+    (Seq.fill(45)("en") ++ Seq.fill(5)("de")).toDF("lang")
+      .write.mode("append").parquet(src)
+    run()
+    val batchDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(batchDirs.length == 2, batchDirs.mkString(","))
+    val live = spark.read.parquet(s"$out/${batchDirs.last}")
+      .select($"lang", $"psi_contrib").as[(String, Double)].collect().toMap
+    val expect = Stats.psiByCategory(
+        spark.read.parquet(refPath),
+        (Seq.fill(45)("en") ++ Seq.fill(5)("de")).toDF("lang"), "lang")
+      .select($"lang", $"psi_contrib").as[(String, Double)].collect().toMap
+    assert(live.keySet == expect.keySet)
+    live.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-12, k) }
+    assert(live.values.map(math.abs).sum > 0.05, "shifted batch must show drift")
+  }
+
   test("runCdcSnapshotAvailableNow: snapshot folds I/U/D batches incrementally") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     val src = s"$tmp/src"; val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
