@@ -935,6 +935,51 @@ object TrainingQueries {
           round($"psi_contrib", 8).as("psi_contrib"))
     }),
 
+    // D15: INCREMENTAL near-dup against the at-rest index — the daily-
+    // ingest production shape: the existing corpus (doc_id % 4 != 0) is
+    // signed ONCE into Dedup.nearDupIndexTables and written to disk
+    // (bands partitioned BY BAND — the probe's join key); the new batch
+    // (doc_id % 4 == 0) signs only itself and probes the loaded index.
+    // HASH-GATED contract: the incremental result must EQUAL the full
+    // batch rebuild (nearDupMinhashLsh over the whole corpus) restricted
+    // to pairs touching the new batch — identical pair set AND identical
+    // jaccard values — which holds by construction because hot buckets
+    // are counted over index ∪ batch. Verdicts (matches_full_rebuild,
+    // pairs_found) ride an oracle emitting `true`; payload = the split
+    // sizes DuckDB recomputes.
+    "d15_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter($"doc_id" % 4 =!= 0)
+      val batchNew = docs.filter($"doc_id" % 4 === 0)
+      val tmp = Scratch.dir(s, "d15_index")
+      val (bandsDf, shinglesDf) =
+        Dedup.nearDupIndexTables(existing, "text", "doc_id")
+      bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+      shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
+      val inc = Dedup.incrementalNearDup(batchNew, "text", "doc_id",
+        s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
+        threshold = 0.4)
+      val fullTouching = Dedup.nearDupMinhashLsh(docs, "text", "doc_id",
+          n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)
+        .filter($"id_a" % 4 === 0 || $"id_b" % 4 === 0)
+      val stats = inc.select($"id_a", $"id_b", $"jaccard".as("j_inc"))
+        .withColumn("__i", lit(1))
+        .join(fullTouching.select($"id_a", $"id_b", $"jaccard".as("j_full"))
+            .withColumn("__f", lit(1)),
+          Seq("id_a", "id_b"), "full")
+        .agg(count($"__i").as("n_inc"), count($"__f").as("n_full"),
+          count(when($"__i".isNotNull && $"__f".isNotNull &&
+            $"j_inc" === $"j_full", 1)).as("n_match"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          count(when($"doc_id" % 4 === 0, 1)).as("n_new"))
+        .crossJoin(broadcast(stats))
+        .select($"n_docs", $"n_new",
+          ($"n_inc" === $"n_full" && $"n_match" === $"n_full")
+            .as("matches_full_rebuild"),
+          ($"n_inc" > 0).as("pairs_found"))
+    }),
+
     // T12: unigram-LM scoring — the perplexity-proxy quality filter: score
     // each doc by its average per-word log-probability under the corpus's
     // own unigram model. Two aggregations (build the LM, score the docs)
@@ -1937,6 +1982,12 @@ object TrainingQueries {
                 true AS files_bounded_ok,
                 true AS compact_count_ok
          FROM orders""",
+    "d15_incremental_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS BIGINT) AS n_new,
+                true AS matches_full_rebuild,
+                true AS pairs_found
+         FROM documents""",
     "k10_bucketed_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                 round(sum(l_quantity), 1) AS sum_qty,

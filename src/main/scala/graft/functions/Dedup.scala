@@ -1153,4 +1153,80 @@ object Dedup {
     und.unpersist()
     result
   }
+
+  /** The persistable NEAR-DUP INDEX of a corpus — the at-rest form of
+    * [[nearDupMinhashLsh]]'s in-flight state, for the daily-ingest shape
+    * where the corpus is signed ONCE and every new batch probes it
+    * (signing 100 TB per batch to dedup a 100 GB drop is the anti-pattern
+    * this kills; same train-once/probe-many posture as the s14/s16 IVF
+    * artifacts). Two tables: `bands` (id, band, band_hash) — write it
+    * partitioned/bucketed by `band` so a probe joins band-aligned — and
+    * `shingles` (id, words), the sorted shingle-hash arrays the verify
+    * step merge-counts. Both derive from ONE tokenize+sign pass. */
+  def nearDupIndexTables(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 2, k: Int = 64, bands: Int = 16
+                        ): (DataFrame, DataFrame) = {
+    val signed = spread(df)
+      .select(col(idCol).as("id"),
+        sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
+      .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
+    val bandRows = signed
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+    (bandRows, signed.select(col("id"), col("words")))
+  }
+
+  /** Incremental near-dup: sign ONLY the new batch, probe the persisted
+    * index, and return every verified pair TOUCHING the batch — new-vs-
+    * existing and new-vs-new — in [[nearDupMinhashLsh]]'s exact semantics
+    * (pairs ordered id_a < id_b, same shingle-space verification, same
+    * hot-bucket rule). Equivalence contract: the result equals the full
+    * batch rebuild restricted to pairs with a new endpoint, BY
+    * CONSTRUCTION — hot buckets are counted over index ∪ batch (i.e. the
+    * same corpus the rebuild sees), not over the batch alone, which is
+    * what makes the incremental path's candidate set identical rather
+    * than approximately so (the d15 gate pins this in-plan).
+    *
+    * Scale shape: the batch is signed once (one UDF pass); the probe is
+    * a band/band_hash equi-join against the band table (partition-
+    * aligned when the index is stored partitioned by band); only the
+    * surviving pairs' shingle arrays are re-attached (ids travel through
+    * the wide part of the plan, documents don't — same discipline as the
+    * batch operator). The occupancy count over index ∪ batch is one
+    * map-side-combinable groupBy of the narrow band table.
+    */
+  def incrementalNearDup(newBatch: DataFrame, textCol: String, idCol: String,
+                         indexBands: DataFrame, indexShingles: DataFrame,
+                         n: Int = 2, k: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.5,
+                         maxBucketSize: Int = 128): DataFrame = {
+    val (newBands, newShingles) = nearDupIndexTables(newBatch, textCol, idCol, n, k, bands)
+    val allBands = indexBands.select(col("id"), col("band"), col("band_hash"))
+      .unionByName(newBands)
+    val hot = allBands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val probe = newBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val target = allBands.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    // orient every pair id_a < id_b; new-new collisions arrive in both
+    // orientations and dedupe, new-existing in one
+    val cand = probe.as("a").join(target.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val words = indexShingles.select(col("id"), col("words")).unionByName(newShingles)
+    cand
+      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
+      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
+      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
+      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 }

@@ -60,6 +60,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("incrementalNearDup ≡ full rebuild restricted to new docs (incl. at-rest index)") {
+    // existing corpus = docs 1-3; new batch = 4-6 (5 ~ near-dup of 1;
+    // 6 exact-dup of 4): expect new-existing pairs (1,5)(2,5)(3,5) and
+    // the new-new pair (4,6); NO existing-existing pairs (1,2) etc.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "completely different content about spark and scala"),
+      (5L, "the quick brown fox jumps over the very lazy dog"),
+      (6L, "completely different content about spark and scala")
+    ).toDF("doc_id", "text")
+    val exist = corpus.filter($"doc_id" <= 3L)
+    val batch = corpus.filter($"doc_id" > 3L)
+    val (bandsDf, shinglesDf) = Dedup.nearDupIndexTables(exist, "text", "doc_id")
+    // at-rest round trip, partitioned by band — the production layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d15").toString
+    bandsDf.write.partitionBy("band").parquet(s"$tmp/bands")
+    shinglesDf.write.parquet(s"$tmp/shingles")
+    val inc = Dedup.incrementalNearDup(batch, "text", "doc_id",
+        spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/shingles"),
+        threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val full = Dedup.nearDupMinhashLsh(corpus, "text", "doc_id", threshold = 0.5)
+      .filter($"id_a" > 3L || $"id_b" > 3L)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc.map(p => (p._1, p._2)).contains((4L, 6L)), "new-new pair found")
+    assert(inc.exists(p => p._2 == 5L && p._1 <= 3L), "new-existing pair found")
+    assert(!inc.exists(p => p._1 <= 3L && p._2 <= 3L), "no existing-existing pairs")
+  }
+
   test("simHash: identical text -> hamming 0; unrelated -> large hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
