@@ -2499,7 +2499,7 @@ object TrainingQueries {
          j AS (SELECT coalesce(r.lang, c.lang) AS lang,
                       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
                       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand
-               FROM r FULL JOIN c ON r.lang = c.lang),
+               FROM r FULL JOIN c ON r.lang IS NOT DISTINCT FROM c.lang),
          t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
                       CAST(sum(n_cand) AS DOUBLE) AS tc,
                       CAST(count(*) AS DOUBLE) AS k

@@ -224,6 +224,41 @@ object Dedup {
     }: _*)
   }
 
+  /** The signed relation (id, words, sig) of a corpus — ONE tokenize +
+    * minhash pass ([[sigWithShinglesUdf]]); the single implementation
+    * every LSH path (batch [[nearDupMinhashLsh]], index build,
+    * incremental probe) derives bands and verify arrays from, which is
+    * what makes their results provably identical. */
+  private def signedRelation(df: DataFrame, textCol: String, idCol: String,
+                             n: Int, k: Int): DataFrame =
+    spread(df)
+      .select(col(idCol).as("id"),
+        sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
+      .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
+
+  /** Exploded (id, band, band_hash) rows of a signed relation. */
+  private def bandRowsOf(signed: DataFrame, k: Int, bands: Int): DataFrame =
+    signed
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+
+  /** Shared LSH verification: exact shingle-space Jaccard over candidate
+    * pairs, one shuffle per pair side to re-attach the sorted shingle-hash
+    * arrays (ids travel through the candidate join, documents don't). The
+    * SINGLE implementation both the batch and incremental paths call —
+    * their equals-by-construction contract (d15) depends on it. */
+  private def verifyPairs(cand: DataFrame, words: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
+      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
+      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
+      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
+      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
+      .withColumn("jaccard",
+        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
   /** Candidate near-duplicate pairs via MinHash+LSH, verified with exact
     * word-set Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard) with
     * id_a < id_b. The self-join runs per bucket — shuffle is on band hash,
@@ -249,10 +284,7 @@ object Dedup {
     // trick): the verify join merge-counts primitive longs instead of
     // re-hashing boxed strings per candidate pair. One UDF pass builds
     // BOTH columns from one tokenization (see sigWithShinglesUdf).
-    val withSig0 = spread(df)
-      .select(col(idCol).as("id"),
-        sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
-      .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
+    val withSig0 = signedRelation(df, textCol, idCol, n, k)
     val withSig =
       if (reuseSignatures) {
         val cached = withSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,9 +311,7 @@ object Dedup {
     // maxBucketSize members) and removed with a broadcast anti-join; a
     // window count here would instead sort every bucket's rows inside the
     // shuffle just to read its size.
-    val bucketRows = withSig
-      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.band_hash"))
+    val bucketRows = bandRowsOf(withSig, k, bands)
     val hot = bucketRows.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -295,16 +325,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val words = withSig.select(col("id"), col("words"))
-    val verified = cand
-      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
-      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
-      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
-      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
-      .withColumn("jaccard",
-        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val verified = verifyPairs(cand, withSig.select(col("id"), col("words")), threshold)
     if (!reuseSignatures) verified
     else {
       // Materialize the (small) verified pair set, then RELEASE the cached
@@ -1166,14 +1187,12 @@ object Dedup {
   def nearDupIndexTables(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 2, k: Int = 64, bands: Int = 16
                         ): (DataFrame, DataFrame) = {
-    val signed = spread(df)
-      .select(col(idCol).as("id"),
-        sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
-      .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
-    val bandRows = signed
-      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.band_hash"))
-    (bandRows, signed.select(col("id"), col("words")))
+    // materialize the signed relation: both returned tables derive from it
+    // and are usually consumed by separate actions (two table writes, or
+    // the probe's hot-count + candidate + verify references) — without
+    // truncation each consumer re-runs the tokenize+sign UDF pass
+    val signed = Ckpt.materialize(signedRelation(df, textCol, idCol, n, k))
+    (bandRowsOf(signed, k, bands), signed.select(col("id"), col("words")))
   }
 
   /** Incremental near-dup: sign ONLY the new batch, probe the persisted
@@ -1185,7 +1204,10 @@ object Dedup {
     * CONSTRUCTION — hot buckets are counted over index ∪ batch (i.e. the
     * same corpus the rebuild sees), not over the batch alone, which is
     * what makes the incremental path's candidate set identical rather
-    * than approximately so (the d15 gate pins this in-plan).
+    * than approximately so (the d15 gate pins this in-plan). A
+    * RE-DELIVERED id (already present in the index) is superseded by its
+    * fresh batch signature — the retry-safe semantics a daily feed needs;
+    * see the inline note.
     *
     * Scale shape: the batch is signed once (one UDF pass); the probe is
     * a band/band_hash equi-join against the band table (partition-
@@ -1201,8 +1223,18 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 128): DataFrame = {
     val (newBands, newShingles) = nearDupIndexTables(newBatch, textCol, idCol, n, k, bands)
-    val allBands = indexBands.select(col("id"), col("band"), col("band_hash"))
-      .unionByName(newBands)
+    // RE-DELIVERED ids (a retry lands a doc already in the index): the
+    // fresh signature SUPERSEDES the indexed one — otherwise the union
+    // below would carry the id twice and every candidate pair touching it
+    // would multiply into duplicate (possibly contradictory, if the text
+    // changed) output rows. The id set is batch-sized, ids only →
+    // broadcast anti-join against both index tables.
+    val newIds = broadcast(newShingles.select(col("id")).distinct())
+    val idxBands = indexBands.select(col("id"), col("band"), col("band_hash"))
+      .join(newIds, Seq("id"), "left_anti")
+    val idxShingles = indexShingles.select(col("id"), col("words"))
+      .join(newIds, Seq("id"), "left_anti")
+    val allBands = idxBands.unionByName(newBands)
     val hot = allBands.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -1218,15 +1250,6 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val words = indexShingles.select(col("id"), col("words")).unionByName(newShingles)
-    cand
-      .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
-      .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
-      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
-      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
-      .withColumn("jaccard",
-        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyPairs(cand, idxShingles.unionByName(newShingles), threshold)
   }
 }

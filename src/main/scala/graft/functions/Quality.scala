@@ -46,6 +46,9 @@ object Quality {
   }
 
   /** dbt `unique` (composite form): no key may occur more than once.
+    * Rows with a NULL in any key column are excluded from the check —
+    * dbt's `where column is not null` pre-filter (NULL handling is
+    * [[NotNull]]'s job, same composition rule as [[AcceptedValues]]).
     * `n_violations` = number of DISTINCT duplicated keys (dbt's grouped
     * convention), `n_checked` = distinct keys. */
   final case class Unique(columns: Seq[String]) extends Rule {
@@ -54,9 +57,13 @@ object Quality {
 
   /** dbt `relationships`: every non-null child key must exist in the
     * parent's key set. `dim` is evaluated lazily so contracts can be
-    * declared before sessions exist. */
+    * declared before sessions exist. `broadcastParent` hints the parent
+    * key set broadcast (the right call for true dimensions); set false
+    * for a parent that is itself fact-sized (self-referential FKs) and
+    * the check plans as a shuffled join instead of OOMing the driver. */
   final case class References(columns: Seq[String], dim: () => DataFrame,
-                              dimColumns: Seq[String]) extends Rule {
+                              dimColumns: Seq[String],
+                              broadcastParent: Boolean = true) extends Rule {
     require(columns.length == dimColumns.length,
       "child/parent key lists must align")
     def name: String = s"relationships(${columns.mkString(",")})"
@@ -114,21 +121,24 @@ object Quality {
 
     val groupedSummaries: Seq[DataFrame] = rules.zipWithIndex.collect {
       case (r @ Unique(cols), i) =>
-        df.groupBy(cols.map(col): _*)
+        df.na.drop("any", cols) // dbt unique: NULL keys are not checked
+          .groupBy(cols.map(col): _*)
           .agg(count(lit(1)).as("__n"))
           .agg(lit(i).as("rule_idx"), lit(r.name).as("rule"),
             count(lit(1)).as("n_checked"),
             count(when(col("__n") > 1, 1)).as("n_violations"))
-      case (r @ References(cols, dim, dimCols), i) =>
-        val parent = broadcast(
-          dim().select(dimCols.map(col): _*).toDF(cols: _*).distinct())
-        val child = df.select(cols.map(col): _*)
+      case (r @ References(cols, dim, dimCols, bcast), i) =>
+        val keys = dim().select(dimCols.map(col): _*).toDF(cols: _*).distinct()
+          .withColumn("__hit", lit(1))
+        val parent = if (bcast) broadcast(keys) else keys
+        // ONE scan of the child: left join + two conditional counts (the
+        // anti-join-then-recount form scans the child twice)
+        df.select(cols.map(col): _*)
           .na.drop("any") // dbt relationships: NULL child keys are skipped
-        child.join(parent, cols, "left_anti")
-          .agg(count(lit(1)).as("__orphans"))
-          .crossJoin(child.agg(count(lit(1)).as("__n")))
-          .select(lit(i).as("rule_idx"), lit(r.name).as("rule"),
-            col("__n").as("n_checked"), col("__orphans").as("n_violations"))
+          .join(parent, cols, "left")
+          .agg(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+            count(lit(1)).as("n_checked"),
+            count(when(col("__hit").isNull, 1)).as("n_violations"))
     }
 
     (scalarSummary.toSeq ++ groupedSummaries)

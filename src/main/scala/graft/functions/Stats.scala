@@ -127,13 +127,21 @@ object Stats {
     import org.apache.spark.sql.functions._
     require(smooth > 0, "smoothing must be positive (zero reintroduces ln(0))")
     val r = ref.groupBy(col(catCol)).agg(count(lit(1)).as("n_ref"))
+      .withColumnRenamed(catCol, "__rc")
     val c = cand.groupBy(col(catCol)).agg(count(lit(1)).as("n_cand"))
-    // materialize the K-row category table ONCE: it is referenced twice
-    // below (output rows + totals), and without truncation each reference
-    // re-aggregates BOTH corpora — 4 full scans instead of 2
-    val joined = Ckpt.materialize(r.join(c, Seq(catCol), "full")
-      .select(col(catCol), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand")))
+      .withColumnRenamed(catCol, "__cc")
+    // NULL-SAFE join key (<=>): a NULL category present on both sides must
+    // be ONE matched row, not two one-sided rows each reporting the other
+    // side absent — a plain full-outer equi-join never matches NULLs and
+    // would report heavy two-way drift for an identical NULL-share mix.
+    // Materialize the K-row table ONCE: it is referenced twice below
+    // (output rows + totals), and without truncation each reference
+    // re-aggregates BOTH corpora — 4 full scans instead of 2.
+    val joined = Ckpt.materialize(
+      r.join(c, col("__rc") <=> col("__cc"), "full")
+        .select(coalesce(col("__rc"), col("__cc")).as(catCol),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand")))
     val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cand").as("__tc"),
       count(lit(1)).as("__k"))
     val sm = lit(smooth)

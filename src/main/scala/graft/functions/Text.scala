@@ -313,8 +313,16 @@ object Text {
     val bucket = substring(md5(groupKey.cast("string")), 1, 4)
     // 65535 clamp: a cut of 65536 would format as 5-char "10000" and break
     // the 4-hex lexicographic compare (same guard as hashSampleCapFilter)
-    val cuts = fracs.scanLeft(0.0)(_ + _._2).tail.dropRight(1)
-      .map(f => f"${math.min(65535L, math.round(65536.0 * f))}%04x")
+    val cutVals = fracs.scanLeft(0.0)(_ + _._2).tail.dropRight(1)
+      .map(f => math.min(65535L, math.round(65536.0 * f)))
+    // reject cuts that collapse to the same bucket (a sub-1/65536 split
+    // would be silently EMPTY — same representability rule that makes
+    // hashSampleFilter require(buckets > 0) rather than keep nothing)
+    require(cutVals.headOption.forall(_ > 0) &&
+        cutVals.zip(cutVals.drop(1)).forall { case (a, b) => a < b },
+      s"split fractions below the 1/65536 bucket resolution: cuts $cutVals " +
+        "must be strictly increasing and positive")
+    val cuts = cutVals.map(v => f"$v%04x")
     // chained when: bucket < cut1 -> label1, < cut2 -> label2, ..., else last
     cuts.zip(fracs.map(_._1)).foldRight(lit(fracs.last._1)) {
       case ((cut, label), rest) => when(bucket < lit(cut), label).otherwise(rest)

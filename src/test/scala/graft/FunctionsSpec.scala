@@ -197,6 +197,20 @@ class TextSpec extends SparkSpec {
       Text.deterministicSplit($"g", Seq(("a", 0.5), ("b", 0.4))))
     assertThrows[IllegalArgumentException](
       Text.deterministicSplit($"g", Seq(("a", 1.5), ("b", -0.5))))
+    // sub-1/65536 split would be silently empty -> rejected, like
+    // hashSampleFilter's representability rule
+    assertThrows[IllegalArgumentException](
+      Text.deterministicSplit($"g",
+        Seq(("a", 1e-5), ("b", 1e-5), ("c", 1 - 2e-5))))
+  }
+
+  test("psiByCategory: NULL category on both sides is ONE matched row, not drift") {
+    import graft.functions.Stats
+    val mix = Seq(Some("en"), Some("en"), None, None).map(Tuple1(_)).toDF("lang")
+    val rows = Stats.psiByCategory(mix, mix, "lang").collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    val total = rows.map(r => math.abs(r.getDouble(5))).sum
+    assert(total < 1e-12, s"identical mixes incl. NULL must give PSI 0, got $total")
   }
 
   test("psiByCategory: identical mixes give ~0, a known shift gives the closed form") {

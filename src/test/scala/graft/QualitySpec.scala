@@ -38,11 +38,26 @@ class QualitySpec extends SparkSpec {
     // n_checked counts NON-NULL values; the null flag is not a violation
     assert(got("accepted_values(flag)") == ((5L, 1L, false)))
     assert(got("accepted_range(qty)") == ((6L, 2L, false)))
-    // 5 distinct (id, line) keys, 1 of them duplicated
-    assert(got("unique(id,line)") == ((5L, 1L, false)))
+    // null-keyed row excluded (dbt pre-filter) -> 4 distinct non-null
+    // (id, line) keys, 1 of them duplicated
+    assert(got("unique(id,line)") == ((4L, 1L, false)))
     // null child key skipped (dbt semantics) -> 5 checked, 1 orphan (99)
     assert(got("relationships(id)") == ((5L, 1L, false)))
   }
+
+  test("expect: NULL keys never fail unique (dbt pre-filter); NotNull owns them") {
+    val df = Seq(
+      (Option.empty[Long], "x"), (Option.empty[Long], "y"), (Some(1L), "z"))
+      .toDF("id", "v")
+    val got = run2(df, Seq(Quality.Unique(Seq("id"))))
+    assert(got("unique(id)") == ((1L, 0L, true)))
+  }
+
+  private def run2(df: org.apache.spark.sql.DataFrame,
+                   rules: Seq[Quality.Rule]): Map[String, (Long, Long, Boolean)] =
+    Quality.expect(df, rules).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
 
   test("expect: clean frame passes every rule, declared order preserved") {
     val clean = Seq((1L, "A", 5.0, 1), (2L, "N", 7.0, 1)).toDF("id", "flag", "qty", "line")
