@@ -980,6 +980,40 @@ object TrainingQueries {
           ($"n_inc" > 0).as("pairs_found"))
     }),
 
+    // T25: BPE tokenizer training in-engine (Text.bpeTrain) — 8 merges
+    // over the corpus's distinct-word frequency table (the sublinear
+    // Sennrich form; the loop driver follows the kmeans/pageRank
+    // discipline: one argmax row per round, Ckpt-truncated vocab).
+    // HASH-GATED via the bound-verdict pattern: payload = distinct-word
+    // count + the FIRST merge (the weighted char-bigram argmax, which
+    // DuckDB recomputes independently with the same tie-break); verdicts
+    // = exactly 8 merges, merge frequencies monotone non-increasing
+    // (structural BPE property — see bpeTrain's doc), all merged pairs
+    // distinct. Oracle emits `true` per verdict.
+    "t25_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = Text.bpeTrain(docs, "text", merges = 8)
+      val w = Window.orderBy($"rank")
+      val verd = merges
+        .withColumn("prev_f", lag($"freq", 1).over(w))
+        .agg(count(lit(1)).as("__n"),
+          count(when($"prev_f".isNotNull && $"freq" > $"prev_f", 1)).as("__up"),
+          countDistinct($"left", $"right").as("__nd"))
+      val nWords = docs
+        .select(explode(split(Text.normalize($"text"), " ")).as("w"))
+        .filter(length($"w") > 0)
+        .agg(countDistinct($"w").as("n_words"))
+      merges.filter($"rank" === 1)
+        .select($"left".as("first_left"), $"right".as("first_right"),
+          $"freq".as("first_freq"))
+        .crossJoin(broadcast(verd)).crossJoin(broadcast(nWords))
+        .select($"n_words", $"first_left", $"first_right", $"first_freq",
+          ($"__n" === 8L).as("n_merges_ok"),
+          ($"__up" === 0L).as("monotone_ok"),
+          ($"__nd" === $"__n").as("pairs_distinct_ok"))
+    }),
+
     // T12: unigram-LM scoring — the perplexity-proxy quality filter: score
     // each doc by its average per-word log-probability under the corpus's
     // own unigram model. Two aggregations (build the LM, score the docs)
@@ -1982,6 +2016,26 @@ object TrainingQueries {
                 true AS files_bounded_ok,
                 true AS compact_count_ok
          FROM orders""",
+    "t25_bpe_merges" ->
+      """WITH wrd AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS word
+             FROM documents)
+           WHERE length(word) > 0 GROUP BY word),
+         pos AS (
+           SELECT word, freq, unnest(range(1, length(word))) AS i FROM wrd),
+         pair AS (
+           SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+                  sum(freq) AS f
+           FROM pos GROUP BY 1, 2),
+         top1 AS (
+           SELECT l, r, CAST(f AS BIGINT) AS f FROM pair
+           ORDER BY f DESC, l ASC, r ASC LIMIT 1)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM wrd) AS n_words,
+                l AS first_left, r AS first_right, f AS first_freq,
+                true AS n_merges_ok, true AS monotone_ok,
+                true AS pairs_distinct_ok
+         FROM top1""",
     "d15_incremental_neardup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(count(CASE WHEN doc_id % 4 = 0 THEN 1 END) AS BIGINT) AS n_new,

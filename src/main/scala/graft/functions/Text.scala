@@ -329,6 +329,71 @@ object Text {
     }
   }
 
+  /** BPE TOKENIZER TRAINING in-engine (Sennrich et al. 2016's word-
+    * frequency form): collapse the corpus to its DISTINCT-WORD frequency
+    * table — vocabulary-sized, sublinear in corpus size, the step that
+    * makes tokenizer training tractable at 100 TB — then iterate: count
+    * adjacent symbol pairs weighted by word frequency, merge the globally
+    * most frequent pair (ties broken (freq desc, left asc, right asc) for
+    * cross-run determinism), rewrite the symbol sequences, repeat.
+    * Returns the merge table (rank, left, right, freq) — the artifact a
+    * tokenizer ships.
+    *
+    * Loop shape (the kmeansTrain/pageRank discipline): each round is one
+    * map-side pair explode + one tiny groupBy over the vocab table, ONE
+    * argmax row to the driver, and a lineage-truncating
+    * [[graft.functions.Ckpt.materialize]] of the rewritten vocab.
+    * Merge frequencies are monotone non-increasing by construction (a
+    * pair born of a merge occurs at most as often as the merge did;
+    * everything else was already ≤ the previous max) — the t25 gate
+    * asserts this in-plan.
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges > 0, "must request at least one merge")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val splitWord = udf((w: String) => w.toCharArray.map(_.toString))
+    var vocab = Ckpt.materialize(
+      df.select(explode(split(normalize(col(textCol)), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(splitWord(col("w")).as("syms"), col("freq")))
+    val mergeRow = udf((syms: Seq[String], l: String, r: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2   // leftmost-first, non-overlapping
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < merges) {
+      val top = vocab
+        .select(posexplode(col("syms")).as(Seq("i", "l")), col("syms"), col("freq"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("l"), element_at(col("syms"), col("i") + 2).as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) rank = merges // every word is a single symbol: done
+      else {
+        val row = top.head
+        val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+        picked += ((picked.size + 1, l, r, f))
+        val next = Ckpt.materialize(
+          vocab.select(mergeRow(col("syms"), lit(l), lit(r)).as("syms"), col("freq")))
+        vocab.unpersist()
+        vocab = next
+        rank += 1
+      }
+    }
+    picked.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget packs
     * per group (the LLM-training step that concatenates documents into
     * context windows). Documents are walked in `orderCol` order; a doc

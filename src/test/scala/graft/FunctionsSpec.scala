@@ -204,6 +204,26 @@ class TextSpec extends SparkSpec {
         Seq(("a", 1e-5), ("b", 1e-5), ("c", 1 - 2e-5))))
   }
 
+  test("bpeTrain: textbook merge trace on the low/lower/lowest corpus") {
+    // words: low×3, lower×1, lowest×1. Pair counts: (l,o)=5, (o,w)=5,
+    // (w,e)=2, (e,r)=1, (e,s)=1, (s,t)=1 — first merge is the (freq desc,
+    // left asc) tie-break (l,o); then (lo,w)=5, (low,e)=2, and at freq 1
+    // the (lowe,r)/(lowe,s) tie resolves right-asc to (lowe,r).
+    val docs = Seq("low low low", "lower lowest").toDF("text")
+    val got = Text.bpeTrain(docs, "text", merges = 4)
+      .orderBy("rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)), got.toString)
+  }
+
+  test("bpeTrain: stops early when no pairs remain; merges must be positive") {
+    val singles = Seq("a b a b", "c a").toDF("text")
+    assert(Text.bpeTrain(singles, "text", merges = 3).count() == 0L)
+    assertThrows[IllegalArgumentException](Text.bpeTrain(singles, "text", 0))
+  }
+
   test("psiByCategory: NULL category on both sides is ONE matched row, not drift") {
     import graft.functions.Stats
     val mix = Seq(Some("en"), Some("en"), None, None).map(Tuple1(_)).toDF("lang")
