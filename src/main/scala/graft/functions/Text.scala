@@ -394,6 +394,37 @@ object Text {
     picked.toSeq.toDF("rank", "left", "right", "freq")
   }
 
+  /** Apply a trained BPE merge table ([[bpeTrain]]'s output, collected to
+    * rows ordered by rank) to a text column: tokenize each normalized
+    * word into characters, then replay the merges in rank order —
+    * leftmost-first, non-overlapping, exactly the rewrite rule training
+    * used, so encoding the training corpus reproduces training's final
+    * symbol sequences. Returns an array<string> token column. Pure
+    * map-side: the merge list is a broadcast-sized literal closure
+    * (tokenizers ship thousands of merges, not millions), no shuffle. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val enc = udf((s: String) => {
+      val words = s.split(" ").filter(_.nonEmpty)
+      words.toSeq.flatMap { w =>
+        var syms: Array[String] = w.toCharArray.map(_.toString)
+        merges.foreach { case (l, r) =>
+          if (syms.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+        }
+        syms.toSeq
+      }
+    })
+    enc(normalize(text))
+  }
+
   /** Greedy sequence packing: assign documents to fixed token-budget packs
     * per group (the LLM-training step that concatenates documents into
     * context windows). Documents are walked in `orderCol` order; a doc

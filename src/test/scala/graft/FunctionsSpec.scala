@@ -218,6 +218,22 @@ class TextSpec extends SparkSpec {
       (3, "low", "e", 2L), (4, "lowe", "r", 1L)), got.toString)
   }
 
+  test("bpeEncode replays trained merges; encoding the training corpus matches the trace") {
+    val docs = Seq("low low low", "lower lowest").toDF("text")
+    val merges = Text.bpeTrain(docs, "text", merges = 4)
+      .orderBy("rank").select($"left", $"right").as[(String, String)].collect().toSeq
+    val toks = docs.select(Text.bpeEncode($"text", merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    // after (l,o)(lo,w)(low,e)(lowe,r): low→[low], lower→[lower],
+    // lowest→[lowe,s,t]
+    assert(toks == Seq(
+      Seq("low", "low", "low"), Seq("lower", "lowe", "s", "t")), toks.toString)
+    // zero merges = plain character tokenization
+    val chars = docs.select(Text.bpeEncode($"text", Nil).as("t"))
+      .as[Seq[String]].head()
+    assert(chars == "lowlowlow".map(_.toString))
+  }
+
   test("bpeTrain: stops early when no pairs remain; merges must be positive") {
     val singles = Seq("a b a b", "c a").toDF("text")
     assert(Text.bpeTrain(singles, "text", merges = 3).count() == 0L)
