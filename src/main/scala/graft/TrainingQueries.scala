@@ -950,18 +950,20 @@ object TrainingQueries {
     "d15_incremental_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val existing = docs.filter($"doc_id" % 4 =!= 0)
       val batchNew = docs.filter($"doc_id" % 4 === 0)
       val tmp = Scratch.dir(s, "d15_index")
+      // ONE sign pass serves both the index build and the rebuild twin
+      // (signedCorpus is materialized; the incremental probe still signs
+      // the batch itself — that is its production contract)
+      val signedAll = Dedup.signedCorpus(docs, "text", "doc_id")
       val (bandsDf, shinglesDf) =
-        Dedup.nearDupIndexTables(existing, "text", "doc_id")
+        Dedup.nearDupIndexTablesFrom(signedAll.filter($"id" % 4 =!= 0))
       bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
       shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
       val inc = Dedup.incrementalNearDup(batchNew, "text", "doc_id",
         s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
         threshold = 0.4)
-      val fullTouching = Dedup.nearDupMinhashLsh(docs, "text", "doc_id",
-          n = 2, k = 64, bands = 16, threshold = 0.4, reuseSignatures = true)
+      val fullTouching = Dedup.lshPairsFrom(signedAll, threshold = 0.4)
         .filter($"id_a" % 4 === 0 || $"id_b" % 4 === 0)
       val stats = inc.select($"id_a", $"id_b", $"jaccard".as("j_inc"))
         .withColumn("__i", lit(1))

@@ -311,21 +311,7 @@ object Dedup {
     // maxBucketSize members) and removed with a broadcast anti-join; a
     // window count here would instead sort every bucket's rows inside the
     // shuffle just to read its size.
-    val bucketRows = bandRowsOf(withSig, k, bands)
-    val hot = bucketRows.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
-      .select(col("band"), col("band_hash"))
-    val buckets = bucketRows.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val verified = verifyPairs(cand, withSig.select(col("id"), col("words")), threshold)
+    val verified = lshPairsFrom(withSig, k, bands, threshold, maxBucketSize)
     if (!reuseSignatures) verified
     else {
       // Materialize the (small) verified pair set, then RELEASE the cached
@@ -337,6 +323,38 @@ object Dedup {
       out
     }
   }
+
+  /** [[nearDupMinhashLsh]] from a PRE-SIGNED relation ((id, words, sig) —
+    * [[signedCorpus]]'s shape): the band/hot-bucket/candidate/verify
+    * pipeline without the tokenize+sign pass, for callers that already
+    * hold signatures (an exact-twin harness sharing one sign pass across
+    * the rebuild and the incremental probe — d15; a stored signature
+    * table re-thresholded at a new jaccard cutoff without re-signing).
+    * Identical algebra to the batch operator by construction — it IS the
+    * batch operator's body. */
+  def lshPairsFrom(signed: DataFrame, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5, maxBucketSize: Int = 128): DataFrame = {
+    val bucketRows = bandRowsOf(signed, k, bands)
+    val hot = bucketRows.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val buckets = bucketRows.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyPairs(cand, signed.select(col("id"), col("words")), threshold)
+  }
+
+  /** The materialized signed relation (id, words, sig) of a corpus — the
+    * shareable artifact every LSH path derives from; sign ONCE, then feed
+    * [[nearDupIndexTablesFrom]] and/or [[lshPairsFrom]]. */
+  def signedCorpus(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 2, k: Int = 64): DataFrame =
+    Ckpt.materialize(signedRelation(df, textCol, idCol, n, k))
 
   /** PARAGRAPH-level exact dedup (the Dolma/C4 sub-document pass): chunk
     * each doc into consecutive `chunkSize`-word "paragraphs", keep only
@@ -1186,14 +1204,18 @@ object Dedup {
     * step merge-counts. Both derive from ONE tokenize+sign pass. */
   def nearDupIndexTables(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 2, k: Int = 64, bands: Int = 16
-                        ): (DataFrame, DataFrame) = {
-    // materialize the signed relation: both returned tables derive from it
-    // and are usually consumed by separate actions (two table writes, or
-    // the probe's hot-count + candidate + verify references) — without
-    // truncation each consumer re-runs the tokenize+sign UDF pass
-    val signed = Ckpt.materialize(signedRelation(df, textCol, idCol, n, k))
+                        ): (DataFrame, DataFrame) =
+    // materialized ([[signedCorpus]]): both returned tables derive from
+    // one signed relation and are usually consumed by separate actions
+    // (two table writes, or the probe's hot-count + candidate + verify
+    // references) — without truncation each consumer re-signs the corpus
+    nearDupIndexTablesFrom(signedCorpus(df, textCol, idCol, n, k), k, bands)
+
+  /** [[nearDupIndexTables]] from a pre-signed relation ([[signedCorpus]]):
+    * derive the two at-rest tables without re-signing. */
+  def nearDupIndexTablesFrom(signed: DataFrame, k: Int = 64, bands: Int = 16
+                            ): (DataFrame, DataFrame) =
     (bandRowsOf(signed, k, bands), signed.select(col("id"), col("words")))
-  }
 
   /** Incremental near-dup: sign ONLY the new batch, probe the persisted
     * index, and return every verified pair TOUCHING the batch — new-vs-
