@@ -147,4 +147,35 @@ object Quality {
       .orderBy("rule_idx")
       .drop("rule_idx")
   }
+
+  /** PER-PARTITION contract report — the incremental-warehouse form of
+    * [[expect]]: scalar rules evaluated per `partitionCols` group (one
+    * scan, one key-bounded groupBy — every counter is an algebraic sum,
+    * so map-side partials apply), returning `(partitionCols..., rule,
+    * n_checked, n_violations, passed)`. A pipeline that materializes
+    * day×market partitions checks ONLY the partitions it just wrote and
+    * appends the rows to the contract history table — full-table rescans
+    * per run is the anti-pattern this exists to kill. Scalar rules only:
+    * `unique`/`relationships` are cross-partition properties (a key can
+    * collide across partitions), so they stay with [[expect]] over the
+    * slice that owns them. */
+  def expectBy(df: DataFrame, partitionCols: Seq[String],
+               rules: Seq[Rule]): DataFrame = {
+    require(partitionCols.nonEmpty, "partition columns required — use expect")
+    val sr = scalarRules(rules)
+    require(sr.size == rules.size,
+      "expectBy takes scalar rules only (not_null / accepted_values / " +
+        "accepted_range); unique and relationships are cross-partition " +
+        "checks — run them through expect")
+    val aggs = scalarAggColumns(sr)
+    val one = df.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rows = sr.map { case (i, r, _, _) =>
+      struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
+        col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
+    }
+    one.select(partitionCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+      .select(partitionCols.map(col) :+ col("r.rule") :+
+        col("r.n_checked") :+ col("r.n_violations") :+
+        (col("r.n_violations") === 0L).as("passed"): _*)
+  }
 }

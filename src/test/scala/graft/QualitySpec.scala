@@ -71,6 +71,41 @@ class QualitySpec extends SparkSpec {
       "unique(id)", "not_null(flag)", "relationships(id)", "accepted_range(qty)"))
   }
 
+  test("expectBy: per-partition scalar report sums to the global expect counts") {
+    val df = Seq(
+      ("d1", Some(1L), 10.0), ("d1", None, 60.0),
+      ("d2", Some(2L), -5.0), ("d2", Some(3L), 20.0))
+      .toDF("day", "id", "qty")
+    val rules: Seq[Quality.Rule] = Seq(
+      Quality.NotNull("id"), Quality.InRange("qty", 0.0, 50.0))
+    val per = Quality.expectBy(df, Seq("day"), rules)
+    assert(per.columns.toSeq ==
+      Seq("day", "rule", "n_checked", "n_violations", "passed"))
+    val got = per.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("d1", "not_null(id)")) == ((2L, 1L)))
+    assert(got(("d2", "not_null(id)")) == ((2L, 0L)))
+    assert(got(("d1", "accepted_range(qty)")) == ((2L, 1L)))
+    assert(got(("d2", "accepted_range(qty)")) == ((2L, 1L)))
+    // partition counts fold to the global report exactly (algebraic sums)
+    val global = Quality.expect(df, rules).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rules.map {
+      case Quality.NotNull(c) => s"not_null($c)"
+      case r => r.name
+    }.foreach { name =>
+      // .toSeq first: collect-of-tuples on a Map would rebuild a Map and
+      // silently dedupe by n_checked
+      val folded = got.toSeq.collect { case ((_, n), v) if n == name => v }
+        .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      assert(folded == global(name), name)
+    }
+    // stateful rules rejected
+    assertThrows[IllegalArgumentException](
+      Quality.expectBy(df, Seq("day"), Seq(Quality.Unique(Seq("id")))))
+  }
+
   test("expect: a contract of only scalar rules is a single aggregate (one scan)") {
     val df = Quality.expect(child, Seq(
       Quality.NotNull("id"), Quality.InRange("qty", 0.0, 50.0)))
