@@ -334,7 +334,16 @@ object Dedup {
     * batch operator's body. */
   def lshPairsFrom(signed: DataFrame, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucketSize: Int = 128): DataFrame = {
-    val bucketRows = bandRowsOf(signed, k, bands)
+    // fail FAST if the relation was signed with a different k: lshBands
+    // would slice past (or short of) the signature, hashing empty/partial
+    // slices to one shared value — half the bands become a single bucket,
+    // which the hot-bucket cap then silently discards. The guard is a
+    // per-row size check inside codegen, no extra job.
+    val checked = signed.withColumn("sig",
+      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+        lit("lshPairsFrom: signature length "), size(col("sig")).cast("string"),
+        lit(s" != k=$k — sign and band parameters must match")))))
+    val bucketRows = bandRowsOf(checked, k, bands)
     val hot = bucketRows.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)

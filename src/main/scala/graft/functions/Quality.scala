@@ -92,15 +92,19 @@ object Quality {
       Seq(chk.as(s"__c$i"), vio.as(s"__v$i"))
     }
 
-  /** Unpivot the one-row scalar aggregate into per-rule report rows. */
-  private[graft] def explodeScalarSummary(one: DataFrame,
-                                          sr: Seq[(Int, Rule, Column, Column)]): DataFrame = {
-    val rows = sr.map { case (i, r, _, _) =>
+  /** The per-rule report-row structs read off a scalar aggregate's named
+    * `__c<i>`/`__v<i>` columns — the ONE place the report schema lives
+    * (expect and expectBy both explode these). */
+  private def scalarReportRows(sr: Seq[(Int, Rule, Column, Column)]): Seq[Column] =
+    sr.map { case (i, r, _, _) =>
       struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
         col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
     }
-    one.select(explode(array(rows: _*)).as("r")).select("r.*")
-  }
+
+  /** Unpivot the one-row scalar aggregate into per-rule report rows. */
+  private[graft] def explodeScalarSummary(one: DataFrame,
+                                          sr: Seq[(Int, Rule, Column, Column)]): DataFrame =
+    one.select(explode(array(scalarReportRows(sr): _*)).as("r")).select("r.*")
 
   /** Evaluate `rules` against `df`; returns `(rule, n_checked,
     * n_violations, passed)` with one row per rule, in the declared rule
@@ -162,6 +166,7 @@ object Quality {
   def expectBy(df: DataFrame, partitionCols: Seq[String],
                rules: Seq[Rule]): DataFrame = {
     require(partitionCols.nonEmpty, "partition columns required — use expect")
+    require(rules.nonEmpty, "contract must declare at least one rule")
     val sr = scalarRules(rules)
     require(sr.size == rules.size,
       "expectBy takes scalar rules only (not_null / accepted_values / " +
@@ -169,11 +174,8 @@ object Quality {
         "checks — run them through expect")
     val aggs = scalarAggColumns(sr)
     val one = df.groupBy(partitionCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val rows = sr.map { case (i, r, _, _) =>
-      struct(lit(i).as("rule_idx"), lit(r.name).as("rule"),
-        col(s"__c$i").as("n_checked"), col(s"__v$i").as("n_violations"))
-    }
-    one.select(partitionCols.map(col) :+ explode(array(rows: _*)).as("r"): _*)
+    one.select(partitionCols.map(col) :+
+        explode(array(scalarReportRows(sr): _*)).as("r"): _*)
       .select(partitionCols.map(col) :+ col("r.rule") :+
         col("r.n_checked") :+ col("r.n_violations") :+
         (col("r.n_violations") === 0L).as("passed"): _*)

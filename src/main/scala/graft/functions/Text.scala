@@ -384,10 +384,11 @@ object Text {
         val row = top.head
         val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
         picked += ((picked.size + 1, l, r, f))
-        val next = Ckpt.materialize(
+        // old vocab's checkpoint blocks are reclaimed by the context
+        // cleaner once this reference drops (unpersist() would be a no-op
+        // on a checkpointed frame — it only releases .persist() entries)
+        vocab = Ckpt.materialize(
           vocab.select(mergeRow(col("syms"), lit(l), lit(r)).as("syms"), col("freq")))
-        vocab.unpersist()
-        vocab = next
         rank += 1
       }
     }
@@ -403,20 +404,39 @@ object Text {
     * map-side: the merge list is a broadcast-sized literal closure
     * (tokenizers ship thousands of merges, not millions), no shuffle. */
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    // rank map + lowest-rank-pair loop, NOT a linear replay of the merge
+    // table per word: replay is O(|merges| × word length) — 32k merges
+    // means 32k passes per word, nearly all matching nothing. Applying
+    // the lowest-rank pair present is equivalent (a merge's output symbol
+    // cannot appear in any LOWER-rank pair — that pair was trained before
+    // the symbol existed), and costs O(applied merges × word length).
+    val rankOf: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val mergeArr = merges.toArray
     val enc = udf((s: String) => {
-      val words = s.split(" ").filter(_.nonEmpty)
-      words.toSeq.flatMap { w =>
+      if (s == null) Seq.empty[String]
+      else s.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
         var syms: Array[String] = w.toCharArray.map(_.toString)
-        merges.foreach { case (l, r) =>
-          if (syms.length > 1) {
+        var done = syms.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val rk = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (rk < best) best = rk
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (l, r) = mergeArr(best)
             val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += (l + r); i += 2
-              } else { out += syms(i); i += 1 }
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+                out += (l + r); j += 2   // leftmost-first, non-overlapping
+              } else { out += syms(j); j += 1 }
             }
             syms = out.toArray
+            done = syms.length < 2
           }
         }
         syms.toSeq

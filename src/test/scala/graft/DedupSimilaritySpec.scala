@@ -94,6 +94,16 @@ class DedupSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 <= 3L && p._2 <= 3L), "no existing-existing pairs")
   }
 
+  test("lshPairsFrom fails fast on a k-mismatched signed relation") {
+    val signed = Dedup.signedCorpus(docs, "text", "doc_id", k = 32)
+    val err = intercept[Exception](
+      Dedup.lshPairsFrom(signed, k = 64).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("sign and band parameters must match")),
+      msgs(err).mkString(" | "))
+  }
+
   test("simHash: identical text -> hamming 0; unrelated -> large hamming") {
     val sigs = docs.select($"doc_id", Dedup.simHash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -232,6 +232,11 @@ class TextSpec extends SparkSpec {
     val chars = docs.select(Text.bpeEncode($"text", Nil).as("t"))
       .as[Seq[String]].head()
     assert(chars == "lowlowlow".map(_.toString))
+    // NULL text encodes to an empty token array, not an NPE
+    val n = Seq(Option.empty[String], Some("low")).toDF("text")
+      .select(Text.bpeEncode($"text", merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(n == Seq(Seq.empty, Seq("low")))
   }
 
   test("bpeTrain: stops early when no pairs remain; merges must be positive") {
