@@ -41,15 +41,32 @@ object Runner {
 
   /** One materializable asset: given (spark, partition) produce the frame
     * for EXACTLY that partition. `appendOnly` marks non-idempotent snapshot
-    * feeds (K2 — __init__.py:103-112). */
+    * feeds (K2 — __init__.py:103-112). `contract` attaches the asset's
+    * data-contract rules (the dbt posture: tests are declared WITH the
+    * model — aave_dbt/models/datamart/schema.yml — and run against the
+    * materialized table after every build). */
   final case class Job(name: String,
                        outPath: String,
-                       appendOnly: Boolean = false)(
+                       appendOnly: Boolean = false,
+                       contract: Seq[graft.functions.Quality.Rule] = Nil)(
                        val compute: (SparkSession, Partition) => DataFrame)
+
+  /** A materialized slice failed its declared contract. Carries the full
+    * failing-rule list so an orchestrator can alert per rule. */
+  final case class ContractViolation(assetName: String,
+                                     failures: Seq[(String, Long)])
+    extends RuntimeException(
+      s"contract violated for '$assetName': " + failures
+        .map { case (rule, n) => s"$rule ($n violations)" }.mkString("; "))
 
   /** Materialize `job` for `partition`: stamp the partition columns, then
     * dynamic-partition-overwrite (idempotent re-run of any historical
-    * partition without touching siblings) or append. Returns row count. */
+    * partition without touching siblings) or append. If the job declares
+    * a contract, evaluate it against the JUST-LANDED partition read back
+    * from the table (dbt's test-the-materialized-table semantics; the
+    * partition filter prunes the scan to the slice this run wrote) and
+    * throw [[ContractViolation]] on any failing rule — a gate, not a
+    * report. Returns row count. */
   def run(spark: SparkSession, job: Job, partition: Partition): Long = {
     val df0 = job.compute(spark, partition)
     val stamped = partition.values.foldLeft(df0) { case (d, (k, v)) =>
@@ -60,7 +77,20 @@ object Runner {
     val partCols = partition.values.keys.toSeq
     if (job.appendOnly) Sinks.appendOnly(withLoadTs, job.outPath, partCols)
     else Sinks.overwritePartitions(withLoadTs, job.outPath, partCols)
+    if (job.contract.nonEmpty) {
+      val slice = partition.values.foldLeft(spark.read.parquet(job.outPath)) {
+        case (d, (k, v)) => d.filter(col(k) === v)
+      }
+      enforce(job.name, slice, job.contract)
+    }
     n
+  }
+
+  private def enforce(name: String, df: DataFrame,
+                      contract: Seq[graft.functions.Quality.Rule]): Unit = {
+    val failing = graft.functions.Quality.expect(df, contract).collect()
+      .filter(!_.getBoolean(3)).map(r => r.getString(0) -> r.getLong(2))
+    if (failing.nonEmpty) throw ContractViolation(name, failing.toSeq)
   }
 
   /** Backfill a list of partitions sequentially (the Dagster backfill
@@ -174,16 +204,25 @@ object Runner {
 
     def materialize(models: Seq[Model],
                     sources: Map[String, DataFrame] = Map.empty,
-                    io: (String, DataFrame) => DataFrame = (_, df) => df): Map[String, DataFrame] = {
+                    io: (String, DataFrame) => DataFrame = (_, df) => df,
+                    contracts: Map[String, Seq[graft.functions.Quality.Rule]] =
+                      Map.empty): Map[String, DataFrame] = {
       // a model shadowing a source name would have its output silently
       // removed by the final `-- sources.keys` — refuse loudly instead
       val shadowed = models.map(_.name).toSet.intersect(sources.keySet)
       require(shadowed.isEmpty,
         s"model name(s) collide with provided sources: ${shadowed.toSeq.sorted.mkString(", ")}")
+      contracts.keys.foreach(n => require(models.exists(_.name == n),
+        s"contract declared for unknown model '$n'"))
       val order = topoOrder(models, sources.keySet)
       order.foldLeft(sources) { (built, m) =>
         val resolved = m.deps.map(d => d -> built(d)).toMap
-        built + (m.name -> io(m.name, m.compute(resolved)))
+        val out = io(m.name, m.compute(resolved))
+        // dbt semantics: a model's tests run right after it builds, and a
+        // failure stops the DAG before any downstream model consumes it
+        contracts.get(m.name).filter(_.nonEmpty)
+          .foreach(rules => enforce(m.name, out, rules))
+        built + (m.name -> out)
       } -- sources.keys
     }
 

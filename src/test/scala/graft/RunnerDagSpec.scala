@@ -129,6 +129,43 @@ class RunnerDagSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Dag.topoOrder(dangling))
   }
 
+  test("Job contract gates the landed partition: clean passes, violation throws with rules") {
+    import graft.functions.Quality
+    val out = java.nio.file.Files.createTempDirectory("graft_contract_job").toString
+    def job(bad: Boolean) = Runner.Job("facts", out,
+        contract = Seq(Quality.NotNull("v"), Quality.InRange("v", 0.0, 100.0))) {
+      (s, _) =>
+        import s.implicits._
+        (if (bad) Seq(Some(10.0), None, Some(500.0)) else Seq(Some(10.0), Some(20.0)))
+          .toDF("v")
+    }
+    assert(Runner.run(spark, job(bad = false), Runner.Daily("2024-01-01")) == 2L)
+    val e = intercept[Runner.ContractViolation](
+      Runner.run(spark, job(bad = true), Runner.Daily("2024-01-02")))
+    assert(e.assetName == "facts")
+    assert(e.failures.toMap == Map("not_null(v)" -> 1L, "accepted_range(v)" -> 1L),
+      e.failures.toString)
+    // the gate checked ONLY the slice this run wrote: day 1's clean
+    // partition did not mask day 2's violations, and day 1 stays intact
+    assert(spark.read.parquet(out).where($"date" === "2024-01-01").count() == 2L)
+  }
+
+  test("Dag contract failure stops the build before downstream models consume it") {
+    import graft.functions.Quality
+    val src = Seq((1L, -5.0)).toDF("id", "v")
+    var downstreamRan = false
+    val models = Seq(
+      Model("clean", Seq("src")) { deps => deps("src") },
+      Model("report", Seq("clean")) { deps => downstreamRan = true; deps("clean") })
+    val e = intercept[Runner.ContractViolation](
+      Dag.materialize(models, Map("src" -> src),
+        contracts = Map("clean" -> Seq(Quality.InRange("v", 0.0, 100.0)))))
+    assert(e.assetName == "clean" && !downstreamRan)
+    assertThrows[IllegalArgumentException](
+      Dag.materialize(models, Map("src" -> src),
+        contracts = Map("nope" -> Seq(Quality.NotNull("v")))))
+  }
+
   test("DAG materialization matches direct composition (lazy and parquet io)") {
     val direct = {
       val meas = Warehouse.atokenMeasuresByDay(balances, transfers, fees, mints,
