@@ -1854,6 +1854,20 @@ object TrainingQueries {
       Similarity.knnGraphBlockedAuto(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 3, nLists = 64, trainIters = 2,
         maxCandidateFraction = 0.4)),
+    // d15 production = build the index ONCE at rest, probe with the batch
+    // — no rebuild twin (the gated form runs the rebuild it must equal)
+    "d15_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tmp = Scratch.dir(s, "d15_prod")
+      val (bandsDf, shinglesDf) = Dedup.nearDupIndexTables(
+        docs.filter($"doc_id" % 4 =!= 0), "text", "doc_id")
+      bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+      shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
+      Dedup.incrementalNearDup(docs.filter($"doc_id" % 4 === 0), "text", "doc_id",
+        s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
+        threshold = 0.4)
+    }),
     "t22_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val sh = shingles4(s, dir)
