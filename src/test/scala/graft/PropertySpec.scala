@@ -130,6 +130,49 @@ class PropertySpec extends SparkSpec {
     assert(base.nonEmpty && base == again)
   }
 
+  test("snapshotDiff: applying the diff to `before` reconstructs `after` (random tables)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      def table(ids: Seq[Long]) =
+        ids.map(i => (i, s"s${rnd.nextInt(3)}", rnd.nextInt(5).toDouble))
+          .toDF("id", "state", "v")
+      val before = table(rnd.shuffle((1L to 40L).toList).take(25))
+      val after = table(rnd.shuffle((1L to 40L).toList).take(25))
+      val diff = Relational.snapshotDiff(before, after, Seq("id"), Seq("state", "v"))
+      // reconstruction: after == (unchanged ∪ changed ∪ added keys of the
+      // diff, each taking `after`'s row) and removed keys vanish
+      val keysBy = diff.groupBy($"diff_status").agg(collect_set($"id").as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+          .withDefaultValue(Set.empty[Long])
+      val afterIds = after.select($"id").as[Long].collect().toSet
+      val beforeIds = before.select($"id").as[Long].collect().toSet
+      assert(keysBy("added") == afterIds -- beforeIds, s"trial $trial added")
+      assert(keysBy("removed") == beforeIds -- afterIds, s"trial $trial removed")
+      assert(keysBy("added") ++ keysBy("removed") ++ keysBy("changed") ++
+        keysBy("unchanged") == afterIds ++ beforeIds, s"trial $trial partition")
+      // self-diff: everything unchanged
+      val self = Relational.snapshotDiff(after, after, Seq("id"), Seq("state", "v"))
+      assert(self.filter($"diff_status" =!= "unchanged").count() == 0, s"trial $trial self")
+    }
+  }
+
+  test("psiByCategory: every contribution is non-negative; zero iff shares equal") {
+    import graft.functions.Stats
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      def mix() = (1 to 50).map(_ => s"c${rnd.nextInt(4)}").map(Tuple1(_)).toDF("c")
+      val rows = Stats.psiByCategory(mix(), mix(), "c")
+        .select($"psi_contrib", $"share_ref", $"share_cand")
+        .as[(Double, Double, Double)].collect()
+      rows.foreach { case (psi, sr, sc) =>
+        // (p−q)·ln(p/q) ≥ 0 for all p,q > 0 — both factors share a sign
+        assert(psi >= -1e-15, s"trial $trial: negative contribution $psi")
+        if (math.abs(sr - sc) < 1e-15) assert(math.abs(psi) < 1e-15)
+        else assert(psi > 0, s"trial $trial: unequal shares must contribute")
+      }
+    }
+  }
+
   test("unionPadded output column set = union of inputs; row count = sum") {
     val a = Seq((1L, 1.0)).toDF("id", "x")
     val b = Seq((2L, 2.0), (3L, 3.0)).toDF("id", "y")
