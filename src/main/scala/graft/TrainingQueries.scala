@@ -55,6 +55,20 @@ object TrainingQueries {
     }
   }
 
+  /** d15's shared at-rest round trip: write the band table partitioned by
+    * band + the shingle table, read both back, probe with the batch (the
+    * gated query and its production-only bench variant differ only in
+    * whether a rebuild twin is also run). */
+  private def d15WriteAndProbe(s: SparkSession, tmp: String,
+                               bandsDf: DataFrame, shinglesDf: DataFrame,
+                               batch: DataFrame): DataFrame = {
+    bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+    shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
+    Dedup.incrementalNearDup(batch, "text", "doc_id",
+      s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
+      threshold = 0.4)
+  }
+
   /** Driver-side corpus count + matching sample predicate — ONE metadata
     * count action per gate query at build time (parquet row-group counts,
     * no data scan). */
@@ -958,11 +972,7 @@ object TrainingQueries {
       val signedAll = Dedup.signedCorpus(docs, "text", "doc_id")
       val (bandsDf, shinglesDf) =
         Dedup.nearDupIndexTablesFrom(signedAll.filter($"id" % 4 =!= 0))
-      bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
-      shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
-      val inc = Dedup.incrementalNearDup(batchNew, "text", "doc_id",
-        s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
-        threshold = 0.4)
+      val inc = d15WriteAndProbe(s, tmp, bandsDf, shinglesDf, batchNew)
       val fullTouching = Dedup.lshPairsFrom(signedAll, threshold = 0.4)
         .filter($"id_a" % 4 === 0 || $"id_b" % 4 === 0)
       val stats = inc.select($"id_a", $"id_b", $"jaccard".as("j_inc"))
@@ -1859,14 +1869,10 @@ object TrainingQueries {
     "d15_incremental_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val tmp = Scratch.dir(s, "d15_prod")
       val (bandsDf, shinglesDf) = Dedup.nearDupIndexTables(
         docs.filter($"doc_id" % 4 =!= 0), "text", "doc_id")
-      bandsDf.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
-      shinglesDf.write.mode("overwrite").parquet(s"$tmp/shingles")
-      Dedup.incrementalNearDup(docs.filter($"doc_id" % 4 === 0), "text", "doc_id",
-        s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
-        threshold = 0.4)
+      d15WriteAndProbe(s, Scratch.dir(s, "d15_prod"), bandsDf, shinglesDf,
+        docs.filter($"doc_id" % 4 === 0))
     }),
     "t22_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._

@@ -348,27 +348,35 @@ object Text {
     * everything else was already ≤ the previous max) — the t25 gate
     * asserts this in-plan.
     */
+  /** One BPE merge application: rewrite every leftmost-first,
+    * non-overlapping (l, r) adjacency as the fused symbol. The SINGLE
+    * rewrite rule — training ([[bpeTrain]]) and encoding ([[bpeEncode]])
+    * both call it, which is what makes encode-the-training-corpus
+    * reproduce training's final symbol sequences exactly. */
+  private def bpeMergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
                merges: Int): org.apache.spark.sql.DataFrame = {
     require(merges > 0, "must request at least one merge")
     val spark = df.sparkSession
     import spark.implicits._
-    val splitWord = udf((w: String) => w.toCharArray.map(_.toString))
     var vocab = Ckpt.materialize(
       df.select(explode(split(normalize(col(textCol)), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(splitWord(col("w")).as("syms"), col("freq")))
-    val mergeRow = udf((syms: Seq[String], l: String, r: String) => {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += (l + r); i += 2   // leftmost-first, non-overlapping
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    })
+        // split on the empty pattern = character array, pure Catalyst
+        .select(split(col("w"), "").as("syms"), col("freq")))
+    val mergeRow = udf((syms: Seq[String], l: String, r: String) =>
+      bpeMergeOnce(syms.toArray, l, r).toSeq)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     while (rank < merges) {
@@ -428,14 +436,7 @@ object Text {
           if (best == Int.MaxValue) done = true
           else {
             val (l, r) = mergeArr(best)
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var j = 0
-            while (j < syms.length) {
-              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
-                out += (l + r); j += 2   // leftmost-first, non-overlapping
-              } else { out += syms(j); j += 1 }
-            }
-            syms = out.toArray
+            syms = bpeMergeOnce(syms, l, r)
             done = syms.length < 2
           }
         }
