@@ -72,11 +72,18 @@ object Runner {
     val stamped = partition.values.foldLeft(df0) { case (d, (k, v)) =>
       if (d.columns.contains(k)) d else d.withColumn(k, lit(v))
     }
+    // row count via the Observation API: the metric is collected DURING
+    // the write action, not by a separate count() — which would run the
+    // whole transform twice (at 100 TB the double computation is the
+    // entire job cost, and a non-deterministic transform could even
+    // write different rows than it counted)
+    val obs = new org.apache.spark.sql.Observation(s"runner_${job.name}")
     val withLoadTs = stamped.withColumn("load_ts", current_timestamp())
-    val n = withLoadTs.count()
+      .observe(obs, count(lit(1)).as("n"))
     val partCols = partition.values.keys.toSeq
     if (job.appendOnly) Sinks.appendOnly(withLoadTs, job.outPath, partCols)
     else Sinks.overwritePartitions(withLoadTs, job.outPath, partCols)
+    val n = obs.get("n").asInstanceOf[Long]
     if (job.contract.nonEmpty) {
       val slice = partition.values.foldLeft(spark.read.parquet(job.outPath)) {
         case (d, (k, v)) => d.filter(col(k) === v)
