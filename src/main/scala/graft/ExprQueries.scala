@@ -446,6 +446,37 @@ object ExprQueries {
         .select($"o_orderkey", $"parsed.key".as("rt_key"), $"parsed.status".as("rt_status"))
     }),
 
+    // E14: Spark 4 VARIANT semi-structured path — parse_json into the
+    // shredded binary VariantType ONCE, then typed variant_get path
+    // extraction (incl. a nested path), versus e8's get_json_object which
+    // re-parses the JSON string per path. The contract pinned by the
+    // oracle: the construct → parse → typed-extract → aggregate loop
+    // reproduces the source values exactly (DuckDB computes the same
+    // aggregate straight from the columns), and probing a NONEXISTENT
+    // path with try_variant_get yields NULL, never an error or value
+    // (missing_path_ok, oracle `true`).
+    "e14_variant_json" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = t(s, dir, "orders")
+        .withColumn("j", to_json(struct($"o_custkey".as("cust"),
+          $"o_totalprice".as("price"),
+          struct($"o_orderpriority".as("prio"),
+            $"o_orderdate".cast("string").as("d")).as("meta"))))
+        .select(parse_json($"j").as("v"))
+      parsed.select(
+          expr("variant_get(v, '$.meta.prio', 'string')").as("prio"),
+          expr("variant_get(v, '$.cust', 'bigint')").as("cust"),
+          expr("variant_get(v, '$.price', 'double')").as("price"),
+          expr("variant_get(v, '$.meta.d', 'string')").as("d"),
+          expr("try_variant_get(v, '$.nope.deep', 'string')").as("missing"))
+        .groupBy($"prio")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct($"cust").as("n_custs"),
+          round(sum($"price"), 4).as("sum_price"),
+          min($"d").as("min_date"),
+          (count($"missing") === 0L).as("missing_path_ok"))
+    }),
+
     // E12: array higher-order functions — collect + sort + lambda filter /
     // transform / fold per group. Everything after the collect_list is
     // map-side codegen'd array arithmetic; the fold walks the SORTED array
@@ -700,6 +731,14 @@ object ExprQueries {
          FROM events""",
     "e10_json_roundtrip" ->
       """SELECT o_orderkey, o_orderkey AS rt_key, o_orderstatus AS rt_status FROM orders""",
+    "e14_variant_json" ->
+      """SELECT o_orderpriority AS prio,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                round(sum(o_totalprice), 4) AS sum_price,
+                min(CAST(o_orderdate AS VARCHAR)) AS min_date,
+                true AS missing_path_ok
+         FROM orders GROUP BY o_orderpriority""",
     "p11_column_profile" ->
       """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
                 count(*) - count(l_quantity) AS n_nulls,
