@@ -34,7 +34,8 @@ object Explain {
     "c1_corpus_pipeline", "k6_partial_agg_merge", "d14_shared_spans",
     "k7_zorder_layout", "k8_sketch_partials",
     "k9_expectation_checks", "o16_snapshot_diff", "t23_leakage_safe_split",
-    "t24_distribution_drift", "k10_bucketed_join", "d15_incremental_neardup", "t25_bpe_merges")
+    "t24_distribution_drift", "k10_bucketed_join", "d15_incremental_neardup", "t25_bpe_merges",
+    "e14_variant_json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
