@@ -37,6 +37,21 @@ object Bench {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderpriority").agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
+    // Machine-speed reference: one timed full scan-and-aggregate of the
+    // three largest tables, AFTER warm-up, BEFORE the query loop. Bench
+    // totals on this sandbox swing ±15% with ambient load (BASELINE.md's
+    // driver-inflation history); emitting the same run's scan baseline in
+    // the JSON lets any two runs be compared as total/scan_baseline
+    // ratios instead of raw seconds.
+    val scanBaseline = {
+      import org.apache.spark.sql.functions.{count, lit}
+      val t0 = System.nanoTime()
+      Seq("lineitem", "orders", "documents", "embeddings").foreach { tbl =>
+        try Tables.t(spark, sfDir, tbl).agg(count(lit(1))).collect()
+        catch { case _: Throwable => () }
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     // SPARK_GRAFT_ONLY: comma-separated query names — micro-bench a subset
     // while iterating (full run when unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -117,7 +132,7 @@ object Bench {
     }
     val qs = kept.result().mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val extra = s""","n_queries":${results.size},"omitted_fast_queries":$omitted,"omitted_sec":${f2(omittedSec)}"""
+    val extra = s""","n_queries":${results.size},"omitted_fast_queries":$omitted,"omitted_sec":${f2(omittedSec)},"scan_baseline_sec":${f2(scanBaseline)}"""
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
