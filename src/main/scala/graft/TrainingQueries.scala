@@ -992,6 +992,47 @@ object TrainingQueries {
           ($"n_inc" > 0).as("pairs_found"))
     }),
 
+    // D16: RECORD LINKAGE between two feeds (Dedup.linkBestMatch) — the
+    // left third of the corpus (doc_id % 3 == 0) fuzzy-matched against
+    // the rest: LSH-blocked candidates, exact shingle-Jaccard verify,
+    // best-match-per-left assignment. HASH-GATED via the d2 pattern:
+    // payload = the EXACT best matches for a deterministic ≤400-doc hash
+    // slice of the left side (cross-join argmax DuckDB recomputes
+    // independently in the same bigram-shingle space, same (jaccard desc,
+    // right_id) tie-break); verdict = the production linkage restricted
+    // to the slice picks the same right_id for ≥ 80% of slice docs that
+    // HAVE an exact match (measured 100% at sf0.01/sf0.1 — best matches
+    // sit far above the 0.4 threshold where LSH detection is ~certain).
+    "d16_record_linkage" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val left = docs.filter($"doc_id" % 3 === 0)
+      val right = docs.filter($"doc_id" % 3 =!= 0)
+      val linked = Dedup.linkBestMatch(left, right, "text", "doc_id",
+        threshold = 0.4)
+      val nLeft = left.count()
+      val sl = left.filter(Text.hashSampleCapFilter($"doc_id", nLeft, 400L))
+        .select($"doc_id".as("left_id"),
+          array_distinct(Dedup.shingleTokens($"text", 2)).as("ga"))
+      val exact = right
+        .select($"doc_id".as("rid"), array_distinct(Dedup.shingleTokens($"text", 2)).as("gb"))
+        .crossJoin(broadcast(sl))
+        .withColumn("j", round(Dedup.jaccardWords($"ga", $"gb"), 6))
+        .filter($"j" >= 0.4)
+        .withColumn("__rn", row_number().over(Window.partitionBy($"left_id")
+          .orderBy($"j".desc, $"rid".asc)))
+        .filter($"__rn" === 1)
+        .select($"left_id", $"rid".as("right_id"), $"j".as("jaccard"))
+      val agree = exact.select($"left_id", $"right_id".as("__er"))
+        .join(linked.select($"left_id", $"right_id".as("__lr")), Seq("left_id"), "left")
+        .agg(count(lit(1)).as("__n_exact"),
+          count(when($"__lr" === $"__er", 1)).as("__n_agree"))
+      exact.crossJoin(broadcast(agree))
+        .select($"left_id", $"right_id", $"jaccard",
+          ($"__n_exact" === 0L || $"__n_agree" >= $"__n_exact" * lit(0.8))
+            .as("agreement_ok"))
+    }),
+
     // T25: BPE tokenizer training in-engine (Text.bpeTrain) — 8 merges
     // over the corpus's distinct-word frequency table (the sublinear
     // Sennrich form; the loop driver follows the kmeans/pageRank
@@ -1916,6 +1957,36 @@ object TrainingQueries {
     "d3_simhash_neardup" ->
       """SELECT lang, count(*) AS n_docs, true AS pairs_match_naive
          FROM documents GROUP BY lang""",
+    "d16_record_linkage" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(words) < 2 THEN [words[1]]
+                    ELSE list_transform(range(1, len(words)),
+                         i -> words[i] || ' ' || words[i+1]) END) AS gs
+           FROM w),
+         lft AS (
+           SELECT doc_id, gs FROM sh
+           WHERE doc_id % 3 = 0 AND (
+             (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) <= 400 OR
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               printf('%04x', least(65535, CAST(floor(65536.0 * 400.0 /
+                 (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)) AS BIGINT) + 1)))),
+         rgt AS (SELECT doc_id, gs FROM sh WHERE doc_id % 3 <> 0),
+         pairs AS (
+           SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                  round(CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE) /
+                        (len(l.gs) + len(r.gs) - len(list_intersect(l.gs, r.gs))), 6) AS jaccard
+           FROM lft l JOIN rgt r ON true
+           WHERE CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE) /
+                 (len(l.gs) + len(r.gs) - len(list_intersect(l.gs, r.gs))) >= 0.4)
+         SELECT left_id, right_id, jaccard, true AS agreement_ok FROM (
+           SELECT *, row_number() OVER (PARTITION BY left_id
+             ORDER BY jaccard DESC, right_id ASC) AS rn
+           FROM pairs) WHERE rn = 1""",
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id,
                            CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -242,6 +242,15 @@ object Dedup {
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
 
+  /** Exact shingle-space Jaccard of two sorted shingle-hash array columns
+    * — the one formula every verify path shares (same-table pairs, the
+    * two-table linkage join, the exact twins). */
+  private def jaccardOf(a: Column, b: Column): Column = {
+    val inter = sortedInter(a, b).cast("double")
+    val union = size(a) + size(b) - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** Shared LSH verification: exact shingle-space Jaccard over candidate
     * pairs, one shuffle per pair side to re-attach the sorted shingle-hash
     * arrays (ids travel through the candidate join, documents don't). The
@@ -252,10 +261,7 @@ object Dedup {
     cand
       .join(words.withColumnRenamed("id", "id_a").withColumnRenamed("words", "words_a"), "id_a")
       .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("words", "words_b"), "id_b")
-      .withColumn("__inter", sortedInter(col("words_a"), col("words_b")).cast("double"))
-      .withColumn("__union", size(col("words_a")) + size(col("words_b")) - col("__inter"))
-      .withColumn("jaccard",
-        when(col("__union") === 0, lit(0.0)).otherwise(col("__inter") / col("__union")))
+      .withColumn("jaccard", jaccardOf(col("words_a"), col("words_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
@@ -1282,5 +1288,50 @@ object Dedup {
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyPairs(cand, idxShingles.unionByName(newShingles), threshold)
+  }
+
+  /** RECORD LINKAGE (fuzzy entity resolution) between TWO tables: for each
+    * left row, the single best right match by exact shingle-space Jaccard
+    * ≥ `threshold` — the reconcile-two-feeds primitive that self-dedup
+    * ([[nearDupMinhashLsh]]) is not: ids need not be unique across tables,
+    * every pair crosses the tables, and the result is a best-match
+    * assignment (ties broken by right id for determinism), not a pair
+    * graph. Returns (left_id, right_id, jaccard); left rows with no match
+    * above threshold are absent (left-join the result to keep them).
+    *
+    * Shape: both sides sign once ([[signedCorpus]]); candidates come from
+    * the LSH band join of left-bands × right-bands with the hot-bucket
+    * cap counted over BOTH sides' rows (a band value flooded by either
+    * side is non-discriminative); only surviving candidate ids re-attach
+    * their shingle arrays; the best-match argmax is one window over the
+    * candidate table (bounded by verified-pair count, not corpus size).
+    */
+  def linkBestMatch(left: DataFrame, right: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 2, k: Int = 64, bands: Int = 16,
+                    threshold: Double = 0.5,
+                    maxBucketSize: Int = 128): DataFrame = {
+    val (lb, lw) = nearDupIndexTablesFrom(signedCorpus(left, textCol, idCol, n, k), k, bands)
+    val (rb, rw) = nearDupIndexTablesFrom(signedCorpus(right, textCol, idCol, n, k), k, bands)
+    val hot = lb.unionByName(rb).groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val cand = lb.join(broadcast(hot), Seq("band", "band_hash"), "left_anti").as("a")
+      .join(rb.join(broadcast(hot), Seq("band", "band_hash"), "left_anti").as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .dropDuplicates("left_id", "right_id")
+    val verified = cand
+      .join(lw.toDF("left_id", "words_a"), "left_id")
+      .join(rw.toDF("right_id", "words_b"), "right_id")
+      .withColumn("jaccard", jaccardOf(col("words_a"), col("words_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), round(col("jaccard"), 6).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("left_id"))
+      .orderBy(col("jaccard").desc, col("right_id").asc)
+    verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 }

@@ -94,6 +94,31 @@ class DedupSpec extends SparkSpec {
     assert(!inc.exists(p => p._1 <= 3L && p._2 <= 3L), "no existing-existing pairs")
   }
 
+  test("linkBestMatch: best right match per left row, ids may collide across tables") {
+    // left ids deliberately REUSE right-side id values (1, 2) — linkage
+    // must keep the tables' id spaces separate, unlike self-dedup
+    val leftT = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // near-dups in right
+      (2L, "completely different content about spark and scala"),
+      (3L, "nothing like anything else at all here zzz qqq")) // no match
+      .toDF("doc_id", "text")
+    val rightT = Seq(
+      (1L, "entirely unrelated text about databases and engines"),
+      (2L, "the quick brown fox jumps over the very lazy dog"),  // best for left 1
+      (5L, "the quick brown fox leaps over the lazy dog"),
+      (9L, "completely different content about spark and scala")) // exact for left 2
+      .toDF("doc_id", "text")
+    val got = Dedup.linkBestMatch(leftT, rightT, "text", "doc_id", threshold = 0.5)
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toMap
+    assert(got.get(2L).contains(9L), got.toString)  // exact dup wins
+    assert(got.get(1L).exists(r => r == 2L || r == 5L), got.toString)
+    assert(!got.contains(3L), "no-match left row absent")
+    // one row per left id (best match, not the pair graph)
+    val rows = Dedup.linkBestMatch(leftT, rightT, "text", "doc_id", threshold = 0.3)
+      .groupBy($"left_id").count().agg(max($"count")).as[Long].head()
+    assert(rows == 1L)
+  }
+
   test("lshPairsFrom fails fast on a k-mismatched signed relation") {
     val signed = Dedup.signedCorpus(docs, "text", "doc_id", k = 32)
     val err = intercept[Exception](
