@@ -443,6 +443,57 @@ object AnalyticsQueries {
         .withColumnRenamed("total_dur", "total_us")
     }),
 
+    // W17: ORDERED FUNNEL (view → click → purchase) — per-user strict
+    // temporal progression via Temporal.funnelStages (ONE shuffle: sorted
+    // per-user scan in a Catalyst aggregate lambda), reported as per-step
+    // reach counts/rates over the funnel-eligible users. The oracle
+    // recomputes with the equivalent k-chained min-ts form (t1 = first
+    // view, t2 = first click AFTER t1, t3 = first purchase AFTER t2) —
+    // two independent implementations of the same semantics, hash-matched.
+    "w17_funnel_steps" -> ((s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000").as("ts_us"),
+          $"event_type")
+      val stages = graft.operators.Temporal.funnelStages(ev, "user_id",
+        "ts_us", "event_type", steps)
+      val aggs = count(lit(1)).as("__n") +:
+        steps.indices.map(i =>
+          sum(when($"max_stage" >= i + 1, 1L).otherwise(0L)).as(s"__s$i"))
+      val one = stages.agg(aggs.head, aggs.tail: _*)
+      val rows = steps.zipWithIndex.map { case (name, i) =>
+        struct(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col(s"__s$i").as("n_users"),
+          round(col(s"__s$i") / col("__n"), 6).as("reach_rate"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }),
+
+    // A22: RETENTION COHORTS — the signup-week × activity-week matrix:
+    // each user joins the cohort of their first `signup` week; retention
+    // at offset k = share of the cohort active (any event) k weeks later.
+    // Two key-partitioned aggregates + one broadcast join of the tiny
+    // cohort-size table; day/week arithmetic is integral µs div (exact on
+    // both engines).
+    "a22_retention_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type",
+          expr("CAST(ts AS BIGINT) div 1000 div 86400000000 div 7").as("week"))
+      val cohorts = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val sizes = cohorts.groupBy($"cohort_week")
+        .agg(countDistinct($"user_id").as("n_cohort"))
+      ev.join(cohorts, "user_id")
+        .filter($"week" >= $"cohort_week")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
+          round($"n_active" / $"n_cohort", 6).as("retention"))
+    }),
+
     // K9: data-contract expectation checks — the reference's declared dbt
     // test vocabulary (unique / not_null / accepted_values / relationships,
     // aave_dbt/models/datamart/schema.yml:6-11, shipped there as comments)
@@ -763,6 +814,59 @@ object AnalyticsQueries {
                 round(my - (sxy / sxx) * mx, 4) AS intercept,
                 round(sxy * sxy / (sxx * syy), 6) AS r2
          FROM c""",
+    "w17_funnel_steps" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+           FROM events),
+         base AS (
+           SELECT DISTINCT user_id FROM e
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+           FROM e GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts_us > u1.t1
+                      THEN e.ts_us END) AS t2
+           FROM e JOIN u1 ON e.user_id = u1.user_id GROUP BY e.user_id),
+         u3 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > u2.t2
+                      THEN e.ts_us END) AS t3
+           FROM e JOIN u2 ON e.user_id = u2.user_id GROUP BY e.user_id),
+         j AS (
+           SELECT b.user_id, t1, t2, t3 FROM base b
+           LEFT JOIN u1 ON b.user_id = u1.user_id
+           LEFT JOIN u2 ON b.user_id = u2.user_id
+           LEFT JOIN u3 ON b.user_id = u3.user_id),
+         s AS (SELECT count(*) AS n, count(t1) AS s1, count(t2) AS s2,
+                      count(t3) AS s3 FROM j)
+         SELECT 1 AS step, 'view' AS step_name, CAST(s1 AS BIGINT) AS n_users,
+                round(s1 * 1.0 / n, 6) AS reach_rate FROM s
+         UNION ALL
+         SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6) FROM s
+         UNION ALL
+         SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6) FROM s""",
+    "a22_retention_cohorts" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  epoch_ns(ts) // 1000 // 86400000000 // 7 AS week
+           FROM events),
+         c AS (
+           SELECT user_id, min(week) AS cohort_week FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+         sz AS (
+           SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+           FROM c GROUP BY cohort_week),
+         act AS (
+           SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+                  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+           FROM e JOIN c ON e.user_id = c.user_id
+           WHERE e.week >= c.cohort_week
+           GROUP BY c.cohort_week, e.week - c.cohort_week)
+         SELECT a.cohort_week, a.week_offset, a.n_active, sz.n_cohort,
+                round(a.n_active * 1.0 / sz.n_cohort, 6) AS retention
+         FROM act a JOIN sz ON a.cohort_week = sz.cohort_week""",
     "k9_expectation_checks" ->
       """SELECT 'not_null(l_orderkey)' AS rule,
                 CAST(count(*) AS BIGINT) AS n_checked,

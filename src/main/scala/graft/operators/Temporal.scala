@@ -182,6 +182,46 @@ object Temporal {
           .as("twap"))
       .filter(col("total_dur") > 0)
 
+  /** ORDERED FUNNEL progression per user — the product-analytics
+    * primitive ("reached view → click → purchase, in order"): returns
+    * one row per user with `max_stage` = how many steps of `steps` were
+    * completed in strict temporal order (each event advances at most one
+    * stage, and a stage only advances on an event STRICTLY later than
+    * the previous advance — so the result is exactly the classic
+    * min-ts-chain form `t1 = min ts(step1), t2 = min ts(step2) > t1, …`,
+    * which an external SQL engine can recompute with k chained
+    * aggregates; the w17 gate cross-checks the two).
+    *
+    * ONE shuffle: events collect per user (sorted in the aggregation
+    * buffer), and the stage scan is a Catalyst `aggregate` lambda over
+    * the sorted array — versus the join-chain form's k shuffles of the
+    * full event table. Per-user state is one (stage, lastTs) pair; the
+    * collected array is bounded by per-user event count (salt or
+    * pre-filter to the funnel's event types — done here via the isin
+    * pushdown — if single users can hold millions of events).
+    */
+  def funnelStages(df: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.length
+    val stepsArr = array(steps.map(lit): _*)
+    df.filter(col(typeCol).isin(steps: _*)) // pushed to the scan
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("tp")))).as("__evs"))
+      .select(col(userCol),
+        aggregate(col("__evs"),
+          struct(lit(0).as("stage"), lit(Long.MinValue).as("last")),
+          (acc, ev) => {
+            val advance = acc.getField("stage") < k &&
+              ev.getField("tp") === element_at(stepsArr, acc.getField("stage") + 1) &&
+              ev.getField("ts") > acc.getField("last")
+            when(advance, struct((acc.getField("stage") + 1).as("stage"),
+                ev.getField("ts").as("last")))
+              .otherwise(acc)
+          }).getField("stage").as("max_stage"))
+  }
+
   /** Shared TWAP-core: holding duration of each observation = the gap to
     * the key's NEXT observation (`durExpr` may reference the lead-ts as
     * `__nxt`); open-ended final observations (NULL duration) are dropped.

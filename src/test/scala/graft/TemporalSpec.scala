@@ -124,6 +124,28 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("big", 2L, d1 + 1L, expTwap)))
   }
 
+  test("funnelStages: strict ordered progression, one advance per event, same-ts blocked") {
+    val steps = Seq("view", "click", "purchase")
+    val ev = Seq(
+      // u1: full funnel in order
+      ("u1", 10L, "view"), ("u1", 20L, "click"), ("u1", 30L, "purchase"),
+      // u2: click BEFORE view never counts; then view only -> stage 1
+      ("u2", 5L, "click"), ("u2", 10L, "view"),
+      // u3: purchase without click -> stuck at stage 1
+      ("u3", 10L, "view"), ("u3", 20L, "purchase"),
+      // u4: click at the SAME ts as view must not advance (strict >)
+      ("u4", 10L, "view"), ("u4", 10L, "click"), ("u4", 40L, "click"),
+      // u5: only non-funnel events -> absent from the result
+      ("u5", 10L, "error"), ("u5", 20L, "signup"),
+      // u6: late view restarts nothing — first view anchors the chain
+      ("u6", 50L, "view"), ("u6", 60L, "click"), ("u6", 55L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnelStages(ev, "user_id", "ts", "event_type", steps)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("u1" -> 3, "u2" -> 1, "u3" -> 1, "u4" -> 2, "u6" -> 2),
+      got.toString)
+  }
+
   test("rangeJoinBucketed: point-in-interval matches across bin sizes") {
     val sessions = Seq(
       ("u1", 100L, 200L, "s1"), ("u1", 200L, 300L, "s2"), ("u2", 0L, 1000L, "s3"))
