@@ -472,7 +472,10 @@ object ExprQueries {
         .groupBy($"prio")
         .agg(count(lit(1)).as("n_orders"),
           countDistinct($"cust").as("n_custs"),
-          round(sum($"price"), 4).as("sum_price"),
+          // avg, not sum: a round(4) on a ~1e10-magnitude sum sits within
+          // accumulation-order ulp noise at sf0.1+ (the a21 lesson); the
+          // mean's relative error leaves ~1000x margin at the same scale
+          round(avg($"price"), 4).as("avg_price"),
           min($"d").as("min_date"),
           (count($"missing") === 0L).as("missing_path_ok"))
     }),
@@ -735,7 +738,7 @@ object ExprQueries {
       """SELECT o_orderpriority AS prio,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-                round(sum(o_totalprice), 4) AS sum_price,
+                round(avg(o_totalprice), 4) AS avg_price,
                 min(CAST(o_orderdate AS VARCHAR)) AS min_date,
                 true AS missing_path_ok
          FROM orders GROUP BY o_orderpriority""",
