@@ -484,7 +484,7 @@ object AnalyticsQueries {
       val cohorts = ev.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"week").as("cohort_week"))
       val sizes = cohorts.groupBy($"cohort_week")
-        .agg(countDistinct($"user_id").as("n_cohort"))
+        .agg(count(lit(1)).as("n_cohort")) // cohorts is one row per user
       ev.join(cohorts, "user_id")
         .filter($"week" >= $"cohort_week")
         .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
@@ -856,7 +856,7 @@ object AnalyticsQueries {
            SELECT user_id, min(week) AS cohort_week FROM e
            WHERE event_type = 'signup' GROUP BY user_id),
          sz AS (
-           SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+           SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
            FROM c GROUP BY cohort_week),
          act AS (
            SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,

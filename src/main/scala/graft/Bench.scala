@@ -37,13 +37,19 @@ object Bench {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderpriority").agg(count(lit(1))).collect()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY: comma-separated query names — micro-bench a subset
+    // while iterating (full run when unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Machine-speed reference: one timed full scan-and-aggregate of the
-    // three largest tables, AFTER warm-up, BEFORE the query loop. Bench
+    // four largest tables, AFTER warm-up, BEFORE the query loop. Bench
     // totals on this sandbox swing ±15% with ambient load (BASELINE.md's
     // driver-inflation history); emitting the same run's scan baseline in
     // the JSON lets any two runs be compared as total/scan_baseline
-    // ratios instead of raw seconds.
-    val scanBaseline = {
+    // ratios instead of raw seconds. Skipped (0.0) under SPARK_GRAFT_ONLY
+    // — subset runs exist for fast iteration and the ratio only means
+    // anything for full runs.
+    val scanBaseline = if (only.isDefined) 0.0 else {
       import org.apache.spark.sql.functions.{count, lit}
       val t0 = System.nanoTime()
       Seq("lineitem", "orders", "documents", "embeddings").foreach { tbl =>
@@ -52,10 +58,6 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // SPARK_GRAFT_ONLY: comma-separated query names — micro-bench a subset
-    // while iterating (full run when unset).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries

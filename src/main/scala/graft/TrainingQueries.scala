@@ -1014,15 +1014,24 @@ object TrainingQueries {
       val sl = left.filter(Text.hashSampleCapFilter($"doc_id", nLeft, 400L))
         .select($"doc_id".as("left_id"),
           array_distinct(Dedup.shingleTokens($"text", 2)).as("ga"))
-      val exact = right
+      // filter the UNROUNDED jaccard (like verifyPairs and the oracle's
+      // WHERE) — filtering the rounded value would admit pairs in
+      // [threshold − 5e-7, threshold) that every other path drops.
+      // Ckpt-materialized: the ≤400-row exact table is referenced twice
+      // below (payload + agreement aggregate) and would otherwise re-run
+      // the cross-join argmax — the gate's heaviest twin — twice.
+      val exact = graft.functions.Ckpt.materialize(right
         .select($"doc_id".as("rid"), array_distinct(Dedup.shingleTokens($"text", 2)).as("gb"))
         .crossJoin(broadcast(sl))
-        .withColumn("j", round(Dedup.jaccardWords($"ga", $"gb"), 6))
-        .filter($"j" >= 0.4)
+        .withColumn("__j", Dedup.jaccardWords($"ga", $"gb"))
+        .filter($"__j" >= 0.4)
+        // argmax over the ROUNDED value + rid tie-break — the exact order
+        // the oracle's window uses (ordering by the unrounded value could
+        // pick a different winner among 6-decimal ties)
         .withColumn("__rn", row_number().over(Window.partitionBy($"left_id")
-          .orderBy($"j".desc, $"rid".asc)))
+          .orderBy(round($"__j", 6).desc, $"rid".asc)))
         .filter($"__rn" === 1)
-        .select($"left_id", $"rid".as("right_id"), $"j".as("jaccard"))
+        .select($"left_id", $"rid".as("right_id"), round($"__j", 6).as("jaccard")))
       val agree = exact.select($"left_id", $"right_id".as("__er"))
         .join(linked.select($"left_id", $"right_id".as("__lr")), Seq("left_id"), "left")
         .agg(count(lit(1)).as("__n_exact"),

@@ -236,11 +236,23 @@ object Dedup {
         sigWithShinglesUdf(n, k)(split(Text.normalize(col(textCol)), " ")).as("__ws"))
       .select(col("id"), col("__ws._1").as("words"), col("__ws._2").as("sig"))
 
-  /** Exploded (id, band, band_hash) rows of a signed relation. */
-  private def bandRowsOf(signed: DataFrame, k: Int, bands: Int): DataFrame =
-    signed
+  /** Exploded (id, band, band_hash) rows of a signed relation. Fails FAST
+    * (per-row size check inside codegen, no extra job) if the relation
+    * was signed with a different k than the banding assumes: lshBands
+    * would slice past (or short of) the signature, hashing empty/partial
+    * slices to one shared value — half the bands collapse into a single
+    * bucket the hot-bucket cap then silently discards. Guarded HERE so
+    * every banding path (batch pairs, index build, incremental probe)
+    * inherits the check. */
+  private def bandRowsOf(signed: DataFrame, k: Int, bands: Int): DataFrame = {
+    val checked = signed.withColumn("sig",
+      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+        lit("LSH banding: signature length "), size(col("sig")).cast("string"),
+        lit(s" != k=$k — sign and band parameters must match")))))
+    checked
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
+  }
 
   /** Exact shingle-space Jaccard of two sorted shingle-hash array columns
     * — the one formula every verify path shares (same-table pairs, the
@@ -340,16 +352,8 @@ object Dedup {
     * batch operator's body. */
   def lshPairsFrom(signed: DataFrame, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5, maxBucketSize: Int = 128): DataFrame = {
-    // fail FAST if the relation was signed with a different k: lshBands
-    // would slice past (or short of) the signature, hashing empty/partial
-    // slices to one shared value — half the bands become a single bucket,
-    // which the hot-bucket cap then silently discards. The guard is a
-    // per-row size check inside codegen, no extra job.
-    val checked = signed.withColumn("sig",
-      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
-        lit("lshPairsFrom: signature length "), size(col("sig")).cast("string"),
-        lit(s" != k=$k — sign and band parameters must match")))))
-    val bucketRows = bandRowsOf(checked, k, bands)
+    // k-mismatch fail-fast lives in bandRowsOf — every banding path shares it
+    val bucketRows = bandRowsOf(signed, k, bands)
     val hot = bucketRows.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)

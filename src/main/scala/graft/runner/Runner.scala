@@ -61,12 +61,17 @@ object Runner {
 
   /** Materialize `job` for `partition`: stamp the partition columns, then
     * dynamic-partition-overwrite (idempotent re-run of any historical
-    * partition without touching siblings) or append. If the job declares
-    * a contract, evaluate it against the JUST-LANDED partition read back
-    * from the table (dbt's test-the-materialized-table semantics; the
-    * partition filter prunes the scan to the slice this run wrote) and
-    * throw [[ContractViolation]] on any failing rule — a gate, not a
-    * report. Returns row count. */
+    * partition without touching siblings) or append. Contract semantics
+    * track the write mode: an OVERWRITE job's contract runs against the
+    * JUST-LANDED partition read back from the table (dbt's
+    * test-the-materialized-table posture — the partition filter prunes
+    * the scan to exactly the slice this run replaced, and catches writer
+    * bugs too); an APPEND-ONLY job's contract runs on this run's frame
+    * BEFORE the append — the landed partition accumulates every previous
+    * run, so a read-back would re-judge (and permanently fail on) rows a
+    * historic run wrote, and pre-write checking also keeps the bad batch
+    * out of the table entirely. Violations throw [[ContractViolation]] —
+    * a gate, not a report. Returns row count. */
   def run(spark: SparkSession, job: Job, partition: Partition): Long = {
     val df0 = job.compute(spark, partition)
     val stamped = partition.values.foldLeft(df0) { case (d, (k, v)) =>
@@ -81,16 +86,19 @@ object Runner {
     val withLoadTs = stamped.withColumn("load_ts", current_timestamp())
       .observe(obs, count(lit(1)).as("n"))
     val partCols = partition.values.keys.toSeq
-    if (job.appendOnly) Sinks.appendOnly(withLoadTs, job.outPath, partCols)
-    else Sinks.overwritePartitions(withLoadTs, job.outPath, partCols)
-    val n = obs.get("n").asInstanceOf[Long]
-    if (job.contract.nonEmpty) {
-      val slice = partition.values.foldLeft(spark.read.parquet(job.outPath)) {
-        case (d, (k, v)) => d.filter(col(k) === v)
+    if (job.appendOnly) {
+      if (job.contract.nonEmpty) enforce(job.name, withLoadTs, job.contract)
+      Sinks.appendOnly(withLoadTs, job.outPath, partCols)
+    } else {
+      Sinks.overwritePartitions(withLoadTs, job.outPath, partCols)
+      if (job.contract.nonEmpty) {
+        val slice = partition.values.foldLeft(spark.read.parquet(job.outPath)) {
+          case (d, (k, v)) => d.filter(col(k) === v)
+        }
+        enforce(job.name, slice, job.contract)
       }
-      enforce(job.name, slice, job.contract)
     }
-    n
+    obs.get("n").asInstanceOf[Long]
   }
 
   private def enforce(name: String, df: DataFrame,

@@ -150,6 +150,29 @@ class RunnerDagSpec extends SparkSpec {
     assert(spark.read.parquet(out).where($"date" === "2024-01-01").count() == 2L)
   }
 
+  test("appendOnly contract gates PRE-write: the bad batch never lands, later appends judge only themselves") {
+    import graft.functions.Quality
+    val out = java.nio.file.Files.createTempDirectory("graft_contract_app").toString
+    def job(vals: Seq[Option[Double]]) = Runner.Job("feed", out,
+        appendOnly = true, contract = Seq(Quality.NotNull("v"))) {
+      (s, _) => { import s.implicits._; vals.toDF("v") }
+    }
+    val p = Runner.Daily("2024-01-01")
+    // bad batch: blocked AND kept out of the table entirely
+    intercept[Runner.ContractViolation](
+      Runner.run(spark, job(Seq(Some(1.0), None)), p))
+    def dataFiles(f: java.io.File): Int =
+      if (!f.exists) 0
+      else if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(dataFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    assert(dataFiles(new java.io.File(out)) == 0, "bad batch must not land")
+    // clean batches append fine — a read-back gate would have re-judged
+    // rows from prior appends; pre-write judging never does
+    assert(Runner.run(spark, job(Seq(Some(2.0))), p) == 1L)
+    assert(Runner.run(spark, job(Seq(Some(3.0))), p) == 1L)
+    assert(spark.read.parquet(out).count() == 2L)
+  }
+
   test("Dag contract failure stops the build before downstream models consume it") {
     import graft.functions.Quality
     val src = Seq((1L, -5.0)).toDF("id", "v")
