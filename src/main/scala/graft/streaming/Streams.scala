@@ -705,6 +705,93 @@ object Streams {
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
   }
 
+  case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, step: String)
+  case class FunnelFold(stage: Int, last: Long, n_seen: Long)
+  case class FunnelPend(ts: Long, step: String)
+  case class FunnelOut(user_id: Long, n_seen: Long, max_stage: Int)
+
+  /** Streaming ORDERED FUNNEL — the live twin of
+    * [[graft.operators.Temporal.funnelStages]]: per-user strict temporal
+    * progression through `steps`, correct under OUT-OF-ORDER arrival.
+    * The fold is order-sensitive (an event may only advance the stage if
+    * it is strictly later than the previous advance), so events are NOT
+    * folded on arrival: they buffer in ListState and fold — in (ts, step)
+    * order, the batch operator's exact comparator — only once the
+    * watermark passes them (no earlier event can arrive anymore; the
+    * same buffer-until-watermark discipline as [[TwsSessionProcessor]]).
+    * Emits a running (n_seen, max_stage) row per fold advance; the
+    * max-n_seen row per user is the current state (bottom-k's
+    * convention), and it equals the batch fold over every event the
+    * watermark has passed — exactly, by construction. One timer per key,
+    * armed at the earliest pending event, guarantees draining keys fold
+    * without further input. */
+  class TwsFunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelEv, FunnelOut] {
+    @transient private var folded:
+      org.apache.spark.sql.streaming.ValueState[FunnelFold] = _
+    @transient private var pending:
+      org.apache.spark.sql.streaming.ListState[FunnelPend] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      folded = getHandle.getValueState[FunnelFold]("folded",
+        org.apache.spark.sql.Encoders.product[FunnelFold],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      pending = getHandle.getListState[FunnelPend]("pending",
+        org.apache.spark.sql.Encoders.product[FunnelPend],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    private def rearm(still: Seq[FunnelPend]): Unit = {
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (still.nonEmpty) getHandle.registerTimer(still.map(_.ts).min + 1L)
+    }
+    private def foldReady(key: Long, wm: Long,
+                          incoming: Seq[FunnelPend]): Iterator[FunnelOut] = {
+      val all = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ incoming
+      // an event with ts >= wm may still be preceded by a late arrival —
+      // only strictly-passed events are final
+      val (ready, still) = all.partition(_.ts < wm)
+      if (still.isEmpty) pending.clear() else pending.put(still.toArray)
+      rearm(still)
+      if (ready.isEmpty) Iterator.empty
+      else {
+        var st = if (folded.exists()) folded.get()
+          else FunnelFold(0, Long.MinValue, 0L)
+        ready.sortBy(p => (p.ts, p.step)).foreach { p =>
+          st =
+            if (st.stage < steps.length && p.step == steps(st.stage) && p.ts > st.last)
+              FunnelFold(st.stage + 1, p.ts, st.n_seen + 1)
+            else st.copy(n_seen = st.n_seen + 1)
+        }
+        folded.update(st)
+        Iterator(FunnelOut(key, st.n_seen, st.stage))
+      }
+    }
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEv],
+                                 tv: org.apache.spark.sql.streaming.TimerValues
+                                ): Iterator[FunnelOut] =
+      foldReady(key, tv.getCurrentWatermarkInMs(),
+        rows.map(e => FunnelPend(e.ts.getTime, e.step)).toSeq)
+    override def handleExpiredTimer(key: Long,
+                                    tv: org.apache.spark.sql.streaming.TimerValues,
+                                    info: org.apache.spark.sql.streaming.ExpiredTimerInfo
+                                   ): Iterator[FunnelOut] =
+      foldReady(key, tv.getCurrentWatermarkInMs(), Seq.empty)
+  }
+
+  /** [[TwsFunnelProcessor]] wired to a watermarked step-event stream;
+    * events whose step is not in `steps` are filtered BEFORE the stateful
+    * operator (the batch operator's isin pushdown). */
+  def funnelTws(events: Dataset[FunnelEv], steps: Seq[String],
+                watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.filter(e => steps.contains(e.step))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsFunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+  }
+
   /** The WHOLE stateful tail of the corpus-prep pipeline as ONE streaming
     * query — permanent-state dedup CHAINED into per-language packing, the
     * composition `flatMapGroupsWithState` cannot express (Spark rejects

@@ -463,6 +463,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS funnel: out-of-order arrivals fold in event-time order, ≡ batch funnelStages") {
+    import graft.operators.Temporal
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twsfunnel").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val steps = Seq("view", "click", "purchase")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 lands u1's CLICK and PURCHASE before its VIEW arrives —
+    // an arrival-order fold would conclude stage 0; event-time order
+    // gives the full funnel. u2 is view-only.
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 10:02:00"), "view"))
+      .toDF("user_id", "ts", "step")
+    b1.write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val st = Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 100000)
+          .as[Streams.FunnelEv]
+        // 1 h allowed lateness: u1's view arrives a batch after its click
+        // and purchase — with a 0 s watermark it would be LATE and dropped
+        // before the stateful operator (standard watermark semantics);
+        // the delay is the knob that buys out-of-order tolerance
+        Streams.runAvailableNow(
+          Streams.funnelTws(st, steps, watermarkDelay = "1 hour").toDF(), out, ckpt)
+      }
+      run()
+      // batch 2: u1's out-of-order VIEW (earliest ts of all, still within
+      // no-watermark-yet horizon... it arrives before any watermark passed
+      // 10:00) + a far-future flush event pushing the watermark past
+      // everything so every buffered event folds
+      Seq((1L, ts("2024-01-01 10:00:00"), "view"),
+          (2L, ts("2024-01-02 00:00:00"), "view"))
+        .toDF("user_id", "ts", "step").write.mode("append").parquet(src)
+      run()
+      val stages = spark.read.parquet(out)
+        .groupBy($"user_id").agg(max_by($"max_stage", $"n_seen").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      // u1: view(10:00) -> click(10:05) -> purchase(10:10) = 3, despite
+      // the view arriving a whole batch AFTER the click/purchase
+      assert(stages(1L) == 3, stages.toString)
+      val batchEv = Seq(
+        (1L, 600000L, "click"), (1L, 900000L, "purchase"), (1L, 300000L, "view"),
+        (2L, 120000L, "view"), (2L, 86400000L, "view"))
+        .toDF("user_id", "ts", "event_type")
+      val expect = Temporal.funnelStages(batchEv, "user_id", "ts", "event_type", steps)
+        .as[(Long, Int)].collect().toMap
+      // the streamed fold covers every event the final watermark passed;
+      // u1's events are all strictly before the flush ts -> fully folded
+      assert(stages(1L) == expect(1L))
+      assert(stages(2L) == expect(2L) && expect(2L) == 1)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("TWS initial state: streaming dedup seeded from the existing corpus emits only novel docs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_twsinit").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
