@@ -1011,19 +1011,26 @@ object TrainingQueries {
       val linked = Dedup.linkBestMatch(left, right, "text", "doc_id",
         threshold = 0.4)
       val nLeft = left.count()
-      val sl = left.filter(Text.hashSampleCapFilter($"doc_id", nLeft, 400L))
-        .select($"doc_id".as("left_id"),
-          array_distinct(Dedup.shingleTokens($"text", 2)).as("ga"))
+      // twin scoring on the SORTED SHINGLE-HASH arrays (signedCorpus's
+      // `words`, scored by the codegen'd primitive-long merge) — string
+      // shingles + array_intersect cost ~20× more per pair and made this
+      // twin the whole bench's top cost; the jaccard VALUES are identical
+      // up to 2^-64 hash collisions (the same equivalence every
+      // d2/d4/d9 oracle already rides)
+      val sl = Dedup.signedCorpus(left, "text", "doc_id")
+        .filter(Text.hashSampleCapFilter($"id", nLeft, 400L))
+        .select($"id".as("left_id"), $"words".as("ga"))
       // filter the UNROUNDED jaccard (like verifyPairs and the oracle's
       // WHERE) — filtering the rounded value would admit pairs in
       // [threshold − 5e-7, threshold) that every other path drops.
       // Ckpt-materialized: the ≤400-row exact table is referenced twice
       // below (payload + agreement aggregate) and would otherwise re-run
       // the cross-join argmax — the gate's heaviest twin — twice.
-      val exact = graft.functions.Ckpt.materialize(right
-        .select($"doc_id".as("rid"), array_distinct(Dedup.shingleTokens($"text", 2)).as("gb"))
+      val exact = graft.functions.Ckpt.materialize(
+        Dedup.signedCorpus(right, "text", "doc_id")
+        .select($"id".as("rid"), $"words".as("gb"))
         .crossJoin(broadcast(sl))
-        .withColumn("__j", Dedup.jaccardWords($"ga", $"gb"))
+        .withColumn("__j", Dedup.jaccardSortedHashes($"ga", $"gb"))
         .filter($"__j" >= 0.4)
         // argmax over the ROUNDED value + rid tie-break — the exact order
         // the oracle's window uses (ordering by the unrounded value could

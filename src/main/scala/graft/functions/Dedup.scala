@@ -254,6 +254,14 @@ object Dedup {
       .select(col("id"), col("bk.band"), col("bk.band_hash"))
   }
 
+  /** Exact shingle-space Jaccard of two SORTED shingle-hash array columns
+    * ([[signedCorpus]]'s `words` shape) — public so exact-twin harnesses
+    * can score pairs with the same codegen'd primitive-long merge the
+    * production verify uses, instead of boxed string-array set ops
+    * (array_intersect on string shingles is ~20× slower per pair at
+    * corpus document sizes — the d16 twin's original sin). */
+  def jaccardSortedHashes(a: Column, b: Column): Column = jaccardOf(a, b)
+
   /** Exact shingle-space Jaccard of two sorted shingle-hash array columns
     * — the one formula every verify path shares (same-table pairs, the
     * two-table linkage join, the exact twins). */
