@@ -1008,7 +1008,12 @@ object TrainingQueries {
       val docs = t(s, dir, "documents")
       val left = docs.filter($"doc_id" % 3 === 0)
       val right = docs.filter($"doc_id" % 3 =!= 0)
-      val linked = Dedup.linkBestMatch(left, right, "text", "doc_id",
+      // sign each side ONCE: the production linkage (linkBestMatchFrom)
+      // and the exact twin both read the same materialized signed
+      // relations
+      val signedLeft = Dedup.signedCorpus(left, "text", "doc_id")
+      val signedRight = Dedup.signedCorpus(right, "text", "doc_id")
+      val linked = Dedup.linkBestMatchFrom(signedLeft, signedRight,
         threshold = 0.4)
       val nLeft = left.count()
       // twin scoring on the SORTED SHINGLE-HASH arrays (signedCorpus's
@@ -1017,7 +1022,7 @@ object TrainingQueries {
       // twin the whole bench's top cost; the jaccard VALUES are identical
       // up to 2^-64 hash collisions (the same equivalence every
       // d2/d4/d9 oracle already rides)
-      val sl = Dedup.signedCorpus(left, "text", "doc_id")
+      val sl = signedLeft
         .filter(Text.hashSampleCapFilter($"id", nLeft, 400L))
         .select($"id".as("left_id"), $"words".as("ga"))
       // filter the UNROUNDED jaccard (like verifyPairs and the oracle's
@@ -1027,7 +1032,7 @@ object TrainingQueries {
       // below (payload + agreement aggregate) and would otherwise re-run
       // the cross-join argmax — the gate's heaviest twin — twice.
       val exact = graft.functions.Ckpt.materialize(
-        Dedup.signedCorpus(right, "text", "doc_id")
+        signedRight
         .select($"id".as("rid"), $"words".as("gb"))
         .crossJoin(broadcast(sl))
         .withColumn("__j", Dedup.jaccardSortedHashes($"ga", $"gb"))

@@ -1322,9 +1322,21 @@ object Dedup {
                     textCol: String, idCol: String,
                     n: Int = 2, k: Int = 64, bands: Int = 16,
                     threshold: Double = 0.5,
-                    maxBucketSize: Int = 128): DataFrame = {
-    val (lb, lw) = nearDupIndexTablesFrom(signedCorpus(left, textCol, idCol, n, k), k, bands)
-    val (rb, rw) = nearDupIndexTablesFrom(signedCorpus(right, textCol, idCol, n, k), k, bands)
+                    maxBucketSize: Int = 128): DataFrame =
+    linkBestMatchFrom(signedCorpus(left, textCol, idCol, n, k),
+      signedCorpus(right, textCol, idCol, n, k), k, bands, threshold, maxBucketSize)
+
+  /** [[linkBestMatch]] from PRE-SIGNED relations ([[signedCorpus]]'s
+    * shape) — the sign-once seam (mirrors lshPairsFrom /
+    * nearDupIndexTablesFrom): callers that also need the signed sides
+    * elsewhere (an exact-twin harness, a persisted index) sign each
+    * corpus exactly once. */
+  def linkBestMatchFrom(signedLeft: DataFrame, signedRight: DataFrame,
+                        k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        maxBucketSize: Int = 128): DataFrame = {
+    val (lb, lw) = nearDupIndexTablesFrom(signedLeft, k, bands)
+    val (rb, rw) = nearDupIndexTablesFrom(signedRight, k, bands)
     val hot = lb.unionByName(rb).groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)

@@ -87,8 +87,17 @@ object Runner {
       .observe(obs, count(lit(1)).as("n"))
     val partCols = partition.values.keys.toSeq
     if (job.appendOnly) {
-      if (job.contract.nonEmpty) enforce(job.name, withLoadTs, job.contract)
-      Sinks.appendOnly(withLoadTs, job.outPath, partCols)
+      if (job.contract.nonEmpty) {
+        // materialize ONCE, judge and append THE SAME rows: judging the
+        // lazy plan and then re-executing it for the write would (a) run
+        // the whole transform twice and (b) let a nondeterministic
+        // compute pass the gate while the write lands different rows —
+        // the hazards the Observation note above exists to avoid. The
+        // materialize IS the action that fills the count metric.
+        val frame = graft.functions.Ckpt.materialize(withLoadTs)
+        enforce(job.name, frame, job.contract)
+        Sinks.appendOnly(frame, job.outPath, partCols)
+      } else Sinks.appendOnly(withLoadTs, job.outPath, partCols)
     } else {
       Sinks.overwritePartitions(withLoadTs, job.outPath, partCols)
       if (job.contract.nonEmpty) {

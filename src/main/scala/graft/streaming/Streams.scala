@@ -757,7 +757,17 @@ object Streams {
       else {
         var st = if (folded.exists()) folded.get()
           else FunnelFold(0, Long.MinValue, 0L)
-        ready.sortBy(p => (p.ts, p.step)).foreach { p =>
+        // same-ts tie-break by UTF-8 BYTES, matching sort_array's binary
+        // UTF8String order in the batch twin — java.lang.String ordering
+        // (UTF-16 code units) diverges for supplementary-plane step names
+        val byUtf8 = Ordering.fromLessThan[String] { (a, b) =>
+          val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+          var i = 0
+          while (i < x.length && i < y.length && x(i) == y(i)) i += 1
+          if (i < x.length && i < y.length) (x(i) & 0xff) < (y(i) & 0xff)
+          else x.length < y.length
+        }
+        ready.sortBy(p => (p.ts, p.step))(Ordering.Tuple2(Ordering.Long, byUtf8)).foreach { p =>
           st =
             if (st.stage < steps.length && p.step == steps(st.stage) && p.ts > st.last)
               FunnelFold(st.stage + 1, p.ts, st.n_seen + 1)
@@ -785,7 +795,10 @@ object Streams {
   def funnelTws(events: Dataset[FunnelEv], steps: Seq[String],
                 watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events.filter(e => steps.contains(e.step))
+    // Column isin, not a Scala closure: the predicate stays in Catalyst
+    // and pushes to the source scan (a typed lambda would deserialize
+    // every row just to drop it) — the batch operator's exact pushdown
+    events.filter(col("step").isin(steps: _*))
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new TwsFunnelProcessor(steps),
