@@ -58,12 +58,29 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Shuffle-shaped canary: the r10 artifact inflated 1.8× from ambient
+    // CPU/shuffle contention while scan_baseline_sec moved only ±8% — a
+    // scan-and-count senses I/O-bound machine speed, not the
+    // exchange/agg-bound pressure the queries actually feel. This canary
+    // is a fixed synthetic groupBy (20M rows → 1M keys: map-side partials,
+    // one exchange, final agg — the dominant shape of the query set), so
+    // total/canary ratios are comparable across machine states.
+    def shuffleCanary(): Double = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      val t0 = System.nanoTime()
+      spark.range(20000000L)
+        .select((col("id") % 1000000L).as("k"), col("id").as("v"))
+        .groupBy(col("k")).agg(sum(col("v")).as("s"), count(col("v")).as("c"))
+        .agg(sum(col("s")), sum(col("c"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = if (only.isDefined) 0.0 else shuffleCanary()
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
     var sinceGc = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -85,8 +102,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       sinceGc += 1
       if (sinceGc >= 20) { sinceGc = 0; System.gc() }
-      name -> dt
-    }.toMap
+      dt
+    }
+    // STEADY-STATE timing: every query is timed REPEAT times (default 2)
+    // and the MIN is reported — a transient contention spike can inflate
+    // one pass but rarely the same query in both, which is what makes the
+    // artifact comparable across differently-loaded machines (the r10
+    // driver artifact read 1.8× a clean rerun of the identical binary;
+    // scan_baseline failed to normalize it — see shuffleCanary above).
+    // Full passes (not per-query back-to-back repeats) so pass 2 sees the
+    // same cold-cache conditions as pass 1. SPARK_GRAFT_REPEAT=1 restores
+    // single-pass timing for fast local iteration.
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = (1 to repeat).map { pass =>
+      if (repeat > 1) System.err.println(s"[bench] --- pass $pass/$repeat ---")
+      ordered.map { case (name, fn) => name -> timeQuery(name, fn) }.toMap
+    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     // SPARK_GRAFT_SPLIT=1: re-time the PRODUCTION-ONLY form of each
     // verdict-carrying query (TrainingQueries.productionOnly — the same
     // pipeline minus the exact-twin/verdict harness) and print the
@@ -134,7 +166,7 @@ object Bench {
     }
     val qs = kept.result().mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val extra = s""","n_queries":${results.size},"omitted_fast_queries":$omitted,"omitted_sec":${f2(omittedSec)},"scan_baseline_sec":${f2(scanBaseline)}"""
+    val extra = s""","n_queries":${results.size},"omitted_fast_queries":$omitted,"omitted_sec":${f2(omittedSec)},"scan_baseline_sec":${f2(scanBaseline)},"shuffle_canary_sec":${f2(canary)},"repeat_min_of":$repeat"""
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -675,12 +675,20 @@ object Dedup {
     * the d14 gate hash-checks the full output.
     *
     * Scale: shuffles are keyed on gram hash then (pair, diff) — both
-    * fine-grained; the only quadratic term is per-hash fan-out, bounded
-    * by `maxDocsPerGram`² per gram. */
+    * fine-grained; the quadratic term is per-hash fan-out, bounded by
+    * BOTH caps: `maxDocsPerGram` bounds distinct docs per gram and
+    * `maxRowsPerGram` bounds TOTAL index rows per gram (a gram repeated
+    * P times in each of two docs fans out P² join rows even at 2 docs —
+    * repetitive/boilerplate text is exactly where that happens, and
+    * such grams carry the least span signal), so a gram's join fan-out
+    * is ≤ `maxRowsPerGram`² regardless of text shape. */
   def sharedSpans(df: DataFrame, textCol: String, idCol: String,
-                  n: Int = 8, maxDocsPerGram: Int = 8): DataFrame = {
+                  n: Int = 8, maxDocsPerGram: Int = 8,
+                  maxRowsPerGram: Int = 32): DataFrame = {
     require(n >= 2, "n must be >= 2")
     require(maxDocsPerGram >= 2, "maxDocsPerGram must be >= 2")
+    require(maxRowsPerGram >= maxDocsPerGram,
+      "maxRowsPerGram must be >= maxDocsPerGram")
     val words = split(Text.normalize(col(textCol)), " ")
     // The gram index feeds THREE consumers (the informative-hash aggregate
     // and both sides of the pair self-join); without materialization the
@@ -694,8 +702,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     noAqe(grams).foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
     val informative = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc")).as("__nd"))
-      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram)
+      .agg(countDistinct(col("doc")).as("__nd"), count(lit(1)).as("__nr"))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram &&
+        col("__nr") <= maxRowsPerGram)
       .select(col("h"))
     val idx = grams.join(informative, Seq("h"))
     val pairs = idx.as("a").join(idx.as("b"),

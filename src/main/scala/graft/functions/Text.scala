@@ -310,7 +310,15 @@ object Text {
   def deterministicSplit(groupKey: Column, fracs: Seq[(String, Double)]): Column = {
     require(fracs.nonEmpty && fracs.forall(_._2 > 0), "fractions must be positive")
     require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val bucket = substring(md5(groupKey.cast("string")), 1, 4)
+    // NULL group keys fail LOUDLY: md5(null) is null, every bucket-vs-cut
+    // compare would be null, and the chained when's otherwise-branch would
+    // silently dump every null-keyed row in the LAST split — for a
+    // leakage-safety primitive a null fingerprint/cluster id signals broken
+    // upstream input, not "assign to test".
+    val bucket = when(groupKey.isNull,
+        raise_error(lit("deterministicSplit: NULL group key — a split keyed" +
+          " on a null fingerprint/cluster id is not leakage-safe")))
+      .otherwise(substring(md5(groupKey.cast("string")), 1, 4))
     // 65535 clamp: a cut of 65536 would format as 5-char "10000" and break
     // the 4-hex lexicographic compare (same guard as hashSampleCapFilter)
     val cutVals = fracs.scanLeft(0.0)(_ + _._2).tail.dropRight(1)

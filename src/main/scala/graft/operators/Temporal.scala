@@ -192,34 +192,99 @@ object Temporal {
     * which an external SQL engine can recompute with k chained
     * aggregates; the w17 gate cross-checks the two).
     *
-    * ONE shuffle: events collect per user (sorted in the aggregation
-    * buffer), and the stage scan is a Catalyst `aggregate` lambda over
-    * the sorted array — versus the join-chain form's k shuffles of the
-    * full event table. Per-user state is one (stage, lastTs) pair; the
-    * collected array is bounded by per-user event count (salt or
-    * pre-filter to the funnel's event types — done here via the isin
-    * pushdown — if single users can hold millions of events).
+    * BOUNDED-STATE hybrid. The fast path is a single shuffle: events
+    * collect per user (sorted in the aggregation buffer) and the stage
+    * scan is a Catalyst `aggregate` lambda over the sorted array. That
+    * buffer is per-user-event-count sized — fine for humans, an OOM for
+    * a bot holding 10⁷ events on one key — so users above
+    * `maxBufferedPerUser` funnel-type events are routed to
+    * [[funnelStagesChained]] instead (k aggregates, O(1) state per user,
+    * no array ever materialized; the two forms are provably equal — see
+    * the property spec). The routing census is one map-side-combinable
+    * count on the same user key; the heavy side is, by construction, a
+    * handful of skewed actors, so its k passes touch a sliver of the
+    * data. Works for any orderable ts type (long epoch, timestamp, date).
     */
   def funnelStages(df: DataFrame, userCol: String, tsCol: String,
-                   typeCol: String, steps: Seq[String]): DataFrame = {
+                   typeCol: String, steps: Seq[String],
+                   maxBufferedPerUser: Long = 1L << 16): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.filter(col(typeCol).isin(steps: _*)) // pushed to the scan
+      .select(col(userCol), col(tsCol), col(typeCol))
+    val heavy = ev.groupBy(col(userCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBufferedPerUser).select(col(userCol))
+    funnelFold(ev.join(heavy, Seq(userCol), "left_anti"),
+        userCol, tsCol, typeCol, steps)
+      .unionByName(funnelChain(ev.join(heavy, Seq(userCol), "left_semi"),
+        userCol, tsCol, typeCol, steps))
+  }
+
+  /** The single-shuffle sorted-array fold. The fold zero's `last` is a
+    * NULL of the ts column's own type (any orderable type works —
+    * `isNull` stands in for "no advance yet", so no sentinel value and
+    * no bigint-only restriction).
+    */
+  private def funnelFold(ev: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String]): DataFrame = {
     val k = steps.length
     val stepsArr = array(steps.map(lit): _*)
-    df.filter(col(typeCol).isin(steps: _*)) // pushed to the scan
-      .groupBy(col(userCol))
+    val tsType = ev.schema(tsCol).dataType
+    ev.groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
         col(typeCol).as("tp")))).as("__evs"))
       .select(col(userCol),
         aggregate(col("__evs"),
-          struct(lit(0).as("stage"), lit(Long.MinValue).as("last")),
+          struct(lit(0).as("stage"), lit(null).cast(tsType).as("last")),
           (acc, ev) => {
             val advance = acc.getField("stage") < k &&
               ev.getField("tp") === element_at(stepsArr, acc.getField("stage") + 1) &&
-              ev.getField("ts") > acc.getField("last")
+              (acc.getField("last").isNull ||
+                ev.getField("ts") > acc.getField("last"))
             when(advance, struct((acc.getField("stage") + 1).as("stage"),
                 ev.getField("ts").as("last")))
               .otherwise(acc)
           }).getField("stage").as("max_stage"))
+  }
+
+  /** O(1)-state funnel: the chained min-ts form computed directly —
+    * tᵢ = min(ts | type = stepᵢ ∧ ts > tᵢ₋₁), each a plain min aggregate
+    * (k aggregates + k−1 left joins, all keyed on the user), `max_stage`
+    * = count of non-null tᵢ. No per-user array exists at any point, so a
+    * user with 10⁷ events costs the same aggregation buffer as one with
+    * 10 — this is the scale path [[funnelStages]] selects above its
+    * threshold, and it is usable directly when every user is suspect.
+    * Equal to the fold for every input (including same-ts ties: both
+    * forms advance only on STRICTLY greater ts, so tie order between
+    * same-ts events can never matter — pinned by the property spec).
+    */
+  def funnelStagesChained(df: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol), col(tsCol), col(typeCol))
+    funnelChain(ev, userCol, tsCol, typeCol, steps)
+  }
+
+  private def funnelChain(ev: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, steps: Seq[String]): DataFrame = {
+    val k = steps.length
+    // t1 over ALL funnel-type events (not just step-1) so every user with
+    // any funnel event gets a row — the fold's output domain
+    var acc = ev.groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol))).as("__t1"))
+    for (i <- 2 to k) {
+      val prior = (1 until i).map(j => s"__t$j")
+      acc = acc.join(
+          ev.filter(col(typeCol) === steps(i - 1))
+            .select(col(userCol), col(tsCol)),
+          Seq(userCol), "left")
+        .groupBy((userCol +: prior).map(col): _*)
+        .agg(min(when(col(tsCol) > col(s"__t${i - 1}"), col(tsCol)))
+          .as(s"__t$i"))
+    }
+    acc.select(col(userCol),
+      (1 to k).map(j => when(col(s"__t$j").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int").as("max_stage"))
   }
 
   /** Shared TWAP-core: holding duration of each observation = the gap to

@@ -181,6 +181,17 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0, "grams in >cap docs must not generate pairs")
     val uncapped = Dedup.sharedSpans(many, "text", "doc_id", n = 4, maxDocsPerGram = 10)
     assert(uncapped.count() == 45, "10 docs sharing one span -> all 45 pairs when under cap")
+    // occurrence cap: a gram repeated P times in each of 2 docs fans out
+    // P² join rows even under the distinct-doc cap — bounded separately
+    val loop = (1 to 20).map(_ => "w1 w2 w3 w4").mkString(" ")
+    val repetitive = Seq((1L, loop), (2L, loop)).toDF("doc_id", "text")
+    val occCapped = Dedup.sharedSpans(repetitive, "text", "doc_id",
+      n = 4, maxDocsPerGram = 8, maxRowsPerGram = 32)
+    assert(occCapped.count() == 0,
+      "40-occurrence grams must be dropped at maxRowsPerGram=32")
+    val occOpen = Dedup.sharedSpans(repetitive, "text", "doc_id",
+      n = 4, maxDocsPerGram = 8, maxRowsPerGram = 10000)
+    assert(occOpen.count() > 0, "raising the occurrence cap restores the spans")
   }
 
   test("jaccardAllPairsAbove == provably-exact prefix filter (size/early-exit pruning lossless)") {

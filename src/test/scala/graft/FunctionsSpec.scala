@@ -204,6 +204,18 @@ class TextSpec extends SparkSpec {
         Seq(("a", 1e-5), ("b", 1e-5), ("c", 1 - 2e-5))))
   }
 
+  test("deterministicSplit fails loudly on NULL group keys (no silent last-split dump)") {
+    val docs = Seq((1L, "k1"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "grp")
+    val ex = intercept[Exception] {
+      docs.withColumn("s", Text.deterministicSplit($"grp",
+        Seq(("train", 0.5), ("test", 0.5)))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("leakage-safe")), msgs(ex).toString)
+  }
+
   test("bpeTrain: textbook merge trace on the low/lower/lowest corpus") {
     // words: low×3, lower×1, lowest×1. Pair counts: (l,o)=5, (o,w)=5,
     // (w,e)=2, (e,r)=1, (e,s)=1, (s,t)=1 — first merge is the (freq desc,

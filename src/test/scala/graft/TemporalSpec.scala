@@ -144,6 +144,56 @@ class TemporalSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(got == Map("u1" -> 3, "u2" -> 1, "u3" -> 1, "u4" -> 2, "u6" -> 2),
       got.toString)
+    // the O(1)-state chained form and the heavy-routing hybrid agree
+    val chained = Temporal.funnelStagesChained(ev, "user_id", "ts",
+      "event_type", steps).as[(String, Int)].collect().toMap
+    assert(chained == got, chained.toString)
+    val hybrid = Temporal.funnelStages(ev, "user_id", "ts", "event_type",
+      steps, maxBufferedPerUser = 2).as[(String, Int)].collect().toMap
+    assert(hybrid == got, hybrid.toString)
+  }
+
+  test("funnelStages: fold ≡ chained min-ts on random event sets incl. same-ts ties") {
+    // both forms advance only on STRICTLY greater ts, so same-ts tie order
+    // can never matter — exercised here with a tiny ts domain (lots of
+    // collisions), noise types, and every hybrid routing threshold
+    val steps = Seq("a", "b", "c", "d")
+    val types = steps ++ Seq("x", "y")
+    val rnd = new scala.util.Random(4242)
+    val ev = (0 until 2000).map { _ =>
+      (s"u${rnd.nextInt(40)}", rnd.nextInt(12).toLong,
+        types(rnd.nextInt(types.length)))
+    }.toDF("user_id", "ts", "event_type")
+    val fold = Temporal.funnelStages(ev, "user_id", "ts", "event_type",
+      steps, maxBufferedPerUser = Long.MaxValue) // pure fold path
+      .as[(String, Int)].collect().toMap
+    val chain = Temporal.funnelStagesChained(ev, "user_id", "ts",
+      "event_type", steps).as[(String, Int)].collect().toMap
+    assert(chain == fold)
+    // mixed routing (some users heavy, some light) must be seam-free
+    val hybrid = Temporal.funnelStages(ev, "user_id", "ts", "event_type",
+      steps, maxBufferedPerUser = 50).as[(String, Int)].collect().toMap
+    assert(hybrid == fold)
+  }
+
+  test("funnelStages accepts timestamp-typed ts columns (no integral-epoch restriction)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00.250"), "view"),
+      ("u1", ts("2024-01-01 10:00:00.500"), "click"),
+      // sub-second strictness: same-ts purchase must NOT advance…
+      ("u1", ts("2024-01-01 10:00:00.500"), "purchase"),
+      ("u2", ts("2024-01-01 10:00:00.500"), "view"),
+      // …but a later sub-second one must
+      ("u2", ts("2024-01-01 10:00:00.501"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val fold = Temporal.funnelStages(ev, "user_id", "ts", "event_type", steps)
+      .as[(String, Int)].collect().toMap
+    assert(fold == Map("u1" -> 2, "u2" -> 2), fold.toString)
+    val chain = Temporal.funnelStagesChained(ev, "user_id", "ts",
+      "event_type", steps).as[(String, Int)].collect().toMap
+    assert(chain == fold)
   }
 
   test("rangeJoinBucketed: point-in-interval matches across bin sizes") {
