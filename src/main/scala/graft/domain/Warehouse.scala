@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse-layer transforms: pure DataFrame jobs with the semantics of the
@@ -45,35 +45,10 @@ object Warehouse {
         col("atoken_symbol").as("symbol"), col("block_height"),
         col("block_day"), col("accrued_fees"))
 
-    // strip the reference's 'transfers_' column prefix (schema op)
-    val t0 = transfers.columns.foldLeft(transfers) { (d, c) =>
-      if (c.startsWith("transfers_")) d.withColumnRenamed(c, c.stripPrefix("transfers_")) else d
-    }
-    val classDim = broadcast(
-      internalAddresses.select(col("chain"), col("contract_address"), col("internal_external")))
-    val tWithChain = t0.join(mc, Seq("market"), "left")
-      .select(col("market"), col("chain"), col("collector"), col("transfer_type"),
-        col("from_address"), col("to_address"),
-        col("contract_address").as("token"), col("contract_symbol").as("symbol"),
-        col("block_day"), col("amount_transferred"))
-    // counterparty lookup: IN matches from_address, OUT matches to_address
-    val counterparty = when(col("transfer_type") === "IN", col("from_address"))
-      .otherwise(col("to_address"))
-    val classified = tWithChain
-      .withColumn("__cp", counterparty)
-      .join(classDim.withColumnRenamed("contract_address", "__cp"), Seq("chain", "__cp"), "left")
-      .withColumn("internal_external", coalesce(col("internal_external"), lit("aave_external")))
-    def quadrant(cls: String, dir: String) =
-      sum(when(col("internal_external") === cls && col("transfer_type") === dir,
-        col("amount_transferred")).otherwise(0.0))
-    val transferAgg = classified
+    val transferAgg = classifiedTransfers(transfers, internalAddresses, mc)
       .groupBy(col("market"), col("chain"), col("collector"), col("token"),
                col("symbol"), col("block_day"))
-      .agg(
-        quadrant("aave_external", "IN").as("tokens_in_external"),
-        quadrant("aave_internal", "IN").as("tokens_in_internal"),
-        quadrant("aave_external", "OUT").as("tokens_out_external"),
-        quadrant("aave_internal", "OUT").as("tokens_out_internal"))
+      .agg(quadrantAggs.head, quadrantAggs.tail: _*)
 
     val mint = mintedToTreasury
       .select(col("market"), col("atoken").as("token"), col("block_day"),
@@ -93,6 +68,131 @@ object Warehouse {
       "minted_to_treasury_amount", "minted_amount")
     joined.na.fill(0.0, measureCols)
   }
+
+  /** Shared transfer-quadrant classification — byte-identical logic in the
+    * atoken and non-atoken assets (data_warehouse.py:132-175 / :272-314):
+    * strip the lake's 'transfers_' column prefix, attach the chain from the
+    * market dim, and resolve each transfer's COUNTERPARTY (from_address for
+    * IN, to_address for OUT) against the internal-address dim; unmatched →
+    * 'aave_external' (the fillna at :167/:307). Both dims broadcast. */
+  private def classifiedTransfers(transfers: DataFrame,
+                                  internalAddresses: DataFrame,
+                                  marketChains: DataFrame): DataFrame = {
+    val t0 = transfers.columns.foldLeft(transfers) { (d, c) =>
+      if (c.startsWith("transfers_")) d.withColumnRenamed(c, c.stripPrefix("transfers_")) else d
+    }
+    val classDim = broadcast(
+      internalAddresses.select(col("chain"), col("contract_address"), col("internal_external")))
+    val tWithChain = t0.join(broadcast(marketChains), Seq("market"), "left")
+      .select(col("market"), col("chain"), col("collector"), col("transfer_type"),
+        col("from_address"), col("to_address"),
+        col("contract_address").as("token"), col("contract_symbol").as("symbol"),
+        col("block_day"), col("amount_transferred"))
+    // counterparty lookup: IN matches from_address, OUT matches to_address
+    val counterparty = when(col("transfer_type") === "IN", col("from_address"))
+      .otherwise(col("to_address"))
+    tWithChain
+      .withColumn("__cp", counterparty)
+      .join(classDim.withColumnRenamed("contract_address", "__cp"), Seq("chain", "__cp"), "left")
+      .withColumn("internal_external", coalesce(col("internal_external"), lit("aave_external")))
+  }
+
+  /** The four transfer quadrants as conditional sums (the np.where ×4 +
+    * groupby().sum() at data_warehouse.py:171-179 / :310-318). */
+  private def quadrantAggs: Seq[Column] = {
+    def quadrant(cls: String, dir: String) =
+      sum(when(col("internal_external") === cls && col("transfer_type") === dir,
+        col("amount_transferred")).otherwise(0.0))
+    Seq(
+      quadrant("aave_external", "IN").as("tokens_in_external"),
+      quadrant("aave_internal", "IN").as("tokens_in_internal"),
+      quadrant("aave_external", "OUT").as("tokens_out_external"),
+      quadrant("aave_internal", "OUT").as("tokens_out_internal"))
+  }
+
+  /** Port of `non_atoken_measures_by_day` (data_warehouse.py:241-359): one
+    * row per (contract, token, day) for the non-atoken holdings, with the
+    * same transfer-quadrant classification as the atoken asset — the
+    * reference repeats the logic verbatim; here both route through
+    * [[classifiedTransfers]]/[[quadrantAggs]] — plus the paraswap
+    * claimable-fee rows folded in by union + re-aggregation (the pd.concat
+    * + groupby().sum() at :333-335; paraswap rows carry no balance and
+    * balance rows carry no claimable, so the sum is a coalesce in effect).
+    *
+    * Differences preserved from the atoken twin: the transfer grain drops
+    * the collector in favor of the holding CONTRACT (rename at :290), the
+    * quadrant grouping carries no symbol (:317-318), and there is no
+    * accrued-fees/minted join. `block_height`/`decimals` are dropped
+    * (:269). All missing measures fill 0.
+    *
+    * Scale: quadrants aggregate map-side before the join; everything keys
+    * on (market, chain, contract, token, day); dims broadcast. */
+  def nonAtokenMeasuresByDay(
+      balances: DataFrame,          // contract_address, [chain], market, token, decimals, symbol, block_height, block_day, balance
+      transfers: DataFrame,         // transfers_* prefixed (see classifiedTransfers) + market, collector
+      internalAddresses: DataFrame, // chain, contract_address, internal_external
+      paraswapFees: DataFrame,      // block_day, chain, market, paraswap_fee_claimer, reserve, symbol, claimable
+      marketChains: DataFrame       // market, chain
+  ): DataFrame = {
+    val kept = balances.columns.filterNot(Seq("block_height", "decimals").contains)
+    val base0 = balances.select(kept.map(col): _*)
+    // pandas merge(mc) joins on ALL shared columns — (market, chain) when
+    // the lake frame already carries the chain, market alone otherwise
+    val mcKeys = if (base0.columns.contains("chain")) Seq("market", "chain") else Seq("market")
+    val base = base0.join(broadcast(marketChains), mcKeys, "left")
+
+    val transferAgg = classifiedTransfers(transfers, internalAddresses, marketChains)
+      .withColumnRenamed("collector", "contract_address") // :290 — the holding contract, not the collector
+      .groupBy(col("market"), col("chain"), col("contract_address"),
+               col("token"), col("block_day"))
+      .agg(quadrantAggs.head, quadrantAggs.tail: _*)
+
+    val para = paraswapFees.select(
+      col("block_day"), col("chain"), col("market"),
+      col("paraswap_fee_claimer").as("contract_address"),
+      col("reserve").as("token"), col("symbol"),
+      col("claimable").as("paraswap_fees_claimable"))
+
+    val measures = Seq("balance", "tokens_in_external", "tokens_in_internal",
+      "tokens_out_external", "tokens_out_internal", "paraswap_fees_claimable")
+    base
+      .join(transferAgg, Seq("market", "chain", "contract_address", "token", "block_day"), "left")
+      .unionByName(para, allowMissingColumns = true)
+      .na.fill(0.0, measures)
+      .groupBy(col("block_day"), col("chain"), col("market"),
+               col("contract_address"), col("token"), col("symbol"))
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(m => sum(col(m)).as(m)): _*)
+      .select((Seq("contract_address", "chain", "market", "token", "symbol",
+        "block_day") ++ measures).map(col): _*) // Schemas.nonAtokenMeasures order
+  }
+
+  /** Port of `paraswap_fees` (data_warehouse.py:683-718): keep-last dedup
+    * of the claimable-fee feed — last by market within each
+    * (day, chain, claimer, reserve) group (the sort_values +
+    * drop_duplicates(keep='last') at :706) — then drop the zero rows. */
+  def paraswapFees(paraswapClaimableFees: DataFrame): DataFrame =
+    graft.operators.Relational.dedupKeepLast(
+        paraswapClaimableFees.select(col("block_day"), col("chain"),
+          col("market"), col("paraswap_fee_claimer"), col("reserve"),
+          col("symbol"), col("claimable")),
+        keyCols = Seq("block_day", "chain", "paraswap_fee_claimer", "reserve"),
+        orderCols = Seq("market"))
+      .filter(col("claimable") > 0)
+
+  /** Port of `paraswap_legacy_claimable_fees` (data_warehouse.py:728-763):
+    * same keep-last dedup as [[paraswapFees]] with the legacy claimer as an
+    * extra key column (:751). */
+  def paraswapLegacyClaimableFees(paraswapLegacyFees: DataFrame): DataFrame =
+    graft.operators.Relational.dedupKeepLast(
+        paraswapLegacyFees.select(col("block_day"), col("chain"),
+          col("market"), col("paraswap_fee_claimer"),
+          col("paraswap_legacy_claimer"), col("reserve"),
+          col("symbol"), col("claimable")),
+        keyCols = Seq("block_day", "chain", "paraswap_fee_claimer",
+          "paraswap_legacy_claimer", "reserve"),
+        orderCols = Seq("market"))
+      .filter(col("claimable") > 0)
 
   /** Port of `blocks_by_day` (data_warehouse.py:44-70): the closest block
     * to the daily 0000 UTC boundary per CHAIN — the per-market lake asset

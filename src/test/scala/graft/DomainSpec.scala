@@ -267,6 +267,112 @@ class DomainSpec extends SparkSpec {
     assert(got.getAs[String]("stable_class") == "stablecoin")
   }
 
+  // ---- non-atoken family (test_data_warehouse.py:348-525 fixture shape) ----
+
+  private val NONATOKEN = "0x0000000000000000000000000000000000007fc6"
+
+  private lazy val nonAtokenBalances = Seq(
+    (COLLECTOR, "ethereum", "ethereum_v3", NONATOKEN, 18L, "AAVE", 16515917L, day(1), 1234.909),
+    (COLLECTOR, "ethereum", "ethereum_v3", NONATOKEN, 18L, "AAVE", 16523084L, day(2), 1300.0)
+  ).toDF("contract_address", "chain", "market", "token", "decimals", "symbol",
+    "block_height", "block_day", "balance")
+
+  // the reference fixture's four quadrant transfers (0.1/0.2/0.3/0.4), at
+  // the holding-contract grain (the collector column IS the contract)
+  private lazy val nonAtokenTransfers = Seq(
+    ("ethereum_v3", COLLECTOR, "IN", EXTERNAL, COLLECTOR, NONATOKEN, "AAVE", day(2), 0.1),
+    ("ethereum_v3", COLLECTOR, "IN", INTERNAL, COLLECTOR, NONATOKEN, "AAVE", day(2), 0.2),
+    ("ethereum_v3", COLLECTOR, "OUT", COLLECTOR, EXTERNAL, NONATOKEN, "AAVE", day(2), 0.3),
+    ("ethereum_v3", COLLECTOR, "OUT", COLLECTOR, INTERNAL, NONATOKEN, "AAVE", day(2), 0.4)
+  ).toDF("market", "transfers_collector", "transfers_transfer_type",
+    "transfers_from_address", "transfers_to_address", "transfers_contract_address",
+    "transfers_contract_symbol", "transfers_block_day", "transfers_amount_transferred")
+
+  private lazy val paraswapFeesFrame = Seq(
+    // same 6-key as the day-1 balance row → folds INTO it (concat+sum)
+    (day(1), "ethereum", "ethereum_v3", COLLECTOR, NONATOKEN, "AAVE", 0.05),
+    // a claimer with no balance row → its own zero-balance row
+    (day(1), "ethereum", "ethereum_v3", EXTERNAL, NONATOKEN, "AAVE", 7.5)
+  ).toDF("block_day", "chain", "market", "paraswap_fee_claimer", "reserve",
+    "symbol", "claimable")
+
+  private lazy val nonAtokenMeasures = Warehouse.nonAtokenMeasuresByDay(
+    nonAtokenBalances, nonAtokenTransfers, internalAddresses,
+    paraswapFeesFrame, marketChains)
+
+  test("nonAtokenMeasuresByDay: quadrants at contract grain, paraswap fold-in (test :348-525)") {
+    val rows = nonAtokenMeasures.collect()
+    assert(rows.length == 3, nonAtokenMeasures.columns.mkString(","))
+    // block_height / decimals dropped (data_warehouse.py:269)
+    assert(!nonAtokenMeasures.columns.contains("block_height"))
+    assert(!nonAtokenMeasures.columns.contains("decimals"))
+    val d2 = nonAtokenMeasures
+      .filter($"block_day" === day(2) && $"contract_address" === COLLECTOR).head()
+    assert(d2.getAs[Double]("balance") == 1300.0)
+    assert(d2.getAs[Double]("tokens_in_external") == 0.1)
+    assert(d2.getAs[Double]("tokens_in_internal") == 0.2)
+    assert(d2.getAs[Double]("tokens_out_external") == 0.3)
+    assert(d2.getAs[Double]("tokens_out_internal") == 0.4)
+    assert(d2.getAs[Double]("paraswap_fees_claimable") == 0.0)
+    // day-1: no transfers → zero quadrants; paraswap row at the same
+    // 6-key folds into the balance row (pd.concat + groupby().sum())
+    val d1 = nonAtokenMeasures
+      .filter($"block_day" === day(1) && $"contract_address" === COLLECTOR).head()
+    assert(d1.getAs[Double]("balance") == 1234.909)
+    assert(d1.getAs[Double]("tokens_in_external") == 0.0)
+    assert(d1.getAs[Double]("paraswap_fees_claimable") == 0.05)
+    // claimer without a balance row surfaces as its own zero-filled row
+    val p = nonAtokenMeasures.filter($"contract_address" === EXTERNAL).head()
+    assert(p.getAs[Double]("balance") == 0.0)
+    assert(p.getAs[Double]("paraswap_fees_claimable") == 7.5)
+    assert(p.getAs[String]("symbol") == "AAVE")
+  }
+
+  test("paraswapFees: keep-last by market within (day,chain,claimer,reserve), zeros dropped (py:683-718)") {
+    val feed = Seq(
+      (day(1), "ethereum", "aaa_market", COLLECTOR, NONATOKEN, "AAVE", 5.0),
+      (day(1), "ethereum", "zzz_market", COLLECTOR, NONATOKEN, "AAVE", 9.0),
+      (day(1), "ethereum", "ethereum_v3", COLLECTOR, "0xother", "USDC", 0.0)
+    ).toDF("block_day", "chain", "market", "paraswap_fee_claimer", "reserve",
+      "symbol", "claimable")
+    val got = Warehouse.paraswapFees(feed).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("market") == "zzz_market") // keep='last' after market sort
+    assert(got.head.getAs[Double]("claimable") == 9.0)
+  }
+
+  test("paraswapLegacyClaimableFees: legacy claimer is an extra dedup key (py:728-763)") {
+    val feed = Seq(
+      (day(1), "ethereum", "aaa", COLLECTOR, "0xlegacy1", NONATOKEN, "AAVE", 1.0),
+      (day(1), "ethereum", "zzz", COLLECTOR, "0xlegacy1", NONATOKEN, "AAVE", 2.0),
+      (day(1), "ethereum", "aaa", COLLECTOR, "0xlegacy2", NONATOKEN, "AAVE", 3.0)
+    ).toDF("block_day", "chain", "market", "paraswap_fee_claimer",
+      "paraswap_legacy_claimer", "reserve", "symbol", "claimable")
+    val got = Warehouse.paraswapLegacyClaimableFees(feed)
+      .orderBy("paraswap_legacy_claimer").collect()
+    // legacy1 dedups (keep zzz/2.0); legacy2 is a distinct key → survives
+    assert(got.map(r => (r.getAs[String]("paraswap_legacy_claimer"),
+      r.getAs[Double]("claimable"))).toSeq == Seq(("0xlegacy1", 2.0), ("0xlegacy2", 3.0)))
+  }
+
+  test("allFinancials consumes the BUILT non-atoken frame (not a fixture)") {
+    val fin = Datamart.allFinancials(
+      Datamart.FinancialsInputs.withDefaults(spark,
+        atokenMeasures = measures,
+        nonAtokenMeasures = Some(nonAtokenMeasures),
+        internalAddresses = Some(internalAddresses)))
+    // the non-atoken entity has 2 days → day 1 survives the lead pairing;
+    // end_balance at day 1 = day-2 balance (lead), start = day-1 balance
+    def m(name: String): Double =
+      fin.filter($"collector" === COLLECTOR && $"token" === NONATOKEN &&
+          $"block_day" === day(1) && $"measure" === name)
+        .head().getAs[Double]("value")
+    assert(math.abs(m("start_balance") - 1234.909) < 1e-9)
+    assert(math.abs(m("end_balance") - 1300.0) < 1e-9)
+    // the paraswap measure flows through the datamart unpivot
+    assert(math.abs(m("start_paraswap_fees_claimable") - 0.05) < 1e-9)
+  }
+
   test("treasury chain: balances, by-chain rollup, totals") {
     val withNames = Datamart.allFinancials(
       Datamart.FinancialsInputs.withDefaults(spark,
