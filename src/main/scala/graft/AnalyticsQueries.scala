@@ -470,6 +470,90 @@ object AnalyticsQueries {
       one.select(explode(array(rows: _*)).as("r")).select("r.*")
     }),
 
+    // W18: the STREAMING funnel surfaced through the driver gate — an
+    // availableNow pass of Streams.funnelTws (transformWithState on the
+    // RocksDB state store, buffer-until-watermark event-time fold) over
+    // the SAME events the batch operator reads, gated on exact equality
+    // with Temporal.funnelStages. Mechanics: run 1 ingests every real
+    // event (no watermark yet → all buffer in ListState); two far-future
+    // flush rows in two separate files then drive run 2 as two
+    // micro-batches (maxFilesPerTrigger=1) — the first advances the
+    // watermark past every real event, the second's batch folds them (a
+    // batch sees the watermark the PREVIOUS batch set, and the per-key
+    // event-time timers fire keys with no new input). Both sides fold in
+    // the MILLISECOND domain (the processor keys on Timestamp.getTime).
+    // Payload = w17-style reach rows computed from the STREAMED stages
+    // (a divergence breaks the hash, not just the verdict); verdict =
+    // per-user equality with the batch fold, oracle rides `true`.
+    "w18_live_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val steps = Seq("view", "click", "purchase")
+      val tmp = TrainingQueries.Scratch.dir(s, "w18_stream")
+      // fresh stream state every invocation — bench times each query
+      // twice in one JVM, and a reused checkpoint would make run 2 a
+      // no-data no-op reading run 1's output
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        $"event_type".as("step"))
+      ev.filter($"step".isin(steps: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def flush(tsStr: String): Unit =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsStr), "view"))
+          .toDF("user_id", "ts", "step").coalesce(1)
+          .write.mode("append").parquet(src)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def run(): Unit = graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.funnelTws(
+            graft.streaming.Streams.parquetStream(s, src, schema,
+              maxFilesPerTrigger = 1).as[graft.streaming.Streams.FunnelEv],
+            steps).toDF(), out, ckpt)
+        run()
+        flush("2099-01-01 00:00:00")
+        flush("2099-01-02 00:00:00")
+        run()
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // current state per user = the max-n_seen row (each fold advance
+      // appends one running row); flush user excluded
+      val live = s.read.parquet(out).filter($"user_id" =!= -1L)
+        .groupBy($"user_id").agg(max_by($"max_stage", $"n_seen").as("max_stage"))
+      val batch = graft.operators.Temporal.funnelStages(
+        t(s, dir, "events").select($"user_id",
+          expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"), $"event_type"),
+        "user_id", "ts_ms", "event_type", steps)
+      val eq = live.select($"user_id", $"max_stage".as("s_live"))
+        .withColumn("__l", lit(1))
+        .join(batch.select($"user_id", $"max_stage".as("s_batch"))
+            .withColumn("__b", lit(1)), Seq("user_id"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"s_live" === $"s_batch", 1)).as("__neq"))
+      val aggs = count(lit(1)).as("__n") +:
+        steps.indices.map(i =>
+          sum(when($"max_stage" >= i + 1, 1L).otherwise(0L)).as(s"__s$i"))
+      val one = live.agg(aggs.head, aggs.tail: _*)
+      val rows = steps.zipWithIndex.map { case (name, i) =>
+        struct(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col(s"__s$i").as("n_users"),
+          round(col(s"__s$i") / col("__n"), 6).as("reach_rate"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .crossJoin(broadcast(eq))
+        .select($"step", $"step_name", $"n_users", $"reach_rate",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
     // A22: RETENTION COHORTS — the signup-week × activity-week matrix:
     // each user joins the cohort of their first `signup` week; retention
     // at offset k = share of the cohort active (any event) k weeks later.
@@ -847,6 +931,40 @@ object AnalyticsQueries {
          SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6) FROM s
          UNION ALL
          SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6) FROM s""",
+    "w18_live_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type
+           FROM events),
+         base AS (
+           SELECT DISTINCT user_id FROM e
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         u1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t1
+           FROM e GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'click' AND e.ts_ms > u1.t1
+                      THEN e.ts_ms END) AS t2
+           FROM e JOIN u1 ON e.user_id = u1.user_id GROUP BY e.user_id),
+         u3 AS (
+           SELECT e.user_id,
+                  min(CASE WHEN e.event_type = 'purchase' AND e.ts_ms > u2.t2
+                      THEN e.ts_ms END) AS t3
+           FROM e JOIN u2 ON e.user_id = u2.user_id GROUP BY e.user_id),
+         j AS (
+           SELECT b.user_id, t1, t2, t3 FROM base b
+           LEFT JOIN u1 ON b.user_id = u1.user_id
+           LEFT JOIN u2 ON b.user_id = u2.user_id
+           LEFT JOIN u3 ON b.user_id = u3.user_id),
+         s AS (SELECT count(*) AS n, count(t1) AS s1, count(t2) AS s2,
+                      count(t3) AS s3 FROM j)
+         SELECT 1 AS step, 'view' AS step_name, CAST(s1 AS BIGINT) AS n_users,
+                round(s1 * 1.0 / n, 6) AS reach_rate,
+                true AS streaming_equals_batch FROM s
+         UNION ALL
+         SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6), true FROM s
+         UNION ALL
+         SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6), true FROM s""",
     "a22_retention_cohorts" ->
       """WITH e AS (
            SELECT user_id, event_type,

@@ -37,7 +37,7 @@ object TrainingQueries {
     * a run, and every registered dir is recursively REMOVED by one JVM
     * shutdown hook — without it each bench/gate/plan-audit run leaks six
     * parquet-filled directories into java.io.tmpdir until the disk fills. */
-  private object Scratch {
+  private[graft] object Scratch {
     private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private lazy val hookInstalled: Unit =
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -1013,8 +1013,32 @@ object TrainingQueries {
       // relations
       val signedLeft = Dedup.signedCorpus(left, "text", "doc_id")
       val signedRight = Dedup.signedCorpus(right, "text", "doc_id")
-      val linked = Dedup.linkBestMatchFrom(signedLeft, signedRight,
+      // materialized: referenced by BOTH verdicts below (exact-slice
+      // agreement + at-rest equality) — without truncation each reference
+      // re-runs the whole LSH linkage
+      val linked = graft.functions.Ckpt.materialize(
+        Dedup.linkBestMatchFrom(signedLeft, signedRight, threshold = 0.4))
+      // AT-REST twin (d15's seam, linkage form): persist the right feed's
+      // band/shingle tables (bands partitioned BY BAND — the probe's join
+      // key), read them back, and probe from disk. Must EQUAL the
+      // in-memory linkage exactly (same pair set, same jaccard) — holds by
+      // construction (linkBestMatchAgainstIndex IS linkBestMatchFrom's
+      // body); the verdict pins it against regressions in either path.
+      val tmp = Scratch.dir(s, "d16_index")
+      val (rBands, rShingles) = Dedup.nearDupIndexTablesFrom(signedRight)
+      rBands.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+      rShingles.write.mode("overwrite").parquet(s"$tmp/shingles")
+      val atRest = Dedup.linkBestMatchAgainstIndex(signedLeft,
+        s.read.parquet(s"$tmp/bands"), s.read.parquet(s"$tmp/shingles"),
         threshold = 0.4)
+      val restEq = linked.select($"left_id", $"right_id", $"jaccard".as("j_m"))
+        .withColumn("__m", lit(1))
+        .join(atRest.select($"left_id", $"right_id", $"jaccard".as("j_r"))
+            .withColumn("__r", lit(1)),
+          Seq("left_id", "right_id"), "full")
+        .agg(count($"__m").as("__n_mem"), count($"__r").as("__n_rest"),
+          count(when($"__m".isNotNull && $"__r".isNotNull &&
+            $"j_m" === $"j_r", 1)).as("__n_eq"))
       val nLeft = left.count()
       // twin scoring on the SORTED SHINGLE-HASH arrays (signedCorpus's
       // `words`, scored by the codegen'd primitive-long merge) — string
@@ -1048,10 +1072,12 @@ object TrainingQueries {
         .join(linked.select($"left_id", $"right_id".as("__lr")), Seq("left_id"), "left")
         .agg(count(lit(1)).as("__n_exact"),
           count(when($"__lr" === $"__er", 1)).as("__n_agree"))
-      exact.crossJoin(broadcast(agree))
+      exact.crossJoin(broadcast(agree)).crossJoin(broadcast(restEq))
         .select($"left_id", $"right_id", $"jaccard",
           ($"__n_exact" === 0L || $"__n_agree" >= $"__n_exact" * lit(0.8))
-            .as("agreement_ok"))
+            .as("agreement_ok"),
+          ($"__n_mem" === $"__n_rest" && $"__n_eq" === $"__n_mem")
+            .as("at_rest_matches_inmem"))
     }),
 
     // T25: BPE tokenizer training in-engine (Text.bpeTrain) — 8 merges
@@ -2014,7 +2040,8 @@ object TrainingQueries {
            FROM lft l JOIN rgt r ON true
            WHERE CAST(len(list_intersect(l.gs, r.gs)) AS DOUBLE) /
                  (len(l.gs) + len(r.gs) - len(list_intersect(l.gs, r.gs))) >= 0.4)
-         SELECT left_id, right_id, jaccard, true AS agreement_ok FROM (
+         SELECT left_id, right_id, jaccard, true AS agreement_ok,
+                true AS at_rest_matches_inmem FROM (
            SELECT *, row_number() OVER (PARTITION BY left_id
              ORDER BY jaccard DESC, right_id ASC) AS rn
            FROM pairs) WHERE rn = 1""",

@@ -1344,8 +1344,32 @@ object Dedup {
                         k: Int = 64, bands: Int = 16,
                         threshold: Double = 0.5,
                         maxBucketSize: Int = 128): DataFrame = {
-    val (lb, lw) = nearDupIndexTablesFrom(signedLeft, k, bands)
     val (rb, rw) = nearDupIndexTablesFrom(signedRight, k, bands)
+    linkBestMatchAgainstIndex(signedLeft, rb, rw, k, bands, threshold, maxBucketSize)
+  }
+
+  /** [[linkBestMatch]] against the right feed's AT-REST index — the daily
+    * reconcile-two-feeds shape: the reference feed is signed ONCE into
+    * [[nearDupIndexTables]] and persisted (bands partitioned BY BAND);
+    * each day's batch signs only itself and probes the loaded tables, so
+    * the reference corpus is never re-tokenized. Identical semantics to
+    * the in-memory path BY CONSTRUCTION (same hot-bucket census over both
+    * sides, same verify, same argmax — the d16 gate pins the equality):
+    * this function IS [[linkBestMatchFrom]]'s body, the only difference
+    * being where the right tables come from.
+    *
+    * Scale: the band probe is a partition-aligned equi-join when the
+    * index is stored partitioned by `band`; only surviving candidate ids
+    * re-attach shingle arrays (left's from the batch, right's from the
+    * at-rest shingle table — an id-keyed join, never a corpus scan). */
+  def linkBestMatchAgainstIndex(signedLeft: DataFrame,
+                                rightBands: DataFrame, rightShingles: DataFrame,
+                                k: Int = 64, bands: Int = 16,
+                                threshold: Double = 0.5,
+                                maxBucketSize: Int = 128): DataFrame = {
+    val (lb, lw) = nearDupIndexTablesFrom(signedLeft, k, bands)
+    val rb = rightBands.select(col("id"), col("band"), col("band_hash"))
+    val rw = rightShingles.select(col("id"), col("words"))
     val hot = lb.unionByName(rb).groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)

@@ -117,6 +117,22 @@ class DedupSpec extends SparkSpec {
     val rows = Dedup.linkBestMatch(leftT, rightT, "text", "doc_id", threshold = 0.3)
       .groupBy($"left_id").count().agg(max($"count")).as[Long].head()
     assert(rows == 1L)
+    // AT-REST: persist the right feed's index tables, probe from disk —
+    // must equal the in-memory linkage exactly (pairs AND jaccard)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d16_spec").toString
+    val (rb, rw) = Dedup.nearDupIndexTables(rightT, "text", "doc_id")
+    rb.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+    rw.write.mode("overwrite").parquet(s"$tmp/shingles")
+    val atRest = Dedup.linkBestMatchAgainstIndex(
+        Dedup.signedCorpus(leftT, "text", "doc_id"),
+        spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/shingles"),
+        threshold = 0.5)
+      .select($"left_id", $"right_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val inMem = Dedup.linkBestMatch(leftT, rightT, "text", "doc_id", threshold = 0.5)
+      .select($"left_id", $"right_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(atRest == inMem, s"atRest=$atRest inMem=$inMem")
   }
 
   test("lshPairsFrom fails fast on a k-mismatched signed relation") {
