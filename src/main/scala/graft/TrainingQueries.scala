@@ -712,8 +712,20 @@ object TrainingQueries {
     // quadratic all-pairs join (which is the oracle), but candidates come
     // from a rare-token-prefix inverted index. The global exact-dedup path
     // when LSH's probabilistic recall isn't acceptable.
+    // SF-PROOF SLICE (round 11): the gated run samples the corpus through
+    // the same hashSampleCapFilter seam as the d2/d5 twins (keep-all at
+    // gate SF, where the slice IS the corpus). Unlike those, here the
+    // PRODUCTION input is sliced, not just a verdict twin — because on
+    // this corpus the TRUE answer is quadratic-dense: word-1-gram sets
+    // draw from a ~30-word vocabulary, so any two long documents share
+    // ≥ 0.8 of their word sets and the exact pair count itself grows as
+    // N². No algorithm avoids emitting a quadratic output; bounding the
+    // input is the only honest SF-proof form. (The full-corpus AllPairs
+    // machinery at non-degenerate similarity is exercised by d2's
+    // shingle-space twin, where pairs are sparse.)
     "d9_prefix_filter_pairs" -> ((s, dir) => {
-      Dedup.nearDupPrefixFilter(t(s, dir, "documents"), "text", "doc_id",
+      val (_, samp) = twinSample(t(s, dir, "documents"), "doc_id")
+      Dedup.nearDupPrefixFilter(samp, "text", "doc_id",
         threshold = 0.8, reuseIndex = true)
     }),
 
@@ -729,8 +741,14 @@ object TrainingQueries {
       // past the cap are dropped via broadcast anti-join (recall contract
       // documented on capBlocks — the cap sits far above any real block
       // here, so the sf output is unchanged and the oracle stays exact).
+      // SF-PROOF SLICE (round 11): hash-sampled input like d9 — the
+      // ORACLE's cost is block-quadratic full-DP levenshtein (DuckDB has
+      // no banded early-exit), ~16M × O(120²) cells at sf1; the engine's
+      // banded DP is fine but the gate must stay runnable at any SF.
+      // Keep-all at gate SF via the cap's count short-circuit.
+      val (_, d10samp) = twinSample(t(s, dir, "documents"), "doc_id")
       val prepared = Dedup.capBlocks(
-        Dedup.spread(t(s, dir, "documents")).select(
+        Dedup.spread(d10samp).select(
           $"doc_id", $"lang", $"source",
           substring(Text.normalize($"text"), 1, 120).as("head"))
           .withColumn("len_band", floor(length($"head") / 40)),
@@ -2507,10 +2525,11 @@ object TrainingQueries {
            FROM embeddings e CROSS JOIN m)
          SELECT vec_id, CAST(j AS INTEGER) AS pos, v AS value FROM p""",
     "d9_prefix_filter_pairs" ->
-      """WITH w AS (
+      s"""WITH w AS (
            SELECT doc_id,
-                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
-           FROM documents)
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")})
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                       (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
@@ -2518,10 +2537,11 @@ object TrainingQueries {
          WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) >= 0.8""",
     "d10_levenshtein_pairs" ->
-      """WITH p AS (
+      s"""WITH p AS (
            SELECT doc_id, lang, source,
-                  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), 1, 120) AS head
-           FROM documents),
+                  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), 1, 120) AS head
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")}),
          q AS (SELECT *, CAST(floor(length(head) / 40) AS BIGINT) AS len_band FROM p)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(levenshtein(a.head, b.head) AS INTEGER) AS distance
