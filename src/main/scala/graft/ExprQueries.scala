@@ -259,10 +259,14 @@ object ExprQueries {
     "a9_sum_all_numerics" -> ((s, dir) => {
       import s.implicits._
       val numerics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // Exact-decimal sums (sf1 lesson, see a1): 2M-row groups of money
+      // doubles flake at the round boundary; DECIMAL(18,2) per-element cast
+      // makes the sum exact and engine-identical at any SF.
+      def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double")
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(round(sum(numerics.head), 4).as(s"sum_${numerics.head}"),
-             numerics.tail.map(c => round(sum(c), 4).as(s"sum_$c")): _*)
+        .agg(dsum(numerics.head).as(s"sum_${numerics.head}"),
+             numerics.tail.map(c => dsum(c).as(s"sum_$c")): _*)
     }),
 
     // ---- §2.6 remaining windows --------------------------------------------
@@ -637,10 +641,10 @@ object ExprQueries {
          FROM lineitem""",
     "a9_sum_all_numerics" ->
       """SELECT l_returnflag,
-         round(sum(l_quantity),4) AS sum_l_quantity,
-         round(sum(l_extendedprice),4) AS sum_l_extendedprice,
-         round(sum(l_discount),4) AS sum_l_discount,
-         round(sum(l_tax),4) AS sum_l_tax
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_discount,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_tax
          FROM lineitem GROUP BY l_returnflag""",
     "w4_range_ffill" ->
       """SELECT event_id, user_id,

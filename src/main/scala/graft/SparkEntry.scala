@@ -86,10 +86,21 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
+        // EXACT-DECIMAL SUMS (sf1 lesson): double sums over millions of rows
+        // differ between engines in the last ulps (summation order), and at
+        // sum magnitudes ≥ 1e10 that error reaches the round(.,4) boundary —
+        // a1 flaked by one ulp of the 4th decimal at sf1. The corpus's money
+        // columns carry exactly 2 decimals, so casting per element to
+        // DECIMAL(18,2) makes the sum EXACT and engine-identical at any SF
+        // (integer-cents totals stay < 2^53, so the final double is exact
+        // too). Same treatment in the oracle SQL. Applies to every ≥100k-row
+        // group money sum: a1/a2/a9/a10/j5/j12.
         .agg(
-          round(sum($"l_quantity"), 4).as("sum_qty"),
-          round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -100,7 +111,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy($"o_orderpriority")
         .agg(
-          round(sum($"o_totalprice"), 4).as("sum_price"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
           round(avg($"o_totalprice"), 4).as("avg_price"),
           min($"o_totalprice").as("min_price"),
           max($"o_totalprice").as("max_price"),
@@ -150,7 +161,7 @@ object SparkEntry {
         .withColumn("balance_bucket", bucket)
         .groupBy($"balance_bucket")
         .agg(count(lit(1)).as("n_customers"),
-             round(sum($"c_acctbal"), 4).as("total_balance"))
+             sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_balance"))
     }),
 
     // ---- §2.4 joins --------------------------------------------------------
@@ -178,7 +189,9 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+               .cast("double").as("revenue"),
              count(lit(1)).as("n_lines"))
     }),
 
@@ -296,7 +309,8 @@ object SparkEntry {
       Relational.saltedJoin(li, supp, keys = Seq("l_suppkey"),
           saltFrom = "l_orderkey", nSalts = 8)
         .groupBy($"s_nationkey")
-        .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+             sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }),
 
     // J13: bloom-filter semi-join pruning (functions.Prune over Spark's own
@@ -449,16 +463,16 @@ object SparkEntry {
          FROM run GROUP BY prio""",
     "a1_group_sum" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),4) AS sum_qty,
-         round(sum(l_extendedprice),4) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          round(avg(l_quantity),4) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "a2_named_aggs" ->
       """SELECT o_orderpriority,
-         round(sum(o_totalprice),4) AS sum_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          round(avg(o_totalprice),4) AS avg_price,
          min(o_totalprice) AS min_price,
          max(o_totalprice) AS max_price,
@@ -486,7 +500,7 @@ object SparkEntry {
                      WHEN c_acctbal < 7500 THEN 'medium'
                      ELSE 'large' END AS balance_bucket,
          count(*) AS n_customers,
-         round(sum(c_acctbal),4) AS total_balance
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
          FROM customer GROUP BY 1""",
     "j1_left_join" ->
       """SELECT c_custkey, c_name,
@@ -498,7 +512,7 @@ object SparkEntry {
          ON c_custkey = o.o_custkey""",
     "j5_multiway_join" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_lines
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -559,7 +573,7 @@ object SparkEntry {
            SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""",
     "j12_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
-         round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey""",
     "j13_bloom_prune" ->

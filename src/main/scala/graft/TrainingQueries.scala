@@ -218,9 +218,16 @@ object TrainingQueries {
     // D4: blocked exhaustive n-gram(1) Jaccard near-dup pairs — the
     // quadratic baseline bounded by the (lang, source) blocking key;
     // fully oracle-expressible with DuckDB list functions.
+    // SF-PROOF SLICE (round 11, same seam as d9): ≥0.8 word-set Jaccard is
+    // quadratic-DENSE on this corpus (30-word vocab — at sf1 the full
+    // blocked answer is 3.9M pairs and grows as N²), so the whole
+    // word-set-pair family (d4 pairs, d6 clusters, d7 retention, d8
+    // triangles — triangles are CUBIC in the near-clique blocks) gates on
+    // the hash-sampled slice. Keep-all at gate SF via the count
+    // short-circuit.
     "d4_jaccard_blocked" -> ((s, dir) => {
-      Dedup.nearDupJaccardBlocked(t(s, dir, "documents"), "text", "doc_id",
-        blockCols = Seq("lang", "source"), threshold = 0.8)
+      Dedup.nearDupJaccardBlocked(twinSample(t(s, dir, "documents"), "doc_id")._2,
+        "text", "doc_id", blockCols = Seq("lang", "source"), threshold = 0.8)
     }),
 
     // D5: embedding-cosine near-dup via IVF multi-probe blocking
@@ -411,7 +418,9 @@ object TrainingQueries {
     // Oracle: DuckDB recursive-CTE min-label closure over the same pairs.
     "d6_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // Sliced with the d4 family (see d4): the pair graph is dense at
+      // scale and the oracle's recursive closure is edge×iteration bound.
+      val docs = twinSample(t(s, dir, "documents"), "doc_id")._2
       val edges = Dedup.nearDupJaccardBlocked(docs, "text", "doc_id",
         blockCols = Seq("lang", "source"), threshold = 0.8)
         .select($"id_a", $"id_b")
@@ -424,7 +433,8 @@ object TrainingQueries {
     // token count, id tie-break), and report how many it displaced.
     "d7_dedup_retain" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      // Sliced with the d4 family (see d4).
+      val docs = twinSample(t(s, dir, "documents"), "doc_id")._2
       val edges = Dedup.nearDupJaccardBlocked(docs, "text", "doc_id",
         blockCols = Seq("lang", "source"), threshold = 0.8)
         .select($"id_a", $"id_b")
@@ -613,7 +623,11 @@ object TrainingQueries {
     // Triangles signal dup CLUSTERS denser than pairwise chains.
     "d8_triangle_count" -> ((s, dir) => {
       import s.implicits._
-      val e = Dedup.nearDupJaccardBlocked(t(s, dir, "documents"), "text", "doc_id",
+      // Sliced with the d4 family (see d4): triangle enumeration over the
+      // near-clique blocks is CUBIC in block size — no engine escapes a
+      // cubic-sized answer; the slice is what keeps the gate runnable.
+      val e = Dedup.nearDupJaccardBlocked(
+        twinSample(t(s, dir, "documents"), "doc_id")._2, "text", "doc_id",
         blockCols = Seq("lang", "source"), threshold = 0.8)
         .select($"id_a", $"id_b")
       val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
@@ -2690,10 +2704,11 @@ object TrainingQueries {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
          GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))""",
     "d4_jaccard_blocked" ->
-      """WITH w AS (
+      s"""WITH w AS (
            SELECT doc_id, lang, source,
-                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
-           FROM documents)
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")})
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
                       (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))), 6) AS jaccard
@@ -2748,10 +2763,11 @@ object TrainingQueries {
                      / 2048) AS BIGINT) AS pack_id
          FROM d""",
     "d6_dedup_clusters" ->
-      """WITH RECURSIVE w AS (
+      s"""WITH RECURSIVE w AS (
            SELECT doc_id, lang, source,
-                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
-           FROM documents),
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")}),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -2761,7 +2777,7 @@ object TrainingQueries {
            SELECT id_a AS src, id_b AS dst FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(node, label) AS (
-           SELECT doc_id, doc_id FROM documents
+           SELECT doc_id, doc_id FROM w
            UNION
            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
          SELECT node AS doc_id, min(label) AS cluster_id
@@ -2838,10 +2854,11 @@ object TrainingQueries {
                FROM embeddings)
          GROUP BY label, pos""",
     "d7_dedup_retain" ->
-      """WITH RECURSIVE w AS (
+      s"""WITH RECURSIVE w AS (
            SELECT doc_id, lang, source,
-                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
-           FROM documents),
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")}),
          pairs AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -2851,7 +2868,7 @@ object TrainingQueries {
            SELECT id_a AS src, id_b AS dst FROM pairs
            UNION ALL SELECT id_b, id_a FROM pairs),
          reach(node, label) AS (
-           SELECT doc_id, doc_id FROM documents
+           SELECT doc_id, doc_id FROM w
            UNION
            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
          clusters AS (
@@ -2859,7 +2876,7 @@ object TrainingQueries {
          scored AS (
            SELECT doc_id,
                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
            FROM documents)
          SELECT c.cluster_id, s.doc_id, s.n_tokens
          FROM scored s JOIN clusters c USING (doc_id)
@@ -2885,10 +2902,11 @@ object TrainingQueries {
          FROM m, g gx, g gy
          WHERE gx.i <= (width - 1) // 224 AND gy.i <= (height - 1) // 224""",
     "d8_triangle_count" ->
-      """WITH w AS (
+      s"""WITH w AS (
            SELECT doc_id, lang, source,
-                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS words
-           FROM documents),
+                  list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS words
+           FROM documents
+           WHERE ${twinSampleSql("documents", "doc_id")}),
          e AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM w a JOIN w b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id

@@ -73,7 +73,12 @@ object Verify {
             s"column(s) ${bad.mkString(", ")} — the driver's pandas compare " +
             "cannot hash array cells; emit long-form rows or concat_ws strings")
         }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // repartition(1), NOT coalesce(1): coalesce merges the FINAL stage
+        // to one task, which drags every post-shuffle operator (sort-merge
+        // joins, windows) into a single thread — at sf1 one such query ran
+        // 7+ min on one core. repartition adds a tiny exchange so upstream
+        // stages keep full parallelism and only the write is single-file.
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // NaN/Infinity guard (round 9): pandas/DuckDB disagree on NaN
         // ordering and equality semantics in the driver's sorted-cell
         // compare, so a NaN/Inf double in an oracle-checked output could
