@@ -264,9 +264,16 @@ object TrainingQueries {
           // the verdict from the same one-row aggregate, no second pass
           stats.withColumn("__full_ok", $"n_ann_s" === 50L)
         else
+          // Full-corpus production run (coverage verdict only — the
+          // recall contract lives on the slice): sqrt(N)-floored lists
+          // keep the per-list self-join sub-quadratic (round 11; the
+          // fixed 16-list form scored ~all pairs at 20k vectors, 39 s).
           stats.crossJoin(broadcast(
             Similarity.embeddingNearDupBlocked(emb, "vec_id", "embedding",
-                k = 50, nLists = 16, nProbe = 4)
+                k = 50,
+                nLists = math.max(16,
+                  math.ceil(math.sqrt(nVec.toDouble)).toInt),
+                nProbe = 4)
               .agg((count(lit(1)) === 50L).as("__full_ok"))))
       exact.crossJoin(broadcast(withFull))
         .select($"id_a", $"id_b", $"cosine", ($"n_hit" >= 40L).as("recall_ok"),
@@ -504,9 +511,11 @@ object TrainingQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val (nVec, samp) = twinSample(emb, "vec_id")
+      // mcpv = 800 = 0.4 × the 2000-vector gate corpus — same linear
+      // budget contract as d13 (no-op at gate SF, linear above it).
       val annS = Similarity.knnGraphBlockedAuto(samp, "vec_id",
         "embedding", k = 3, nLists = 64, trainIters = 2,
-        maxCandidateFraction = 0.4)
+        maxCandidateFraction = 0.4, maxCandidatesPerVector = 800L)
       val exact = Similarity.knnGraph(samp, "vec_id", "embedding", k = 3)
       val stats = annS.select($"id", $"nbr_id").withColumn("__f", lit(1))
         .join(exact.select($"id", $"nbr_id").withColumn("__e", lit(1)),
@@ -521,7 +530,7 @@ object TrainingQueries {
           stats.crossJoin(broadcast(
             Similarity.knnGraphBlockedAuto(emb, "vec_id", "embedding",
                 k = 3, nLists = 64, trainIters = 2,
-                maxCandidateFraction = 0.4)
+                maxCandidateFraction = 0.4, maxCandidatesPerVector = 800L)
               .agg((count(lit(1)) === lit(nVec * 3)).as("__full_ok"))))
       exact.crossJoin(broadcast(withFull))
         .select($"id", $"nbr_id", $"cosine", $"rank",
@@ -1396,15 +1405,22 @@ object TrainingQueries {
       // volume — now derived from the occupancy histogram instead.
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      // maxCandidatesPerVector = 500 = 0.25 × the 2000-vector gate corpus:
+      // at N ≤ 2000 the effective fraction is the same 0.25 (bit-identical
+      // behavior at gate SF); above it the budget is LINEAR in N and the
+      // sqrt(N) list floor keeps each probe sub-linear (round 11 — the sf1
+      // bench measured the fraction-of-N² form at 71 s of 347 s total).
       val ann = Similarity.semanticDedup(emb, "vec_id", "embedding",
         threshold = 0.45, k = 5, nLists = 64,
-        trainIters = 2, maxCandidateFraction = 0.25)
+        trainIters = 2, maxCandidateFraction = 0.25,
+        maxCandidatesPerVector = 500L)
       val (nVec, samp) = twinSample(emb, "vec_id")
       val annS =
         if (nVec <= TwinSampleCap) ann
         else Similarity.semanticDedup(samp, "vec_id", "embedding",
           threshold = 0.45, k = 5, nLists = 64,
-          trainIters = 2, maxCandidateFraction = 0.25)
+          trainIters = 2, maxCandidateFraction = 0.25,
+          maxCandidatesPerVector = 500L)
       val exactEdges = Dedup.embeddingEdgesAbove(samp, "vec_id", "embedding", 0.45)
       // exact twin CC runs the DRIVER-side union-find: the true edge set
       // is slice-bounded by construction (near-dup edges at a high
@@ -1964,13 +1980,18 @@ object TrainingQueries {
     "d3_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
         radius = 8, blockCols = Seq("lang"))),
-    "d5_embedding_neardup" -> ((s, dir) =>
-      Similarity.embeddingNearDupBlocked(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 50, nLists = 16, nProbe = 4)),
+    "d5_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingNearDupBlocked(emb,
+        "vec_id", "embedding", k = 50,
+        nLists = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt),
+        nProbe = 4)
+    }),
     "d13_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, k = 5, nLists = 64,
-        trainIters = 2, maxCandidateFraction = 0.25)),
+        trainIters = 2, maxCandidateFraction = 0.25,
+        maxCandidatesPerVector = 500L)),
     "s2_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -1993,7 +2014,7 @@ object TrainingQueries {
     "s7_knn_graph" -> ((s, dir) =>
       Similarity.knnGraphBlockedAuto(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 3, nLists = 64, trainIters = 2,
-        maxCandidateFraction = 0.4)),
+        maxCandidateFraction = 0.4, maxCandidatesPerVector = 800L)),
     // d15 production = build the index ONCE at rest, probe with the batch
     // — no rebuild twin (the gated form runs the rebuild it must equal)
     "d15_incremental_neardup" -> ((s, dir) => {

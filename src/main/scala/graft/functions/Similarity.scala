@@ -651,11 +651,30 @@ object Similarity {
   def knnGraphBlockedAuto(df: DataFrame, idCol: String, vecCol: String,
                           k: Int, nLists: Int = 64, trainIters: Int = 2,
                           maxCandidateFraction: Double = 0.4,
-                          maxProbe: Int = 32, maxAssign: Int = 4): DataFrame = {
+                          maxProbe: Int = 32, maxAssign: Int = 4,
+                          maxCandidatesPerVector: Long = 0L): DataFrame = {
     val spread = Dedup.spread(df)
+    // SCALE SHAPE (round 11, measured at sf1): a candidate budget stated
+    // as a FRACTION of all-pairs grows quadratically with the corpus —
+    // at 20k vectors the 0.25 budget was 1e8 scored pairs and 70+ s of
+    // the bench total. Two linear-izing knobs, both no-ops at gate SF:
+    //   - maxCandidatesPerVector > 0 caps the budget at mcpv/N (the
+    //     effective fraction SHRINKS as N grows → total candidates stay
+    //     ~mcpv·N, linear);
+    //   - nLists is floored at ceil(sqrt(N)) (the classic IVF sizing:
+    //     per-list occupancy ~sqrt(N), so even a few probed lists stay
+    //     sub-linear per vector). Callers' explicit nLists still wins
+    //     when larger.
+    val n = spread.count()
+    val lists = math.max(nLists,
+      math.ceil(math.sqrt(n.toDouble)).toInt)
+    val effFrac =
+      if (maxCandidatesPerVector > 0 && n > 0)
+        math.min(maxCandidateFraction, maxCandidatesPerVector.toDouble / n)
+      else maxCandidateFraction
     val (seeds, seedNorms) =
-      if (trainIters > 0) trainSeeds(spread, idCol, vecCol, nLists, trainIters)
-      else collectSeeds(spread, idCol, vecCol, nLists)
+      if (trainIters > 0) trainSeeds(spread, idCol, vecCol, lists, trainIters)
+      else collectSeeds(spread, idCol, vecCol, lists)
     // ONE corpus pass (round 9; was three): the (id, vec, home_list)
     // projection is materialized once — the occupancy histogram, the
     // member side (for memberAssign = 1 it IS the home assignment), and
@@ -676,10 +695,10 @@ object Similarity {
       rows.foreach(r => arr(r.getInt(0) - 1) = r.getLong(1))
       arr
     }
-    val (p, m, frac) = chooseProbeBudget(counts, maxCandidateFraction,
-      math.min(maxProbe, nLists), maxAssign)
-    System.err.println(f"[knnGraphBlockedAuto] nLists=$nLists -> nProbe=$p " +
-      f"memberAssign=$m estCandidateFraction=$frac%.3f (budget $maxCandidateFraction%.2f)")
+    val (p, m, frac) = chooseProbeBudget(counts, effFrac,
+      math.min(maxProbe, lists), maxAssign)
+    System.err.println(f"[knnGraphBlockedAuto] n=$n nLists=$lists -> nProbe=$p " +
+      f"memberAssign=$m estCandidateFraction=$frac%.3f (budget $effFrac%.3f)")
     knnGraphFromHome(home, k, seeds, seedNorms, p, m)
   }
 
@@ -1114,14 +1133,18 @@ object Similarity {
                     threshold: Double, k: Int = 5, nLists: Int = 16,
                     nProbe: Int = 4, trainIters: Int = 0,
                     memberAssign: Int = 1,
-                    maxCandidateFraction: Double = 0.0): DataFrame = {
+                    maxCandidateFraction: Double = 0.0,
+                    maxCandidatesPerVector: Long = 0L): DataFrame = {
     // maxCandidateFraction > 0 switches the edge stage to the
     // cost-bounded auto path: (nProbe, memberAssign) are derived from the
     // trained occupancy histogram instead of taken from the arguments —
     // same budget guard as knnGraphBlockedAuto.
+    // maxCandidatesPerVector passes through to the auto path's linear
+    // budget cap (round 11 — see knnGraphBlockedAuto).
     val edges = (if (maxCandidateFraction > 0)
         knnGraphBlockedAuto(df, idCol, vecCol, k, nLists, trainIters,
-          maxCandidateFraction)
+          maxCandidateFraction,
+          maxCandidatesPerVector = maxCandidatesPerVector)
       else knnGraphBlocked(df, idCol, vecCol, k, nLists, nProbe,
         trainIters, memberAssign))
       .filter(col("cosine") >= threshold)
