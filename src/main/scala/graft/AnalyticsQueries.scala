@@ -554,6 +554,64 @@ object AnalyticsQueries {
             .as("streaming_equals_batch"))
     }),
 
+    // C2: LIVE CORPUS PREP in the gate (round 11) — the second streaming
+    // path the driver binary checks (after w18): the whole stateful tail
+    // of corpus prep (permanent-state dedup CHAINED into per-language
+    // packing — two transformWithState operators in ONE query, RocksDB
+    // store) runs availableNow over the documents table streamed from
+    // parquet; payload = the per-(lang, pack) manifest the oracle
+    // recomputes from raw text (filters → min-doc-id dedup → prefix-scan
+    // packing), verdict = per-doc pack assignment ≡ the BATCH
+    // packSequences over the same survivors (full outer join, zero
+    // mismatches).
+    "c2_live_corpus_prep" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "c2_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val kept = Streams.corpusPrepStream(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 100000))
+          .as[Streams.FpMeta]
+        Streams.runAvailableNow(Streams.corpusPrepTws(kept, 2048L).toDF(), out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val streamed = s.read.parquet(out)
+      // batch twin: same stateless front (one implementation), window
+      // dedup, prefix-scan packing
+      val keptB = Streams.corpusPrepStream(t(s, dir, "documents"))
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fingerprint").orderBy($"doc_id")
+      val dedupB = keptB.withColumn("rn", row_number().over(wFp))
+        .filter($"rn" === 1).select($"doc_id", $"lang", $"n_tokens")
+      val packB = graft.functions.Text
+        .packSequences(dedupB, "lang", "doc_id", "n_tokens", 2048L)
+        .select($"doc_id", $"pack_id".as("__bp"))
+      val eq = streamed.select($"doc_id", $"pack_id").withColumn("__s", lit(1))
+        .join(packB.withColumn("__b", lit(1)), Seq("doc_id"), "full")
+        .agg((count(when($"__s".isNull || $"__b".isNull ||
+          $"pack_id" =!= $"__bp", 1)) === 0).as("__ok"))
+      streamed.groupBy($"lang", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast("long").as("pack_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .crossJoin(broadcast(eq))
+        .select($"lang", $"pack_id", $"n_docs", $"pack_tokens",
+          $"first_doc", $"last_doc", $"__ok".as("stream_matches_batch"))
+    }),
+
     // A22: RETENTION COHORTS — the signup-week × activity-week matrix:
     // each user joins the cohort of their first `signup` week; retention
     // at offset k = share of the cohort active (any event) k weeks later.
@@ -931,6 +989,54 @@ object AnalyticsQueries {
          SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6) FROM s
          UNION ALL
          SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6) FROM s""",
+    "c2_live_corpus_prep" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+           FROM documents),
+         sc AS (SELECT doc_id, text, words, n_tokens,
+           len(list_filter(words, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+           len(list_filter(words, x -> list_contains(['le','la','les','des','est','une','dans','pour','que'], x))) AS s_fr,
+           len(list_filter(words, x -> list_contains(['el','los','las','es','una','para','como','por','del'], x))) AS s_es,
+           len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für'], x))) AS s_de,
+           len(list_filter(words, x -> list_contains(['的','是','了','在','我','有','他','这'], x))) AS s_zh
+           FROM w),
+         l AS (SELECT doc_id, text, words, n_tokens,
+           CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 AND s_zh = 0 THEN 'und'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang
+           FROM sc),
+         q AS (SELECT doc_id, text, pred_lang, n_tokens,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(words, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that','be'], x))) AS DOUBLE)
+                     / len(words) END AS stop_ratio,
+           CASE WHEN len(words) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                     / len(words) END AS mean_wl
+           FROM l),
+         kept AS (SELECT doc_id, text, pred_lang, n_tokens FROM q
+                  WHERE pred_lang <> 'und' AND n_tokens >= 20
+                    AND mean_wl <= 4.75 AND stop_ratio >= 0.05),
+         dd AS (SELECT doc_id, pred_lang, n_tokens FROM kept
+                QUALIFY row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) = 1),
+         p AS (SELECT pred_lang, doc_id, n_tokens,
+                 CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY pred_lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                      / 2048) AS BIGINT) AS pack_id
+               FROM dd)
+         SELECT pred_lang AS lang, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                TRUE AS stream_matches_batch
+         FROM p GROUP BY pred_lang, pack_id""",
     "w18_live_funnel" ->
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type

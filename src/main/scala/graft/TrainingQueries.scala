@@ -719,6 +719,48 @@ object TrainingQueries {
         .select($"doc_id", $"term", $"score", $"rank")
     }),
 
+    // T26: Okapi BM25 retrieval (round 11) — rank the corpus against a
+    // bag of query terms (here: doc 0's own terms, the "more-like-this"
+    // shape) and return the top 10. The lexical-retrieval primitive that
+    // completes the t7 TF-IDF / t12 unigram-LM family; see
+    // Text.bm25TopK for the one-scan / one-corpus-shuffle plan shape.
+    "t26_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(Text.normalize($"text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
+    }),
+
+    // T27: BM25 INDEX-AT-REST probe (round 11) — the lexical twin of the
+    // s16 IVF member-table gate: posting lists are WRITTEN partitioned by
+    // term-hash bucket (Text.saveBm25Index), the probe reads them back
+    // through a static `bucket IN (...)` partition filter
+    // (Text.bm25TopKFromIndex — file-listing pruning, PersistSpec pins
+    // the plan), and the gate asserts probe-from-disk ≡ the in-memory
+    // t26 form row-for-row (roundtrip_ok). Payload = the probed top-10,
+    // which the oracle recomputes from raw text.
+    "t27_bm25_index_probe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(Text.normalize($"text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      val tmp = Scratch.dir(s, "t27_bm25")
+      Text.saveBm25Index(docs, "text", "doc_id", tmp, nBuckets = 64)
+      val fromDisk = Text.bm25TopKFromIndex(
+        s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
+        qTerms, k = 10, nBuckets = 64)
+      val inMem = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
+      val rt = fromDisk.join(inMem, Seq("doc_id", "score", "n_terms_hit", "rank"))
+        .agg(count(lit(1)).as("__n_rt"))
+      val nMem = inMem.agg(count(lit(1)).as("__n_mem"))
+      fromDisk.crossJoin(broadcast(rt)).crossJoin(broadcast(nMem))
+        .select($"doc_id", $"score", $"n_terms_hit", $"rank",
+          ($"__n_rt" === $"__n_mem").as("roundtrip_ok"))
+    }),
+
     "m1_binary_metadata" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -2996,6 +3038,61 @@ object TrainingQueries {
                        ORDER BY score DESC, term ASC) AS INT) AS rank
          FROM scored
          QUALIFY rank <= 3""",
+    "t26_bm25_topk" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+           FROM documents),
+         q AS (SELECT list_distinct(ws) AS terms FROM norm WHERE doc_id = 0),
+         base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM norm),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, tm, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS tm FROM base), q
+           WHERE list_contains(q.terms, tm)
+           GROUP BY doc_id, dl, tm),
+         dft AS (SELECT tm, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY tm),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+                  count(*) AS n_terms_hit
+           FROM tf JOIN dft USING (tm) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         FROM sc
+         QUALIFY rank <= 10""",
+    "t27_bm25_index_probe" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+           FROM documents),
+         q AS (SELECT list_distinct(ws) AS terms FROM norm WHERE doc_id = 0),
+         base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM norm),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, tm, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS tm FROM base), q
+           WHERE list_contains(q.terms, tm)
+           GROUP BY doc_id, dl, tm),
+         dft AS (SELECT tm, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY tm),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+                  count(*) AS n_terms_hit
+           FROM tf JOIN dft USING (tm) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                TRUE AS roundtrip_ok
+         FROM sc
+         QUALIFY rank <= 10""",
     "m1_binary_metadata" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

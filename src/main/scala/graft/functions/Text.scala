@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -542,5 +542,139 @@ object Text {
       }
     }
     spark.createDataFrame(packed, outSchema)
+  }
+
+  /** Okapi BM25 document retrieval: score every document against a bag of
+    * query terms and return the top `k` — the lexical-retrieval primitive
+    * (quality-filter seeding, "more-like-this" expansion, eval-set mining)
+    * the corpus family's TF-IDF (t7) and unigram-LM (t12) operators imply
+    * but don't expose as a ranked query.
+    *
+    *   idf(t)     = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   score(d)   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Plan shape (the 100 TB story): ONE corpus scan feeds everything —
+    * doc length is computed map-side and carried THROUGH the explode as a
+    * grouping column (no second scan, no dl join); the query-term filter
+    * is a codegen'd `In` applied to generated rows BEFORE the only
+    * corpus-sized shuffle (the (doc, term) tf aggregate, whose output is
+    * bounded by matching docs × |query|); df and the (N, avgdl) stats are
+    * |query|-row / 1-row aggregates that BROADCAST back. Top-k is
+    * orderBy+limit (per-partition heaps + driver merge), with the rank
+    * window bounded by k. At index-at-rest scale the tf aggregate is the
+    * posting-list table — write it partitioned by term (the s16 posture)
+    * and a query becomes partition-pruned I/O.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    val base = Dedup.spread(df).select(
+        col(idCol).as("__id"),
+        filter(split(normalize(col(textCol)), " "), w => w =!= "").as("__ws"))
+      .select(col("__id"), col("__ws"),
+        size(col("__ws")).cast("double").as("__dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__ws")).as("__t"))
+      .filter(col("__t").isInCollection(terms))
+      .groupBy(col("__id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dft = tf.groupBy(col("__t"))
+      .agg(countDistinct(col("__id")).cast("double").as("__df"))
+    val scored = tf.join(broadcast(dft), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("__s")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("__id").asc)
+      .limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("__id").asc)).cast("int"))
+      .select(col("__id").as(idCol), col("score"), col("n_terms_hit"),
+        col("rank"))
+  }
+
+  /** Write the BM25 posting lists AT REST, partitioned by a term hash
+    * BUCKET — the lexical twin of the IVF member table
+    * ([[graft.functions.Similarity.saveIvfMemberTable]]): one tokenize
+    * scan + one (doc, term) aggregate, then a partitioned write. A query
+    * touching `q` distinct terms opens at most `q` of the `nBuckets`
+    * partition directories (partition pruning at the file listing — the
+    * PersistSpec contract), instead of re-tokenizing the corpus per
+    * query. Partitioning by RAW term would create one directory per
+    * vocabulary entry (millions at real scale) — the hash bucket keeps
+    * the directory count fixed while preserving the pruning.
+    *
+    * Layout: `<path>/postings` (bucket=…/ dirs; doc_id, dl, term, tf) and
+    * `<path>/stats` (one row: n_docs, avgdl). */
+  def saveBm25Index(df: DataFrame, textCol: String, idCol: String,
+                    path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val base = Dedup.spread(df).select(
+        col(idCol).as("doc_id"),
+        filter(split(normalize(col(textCol)), " "), w => w =!= "").as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        size(col("__ws")).cast("double").as("dl"))
+    base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    base.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against an at-rest index written by [[saveBm25Index]]:
+    * the query terms' buckets become a STATIC `bucket IN (<literals>)`
+    * partition filter (bucket ids resolved by a |terms|-row Spark job so
+    * the hash is engine-identical by construction), df(t) is recomputed
+    * from the probed postings (restricting to query terms keeps every
+    * doc of those terms, so df is exact), and (N, avgdl) come from the
+    * stats table. Scores are formula-identical to [[bm25TopK]]. */
+  def bm25TopKFromIndex(postings: DataFrame, stats: DataFrame,
+                        queryTerms: Seq[String], k: Int,
+                        nBuckets: Int = 64,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val buckets = terms.toDF("__t")
+      .select(pmod(xxhash64(col("__t")), lit(nBuckets.toLong)).as("__b"))
+      .distinct().as[Long].collect().toSeq
+    val st = stats.select(col("n_docs").as("__n"), col("avgdl").as("__avgdl"))
+    val probe = postings
+      .filter(col("bucket").isInCollection(buckets))
+      .filter(col("term").isInCollection(terms))
+    val dft = probe.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("__df"))
+    val scored = probe.join(broadcast(dft), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s", col("__idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("__s")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
   }
 }

@@ -161,6 +161,31 @@ class TextSpec extends SparkSpec {
     assert(scanned.values.max > 10, "packing actually advanced across partitions")
   }
 
+  test("bm25TopK: hand-computed Okapi scores, rank order, tie-break") {
+    // corpus: d1 "cat dog cat" (dl 3), d2 "dog fish" (dl 2),
+    // d3 "bird bird bird fish" (dl 4); query {cat, fish}; N=3, avgdl=3.
+    // idf(cat)=ln(1+2.5/1.5), idf(fish)=ln(1+1.5/2.5); k1=1.2, b=0.75.
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"),
+                   (3L, "bird bird bird fish")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, "text", "doc_id",
+        Seq("cat", "fish"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1.34864, 1L, 1),    // ln(8/3)*2*2.2/(2+1.2*1.0)
+      (2L, 0.544215, 1L, 2),   // ln(1.6)*2.2/(1+1.2*0.75)
+      (3L, 0.413603, 1L, 3)))  // ln(1.6)*2.2/(1+1.2*1.25)
+    // doc without any query term never appears
+    assert(!got.exists(_._1 == 4L))
+    // k truncates: top-1 only keeps the best-scoring doc
+    val top1 = Text.bm25TopK(docs, "text", "doc_id", Seq("cat", "fish"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(1L))
+    // multi-term doc accumulates: query {dog, fish} hits d2 on both terms
+    val both = Text.bm25TopK(docs, "text", "doc_id", Seq("dog", "fish"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(both(2L) == 2L && both(1L) == 1L && both(3L) == 1L)
+  }
+
   test("hashSampleFilter: deterministic, partition-invariant, ~rate fraction") {
     val ids = (1L to 2000L).toDF("id")
     val kept = ids.filter(Text.hashSampleFilter($"id", 0.125))

@@ -134,4 +134,57 @@ class PersistSpec extends SparkSpec {
     assert(row.getAs[Boolean]("pruned_roundtrip_ok"))
     assert(row.getAs[Boolean]("recall_ok"))
   }
+
+  test("bucket-partitioned BM25 postings: probe-from-disk == in-memory and the scan is partition-pruned") {
+    import graft.functions.Text
+    val docs = Tables.t(spark, sfDir, "documents")
+    val qTerms = docs.filter($"doc_id" === 3)
+      .select(Text.normalize($"text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).distinct.toSeq
+    val path = tmp("bm25")
+    Text.saveBm25Index(docs, "text", "doc_id", path, nBuckets = 64)
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket=")).toSeq
+    assert(dirs.nonEmpty && dirs.size <= 64, s"unexpected layout: $dirs")
+    val fromDisk = Text.bm25TopKFromIndex(
+      spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"),
+      qTerms, k = 10, nBuckets = 64)
+    val inMem = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(rows(fromDisk) == rows(inMem), "disk probe diverged from in-memory BM25")
+    // the bucket filter must reach the scan as a PARTITION filter
+    // (file-listing pruning), not a post-scan predicate. The probe plan
+    // has exchanges (the tf/score aggregates), so AQE wraps it in an
+    // AdaptiveSparkPlanExec LEAF — unwrap to the final physical plan
+    // (resolved because rows() above already executed it).
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          leaves(r.child)
+        case l => Seq(l)
+      }
+    val scan = leaves(fromDisk.queryExecution.executedPlan)
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+      s"probe scan has no bucket partition filter: ${scan.partitionFilters}")
+    // pruning bit: at most |distinct query-term buckets| directories listed
+    val touched = scan.selectedPartitions.partitionCount
+    assert(touched <= qTerms.distinct.size,
+      s"scan listed $touched bucket partitions for ${qTerms.distinct.size} terms")
+  }
+
+  test("t26/t27 gate queries: ranked rows agree and the round-trip verdict holds") {
+    val mem = SparkEntry.queries("t26_bm25_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
+    val disk = SparkEntry.queries("t27_bm25_index_probe")(spark, sfDir).collect()
+    assert(disk.forall(_.getAs[Boolean]("roundtrip_ok")))
+    assert(disk.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq == mem)
+    assert(mem.map(_._4) == (1 to mem.size))
+  }
 }
