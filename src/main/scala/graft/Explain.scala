@@ -36,7 +36,8 @@ object Explain {
     "k9_expectation_checks", "o16_snapshot_diff", "t23_leakage_safe_split",
     "t24_distribution_drift", "k10_bucketed_join", "d15_incremental_neardup", "t25_bpe_merges",
     "e14_variant_json", "d16_record_linkage", "w17_funnel_steps",
-    "a22_retention_cohorts", "t26_bm25_topk", "t27_bm25_index_probe")
+    "a22_retention_cohorts", "t26_bm25_topk", "t27_bm25_index_probe",
+    "s17_ivf_maintenance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

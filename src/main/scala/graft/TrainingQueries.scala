@@ -1662,6 +1662,51 @@ object TrainingQueries {
           ($"n_hit" >= 6L).as("recall_ok"))
     }),
 
+    // S17: IVF INDEX MAINTENANCE (round 11) — the d15 incremental posture
+    // for the vector side: the base corpus (vec_id % 5 ≠ 4) is written
+    // as the list_id-partitioned member table, a NEW batch (% 5 = 4) is
+    // APPENDED against the same frozen centroids (partition-aligned
+    // files, base never rewritten), and deletions (vec_id % 17 = 3) are
+    // a probe-side tombstone anti-join — retract without rewriting.
+    // Verdicts: append+anti-join probe ≡ full rebuild over the survivors
+    // with the same centroids (EXACT — assignment is a pure function of
+    // vector and centroids), and no tombstoned id surfaces. Payload =
+    // exact brute top-10 on the surviving twin slice (DuckDB recomputes).
+    "s17_ivf_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val base = emb.filter($"vec_id" % 5 =!= 4)
+      val batch = emb.filter($"vec_id" % 5 === 4)
+      val tomb = emb.filter($"vec_id" % 17 === 3).select($"vec_id")
+      val tmp = Scratch.dir(s, "s17_ivf")
+      val cents = Similarity.trainIvfCentroids(base, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      Similarity.saveIvfMemberTable(base, "vec_id", "embedding", cents, tmp)
+      Similarity.appendIvfMemberTable(batch, "vec_id", "embedding", cents, tmp)
+      val live = s.read.parquet(tmp).join(tomb, Seq("vec_id"), "left_anti")
+      val probeLive = Similarity.topKIvfPruned(live, "vec_id", "embedding",
+        q, cents, k = 10)
+      val survivors = emb.join(tomb, Seq("vec_id"), "left_anti")
+      val rebuild = Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(survivors, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, cents, k = 10)
+      val eq = probeLive.select($"vec_id", $"cosine").withColumn("__l", lit(1))
+        .join(rebuild.select($"vec_id", $"cosine").withColumn("__r", lit(1)),
+          Seq("vec_id", "cosine"), "full")
+        .agg((count(when($"__l".isNull || $"__r".isNull, 1)) === 0).as("__eq"))
+      val noTomb = probeLive.join(tomb, Seq("vec_id"))
+        .agg((count(lit(1)) === 0).as("__nt"))
+      val (_, samp) = twinSample(emb, "vec_id")
+      val exact = Similarity.topKBrute(samp.join(tomb, Seq("vec_id"), "left_anti"),
+        "vec_id", "embedding", q, k = 10)
+      exact.crossJoin(broadcast(eq)).crossJoin(broadcast(noTomb))
+        .select($"vec_id", $"cosine",
+          $"__eq".as("incremental_equals_rebuild"),
+          $"__nt".as("tombstones_absent"))
+    }),
+
     // K5: the RANGE-SORTED LAYOUT + COMPACTION write path, driver-gated
     // (round-9 verdict #5 — these sinks were spec-only): orders is
     // written via Sinks.writeRangeSorted (repartitionByRange +
@@ -2253,6 +2298,21 @@ object TrainingQueries {
                          sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
            FROM samp e CROSS JOIN q)
          SELECT vec_id, cosine, true AS pruned_roundtrip_ok, true AS recall_ok
+         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "s17_ivf_maintenance" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+         samp AS (SELECT * FROM embeddings
+                  WHERE (${twinSampleSql("embeddings", "vec_id")})
+                    AND vec_id % 17 <> 3),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+           FROM samp e CROSS JOIN q)
+         SELECT vec_id, cosine, true AS incremental_equals_rebuild,
+                true AS tombstones_absent
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "k5_range_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

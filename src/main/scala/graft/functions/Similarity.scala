@@ -295,6 +295,20 @@ object Similarity {
     ivfIndexWith(corpus, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** INDEX MAINTENANCE (round 11): append a new batch to an at-rest
+    * member table written by [[saveIvfMemberTable]] — assignment against
+    * the SAME frozen centroids, partition-aligned `mode(append)` (new
+    * files land inside the existing `list_id=` directories; base files
+    * are never rewritten). Because assignment is a pure function of
+    * (vector, centroids), append-then-probe is EXACTLY equal to a full
+    * rebuild over base ∪ batch — the s17 gate asserts it. Deletions are
+    * the probe-side anti-join on a tombstone id table (same gate):
+    * retract without rewriting the index, compact later. */
+  def appendIvfMemberTable(batch: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, path: String): Unit =
+    ivfIndexWith(batch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** IVF probe with a STATIC partition filter: the query's `nProbe`
     * nearest lists come from the driver-sized centroid table
     * ([[probeListsFor]]), so the member-side predicate is

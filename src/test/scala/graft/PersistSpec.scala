@@ -179,6 +179,48 @@ class PersistSpec extends SparkSpec {
       s"scan listed $touched bucket partitions for ${qTerms.distinct.size} terms")
   }
 
+  test("IVF member-table maintenance: append is partition-aligned and base files survive; probe ≡ rebuild; tombstones vanish") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val base = emb.filter($"vec_id" % 3 =!= 2)
+    val batch = emb.filter($"vec_id" % 3 === 2)
+    val cents = Similarity.trainIvfCentroids(base, "vec_id", "embedding",
+      nLists = 4, iters = 1)
+    val path = tmp("ivfmaint")
+    Similarity.saveIvfMemberTable(base, "vec_id", "embedding", cents, path)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = files()
+    Similarity.appendIvfMemberTable(batch, "vec_id", "embedding", cents, path)
+    val after = files()
+    // append adds files, never rewrites base files
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"append rewrote base files: ${before.size} -> ${after.size}")
+    // append ≡ rebuild (same centroids): the full member sets are equal
+    val appended = spark.read.parquet(path)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toSet
+    val rebuilt = Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toSet
+    assert(appended == rebuilt, "appended member table != full rebuild")
+    // tombstone anti-join: deleted ids never surface in a probe
+    val tomb = emb.filter($"vec_id" % 7 === 1).select($"vec_id")
+    val probed = Similarity.topKIvfPruned(
+      spark.read.parquet(path).join(tomb, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", q, cents, k = 10, nProbe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val tombIds = tomb.as[Long].collect().toSet
+    assert(probed.nonEmpty && probed.intersect(tombIds).isEmpty,
+      "tombstoned id surfaced in the probe")
+    // gate verdicts hold
+    val row = SparkEntry.queries("s17_ivf_maintenance")(spark, sfDir).head()
+    assert(row.getAs[Boolean]("incremental_equals_rebuild"))
+    assert(row.getAs[Boolean]("tombstones_absent"))
+  }
+
   test("t26/t27 gate queries: ranked rows agree and the round-trip verdict holds") {
     val mem = SparkEntry.queries("t26_bm25_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
