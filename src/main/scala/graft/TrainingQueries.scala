@@ -761,6 +761,28 @@ object TrainingQueries {
           ($"__n_rt" === $"__n_mem").as("roundtrip_ok"))
     }),
 
+    // S18: HYBRID retrieval (round 11) — the standard two-stage RAG /
+    // eval-mining shape: a cheap BM25 lexical shortlist (top-100, t26's
+    // machinery) re-ranked by embedding cosine against the query vector,
+    // blended as 0.5·(bm25/max_bm25) + 0.5·cosine. The expensive vector
+    // math touches only the 100-row candidate set — at 100 TB the
+    // shortlist comes from the t27 at-rest postings and the re-rank is a
+    // broadcast-sized join, so the full corpus is never scanned twice.
+    "s18_hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(Text.normalize($"text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      val qVec = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val cands = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 100)
+        .select($"doc_id", $"score".as("bm25"))
+      Similarity.hybridRerank(cands, "bm25", "doc_id",
+        emb, "vec_id", "embedding", qVec, k = 10, alpha = 0.5)
+    }),
+
     "m1_binary_metadata" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -3152,6 +3174,48 @@ object TrainingQueries {
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
                 TRUE AS roundtrip_ok
          FROM sc
+         QUALIFY rank <= 10""",
+    "s18_hybrid_retrieval" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+           FROM documents),
+         q AS (SELECT list_distinct(ws) AS terms FROM norm WHERE doc_id = 0),
+         base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM norm),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, tm, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS tm FROM base), q
+           WHERE list_contains(q.terms, tm)
+           GROUP BY doc_id, dl, tm),
+         dft AS (SELECT tm, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY tm),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS bm25
+           FROM tf JOIN dft USING (tm) CROSS JOIN stats s
+           GROUP BY tf.doc_id),
+         cand AS (SELECT doc_id, bm25 FROM sc
+                  ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+         mx AS (SELECT max(bm25) AS m FROM cand),
+         qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0),
+         h AS (
+           SELECT c.doc_id, c.bm25,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), v.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(v.qe, v.qe))), 6) AS cosine,
+                  mx.m AS m
+           FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+           CROSS JOIN qv v CROSS JOIN mx)
+         SELECT doc_id, bm25, cosine,
+                round(0.5 * bm25 / m + 0.5 * cosine, 6) AS hybrid,
+                CAST(row_number() OVER (
+                  ORDER BY round(0.5 * bm25 / m + 0.5 * cosine, 6) DESC,
+                           doc_id ASC) AS INT) AS rank
+         FROM h
          QUALIFY rank <= 10""",
     "m1_binary_metadata" ->
       """SELECT doc_id,

@@ -1177,6 +1177,36 @@ object Similarity {
         (col(idCol) === col("__rep")).as("keep"))
   }
 
+  /** HYBRID re-rank (round 11): blend a pre-scored candidate list (BM25,
+    * popularity, any lexical scorer) with embedding-cosine similarity to
+    * the query vector — `alpha·(score/max_score) + (1−alpha)·cosine`,
+    * top-k with id tie-break. The two-stage retrieval shape: the vector
+    * math touches only the candidate rows (broadcast-sized at any corpus
+    * scale when the shortlist is k-bounded), never the corpus. */
+  def hybridRerank(cands: DataFrame, scoreCol: String, idCol: String,
+                   emb: DataFrame, embIdCol: String, vecCol: String,
+                   queryVec: Seq[Double], k: Int,
+                   alpha: Double = 0.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val qLit = array(queryVec.map(lit): _*)
+    val mx = cands.agg(max(col(scoreCol)).as("__mx"))
+    cands
+      .join(emb.select(col(embIdCol).as(idCol), asDouble(col(vecCol)).as("__v")),
+        Seq(idCol))
+      .crossJoin(broadcast(mx))
+      .withColumn("cosine", round(cosine(col("__v"), qLit), 6))
+      .withColumn("hybrid", round(lit(alpha) * col(scoreCol) / col("__mx") +
+        lit(1.0 - alpha) * col("cosine"), 6))
+      .orderBy(col("hybrid").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hybrid").desc, col(idCol).asc)).cast("int"))
+      .select(col(idCol), col(scoreCol), col("cosine"), col("hybrid"),
+        col("rank"))
+  }
+
   /** One distributed logistic-regression gradient step over an embedding
     * column — the supervised twin of the k-means step (s6): train a
     * quality/importance classifier (fastText-style filtering, document

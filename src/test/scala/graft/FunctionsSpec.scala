@@ -186,6 +186,32 @@ class TextSpec extends SparkSpec {
     assert(both(2L) == 2L && both(1L) == 1L && both(3L) == 1L)
   }
 
+  test("hybridRerank: cosine lifts a lexically-worse candidate; alpha extremes collapse to each signal") {
+    import graft.functions.Similarity
+    // d1 dominates lexically (score 4 vs 1) but is orthogonal to the
+    // query vector; d2 is weak lexically but aligned.
+    val cands = Seq((1L, 4.0), (2L, 1.0)).toDF("doc_id", "score")
+    val emb = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (9L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    def ranks(alpha: Double): Seq[Long] =
+      Similarity.hybridRerank(cands, "score", "doc_id", emb, "vec_id",
+        "embedding", q, k = 10, alpha = alpha)
+        .orderBy($"rank").collect().map(_.getLong(0)).toSeq
+    // blended: d1 = 0.5*1 + 0.5*0 = 0.5; d2 = 0.5*0.25 + 0.5*1 = 0.625
+    assert(ranks(0.5) == Seq(2L, 1L))
+    // pure lexical (alpha 1): candidate order wins
+    assert(ranks(1.0) == Seq(1L, 2L))
+    // pure vector (alpha 0): cosine wins
+    assert(ranks(0.0) == Seq(2L, 1L))
+    // candidates without an embedding row are dropped; non-candidates never appear
+    assert(!ranks(0.5).contains(9L))
+    val got = Similarity.hybridRerank(cands, "score", "doc_id", emb, "vec_id",
+      "embedding", q, k = 10, alpha = 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(3))).toSeq ==
+      Seq((2L, 0.625), (1L, 0.5)))
+  }
+
   test("hashSampleFilter: deterministic, partition-invariant, ~rate fraction") {
     val ids = (1L to 2000L).toDF("id")
     val kept = ids.filter(Text.hashSampleFilter($"id", 0.125))
