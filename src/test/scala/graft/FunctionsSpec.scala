@@ -212,6 +212,24 @@ class TextSpec extends SparkSpec {
       Seq((2L, 0.625), (1L, 0.5)))
   }
 
+  test("hybridRerank: non-positive max score fails loudly instead of NULLing/inverting the blend") {
+    import graft.functions.Similarity
+    val emb = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    for (bad <- Seq(Seq((1L, 0.0), (2L, 0.0)), Seq((1L, -2.0), (2L, -1.0)))) {
+      val ex = intercept[Exception] {
+        Similarity.hybridRerank(bad.toDF("doc_id", "score"), "score", "doc_id",
+          emb, "vec_id", "embedding", Seq(1.0, 0.0), k = 5).collect()
+      }
+      assert(ex.getMessage.contains("must be > 0"), s"got: ${ex.getMessage}")
+    }
+    // empty candidate frame stays an empty result, not an error
+    val empty = Similarity.hybridRerank(
+      Seq.empty[(Long, Double)].toDF("doc_id", "score"), "score", "doc_id",
+      emb, "vec_id", "embedding", Seq(1.0, 0.0), k = 5)
+    assert(empty.count() == 0L)
+  }
+
   test("hashSampleFilter: deterministic, partition-invariant, ~rate fraction") {
     val ids = (1L to 2000L).toDF("id")
     val kept = ids.filter(Text.hashSampleFilter($"id", 0.125))

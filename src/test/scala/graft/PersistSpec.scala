@@ -148,7 +148,7 @@ class PersistSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.size <= 64, s"unexpected layout: $dirs")
     val fromDisk = Text.bm25TopKFromIndex(
       spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"),
-      qTerms, k = 10, nBuckets = 64)
+      qTerms, k = 10)
     val inMem = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
@@ -219,6 +219,61 @@ class PersistSpec extends SparkSpec {
     val row = SparkEntry.queries("s17_ivf_maintenance")(spark, sfDir).head()
     assert(row.getAs[Boolean]("incremental_equals_rebuild"))
     assert(row.getAs[Boolean]("tombstones_absent"))
+  }
+
+  test("BM25 index maintenance: append is bucket-aligned and base files survive; tombstoned probe ≡ rebuild on survivors") {
+    import graft.functions.Text
+    val docs = Tables.t(spark, sfDir, "documents")
+    val qTerms = docs.filter($"doc_id" === 3)
+      .select(Text.normalize($"text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).distinct.toSeq
+    val base = docs.filter($"doc_id" % 3 =!= 2)
+    val batch = docs.filter($"doc_id" % 3 === 2)
+    val path = tmp("bm25maint")
+    Text.saveBm25Index(base, "text", "doc_id", path, nBuckets = 32)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/postings")).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = files()
+    Text.appendBm25Index(batch, "text", "doc_id", path)
+    val after = files()
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"append rewrote base posting files: ${before.size} -> ${after.size}")
+    // stats merged algebraically: N is exact, avgdl matches a full
+    // recompute, and the persisted bucket modulus survives the append
+    val st = spark.read.parquet(s"$path/stats")
+      .select($"n_docs", $"avgdl", $"n_buckets").head()
+    assert(st.getDouble(0) == docs.count().toDouble)
+    val dlCol = org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.split(Text.normalize($"text"), " "),
+        w => w =!= "")).cast("double")
+    val fullAvg = docs.select(avg(dlCol)).head().getDouble(0)
+    assert(math.abs(st.getDouble(1) - fullAvg) < 1e-9,
+      s"merged avgdl ${st.getDouble(1)} != recomputed $fullAvg")
+    assert(st.getInt(2) == 32)
+    // tombstoned probe ≡ a fresh index over the survivors (exact stats
+    // adjustment; scores compared to one rounding quantum)
+    val tomb = docs.filter($"doc_id" % 7 === 1)
+      .select($"doc_id", dlCol.as("dl"))
+    val live = Text.bm25TopKFromIndex(
+      spark.read.parquet(s"$path/postings"), spark.read.parquet(s"$path/stats"),
+      qTerms, k = 10, tombstones = Some(tomb))
+    val surv = docs.filter($"doc_id" % 7 =!= 1)
+    val rebuilt = Text.bm25TopK(surv, "text", "doc_id", qTerms, k = 10)
+    val lv = live.collect().map(r => r.getInt(3) -> (r.getLong(0), r.getDouble(1))).toMap
+    val rb = rebuilt.collect().map(r => r.getInt(3) -> (r.getLong(0), r.getDouble(1))).toMap
+    assert(lv.keySet == rb.keySet && lv.nonEmpty)
+    lv.foreach { case (rk, (id, sc)) =>
+      assert(rb(rk)._1 == id, s"rank $rk: doc $id != ${rb(rk)._1}")
+      assert(math.abs(rb(rk)._2 - sc) <= 2e-6, s"rank $rk: score $sc != ${rb(rk)._2}")
+    }
+    val tombIds = tomb.select($"doc_id").as[Long].collect().toSet
+    assert(lv.values.map(_._1).toSet.intersect(tombIds).isEmpty,
+      "tombstoned doc surfaced in the probe")
   }
 
   test("t26/t27 gate queries: ranked rows agree and the round-trip verdict holds") {
