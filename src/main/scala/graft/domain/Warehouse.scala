@@ -225,6 +225,37 @@ object Warehouse {
         col("rewards_token_symbol"), col("accrued_rewards"))
       .withColumn("held_rewards", lit(0.0))
 
+  /** Port of `aave_internal_addresses` (data_warehouse.py:546-591): the
+    * manually-curated internal/external address seed (CSV upload) unioned
+    * with EVERY atoken the protocol has listed, relabeled 'aave_internal'
+    * — the dim that lets wrap/unwrap traffic against atoken contracts be
+    * classified internal by the transfer-quadrant classifier
+    * ([[atokenMeasuresByDay]] consumes exactly this frame's schema).
+    *
+    * Semantics preserved: atokens come from market_tokens_by_day with
+    * chain attached from the market dim (merge how='left', :572), the
+    * (chain, atoken_symbol→label, atoken→contract_address) projection is
+    * dropped to distinct rows (:573-575), flagged 'aave_internal' (:578)
+    * and concatenated under the seed (:580). Scale: all inputs are
+    * dimension-sized; the chain attach is a broadcast join and the dedup
+    * runs on the 3-column projection only. */
+  def aaveInternalAddresses(marketTokensByDay: DataFrame,
+                            internalExternalAddresses: DataFrame,
+                            marketChains: DataFrame): DataFrame = {
+    val atokens = marketTokensByDay
+      .join(broadcast(marketChains.select(col("market"), col("chain"))),
+        Seq("market"), "left")
+      .select(col("chain"), col("atoken_symbol").as("label"),
+        col("atoken").as("contract_address"))
+      .dropDuplicates()
+      .withColumn("internal_external", lit("aave_internal"))
+    internalExternalAddresses
+      .select(col("chain"), col("contract_address"),
+        col("internal_external"), col("label"))
+      .unionByName(atokens.select(col("chain"), col("contract_address"),
+        col("internal_external"), col("label")))
+  }
+
   /** Port of `balance_group_lookup` (data_warehouse.py:604-682): the
     * token → balance-group lookup table assembled from four sources —
     *

@@ -88,6 +88,45 @@ class DomainSpec extends SparkSpec {
     assert(got.head().getAs[String]("symbol") == "WETH")
   }
 
+  test("aaveInternalAddresses: seed ∪ relabeled atokens (data_warehouse.py:546-591 golden rows)") {
+    val marketTokens = Seq(
+      ("ethereum_v3", ATOKEN, "aUSDC", day(1)),
+      ("ethereum_v3", ATOKEN, "aUSDC", day(2)), // same atoken twice → one dim row
+      ("ethereum_v3", "0x000000000000000000000000000000000000ae02", "aWETH", day(1))
+    ).toDF("market", "atoken", "atoken_symbol", "block_day")
+    val got = Warehouse.aaveInternalAddresses(marketTokens, internalAddresses, marketChains)
+      .select($"chain", $"contract_address", $"internal_external", $"label")
+      .as[(String, String, String, String)].collect().toSet
+    assert(got == Set(
+      // the CSV seed passes through verbatim
+      ("ethereum", INTERNAL, "aave_internal", "Some Internal Contract"),
+      ("ethereum", COLLECTOR, "aave_internal", "Collector V3"),
+      // every distinct atoken, chain-attached, relabeled aave_internal
+      ("ethereum", ATOKEN, "aave_internal", "aUSDC"),
+      ("ethereum", "0x000000000000000000000000000000000000ae02", "aave_internal", "aWETH")))
+  }
+
+  test("quadrant classifier consumes the BUILT aave_internal_addresses frame") {
+    // a transfer whose counterparty is an ATOKEN contract (wrap/unwrap
+    // traffic) is only classified internal because aaveInternalAddresses
+    // folded the atoken dim into the seed — the reference's stated purpose
+    val marketTokens = Seq(("ethereum_v3", ATOKEN, "aUSDC", day(1)))
+      .toDF("market", "atoken", "atoken_symbol", "block_day")
+    val seedOnly = Seq(("ethereum", INTERNAL, "aave_internal", "Some Internal Contract"))
+      .toDF("chain", "contract_address", "internal_external", "label")
+    val built = Warehouse.aaveInternalAddresses(marketTokens, seedOnly, marketChains)
+    val wrapTransfer = Seq(
+      ("ethereum_v3", COLLECTOR, "IN", ATOKEN, COLLECTOR, ATOKEN, "aUSDC", day(2), 7.0)
+    ).toDF("market", "transfers_collector", "transfers_transfer_type",
+      "transfers_from_address", "transfers_to_address", "transfers_contract_address",
+      "transfers_contract_symbol", "transfers_block_day", "transfers_amount_transferred")
+    def inInternal(dim: org.apache.spark.sql.DataFrame): Double =
+      Warehouse.atokenMeasuresByDay(balances, wrapTransfer, fees, mints, dim, marketChains)
+        .filter($"block_day" === day(2)).head().getAs[Double]("tokens_in_internal")
+    assert(inInternal(built) == 7.0, "atoken counterparty must classify internal")
+    assert(inInternal(seedOnly) == 0.0, "without the atoken fold-in it is external")
+  }
+
   private lazy val oraclePrices = Seq(
     ("ethereum_v3", ATOKEN, "aUSDC", day(1), 2.0),
     ("ethereum_v3", ATOKEN, "aUSDC", day(2), 2.0),
