@@ -767,6 +767,51 @@ object TrainingQueries {
           ($"__n_rt" === $"__n_mem").as("roundtrip_ok"))
     }),
 
+    // T28: BM25 INDEX MAINTENANCE (round 12) — the s17/d15 incremental
+    // posture for the lexical side (r11 verdict "do this" #3): the base
+    // corpus (doc_id % 5 ≠ 4) is written as the bucket-partitioned
+    // postings table, a NEW batch (% 5 = 4) is APPENDED bucket-aligned
+    // against the PERSISTED modulus (base posting files never rewritten;
+    // stats merged algebraically — Text.appendBm25Index), and deletions
+    // (doc_id % 17 = 3) are probe-side dl-carrying tombstones: anti-join
+    // retraction + exact in-plan (N, avgdl) adjustment. Verdicts:
+    // maintained probe ≡ a fresh index over the survivors (scores to one
+    // rounding quantum) and no tombstoned doc surfaces. Payload = the
+    // maintained top-10, which DuckDB recomputes from the raw text of
+    // the surviving corpus — a REAL hash gate on the maintained path.
+    "t28_bm25_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(Text.normalize($"text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      val base = docs.filter($"doc_id" % 5 =!= 4)
+      val batch = docs.filter($"doc_id" % 5 === 4)
+      val dlCol = size(filter(split(Text.normalize($"text"), " "),
+        w => w =!= "")).cast("double")
+      val tomb = docs.filter($"doc_id" % 17 === 3)
+        .select($"doc_id", dlCol.as("dl"))
+      val tmp = Scratch.dir(s, "t28_bm25m")
+      Text.saveBm25Index(base, "text", "doc_id", tmp, nBuckets = 64)
+      Text.appendBm25Index(batch, "text", "doc_id", tmp)
+      val live = Text.bm25TopKFromIndex(
+        s.read.parquet(s"$tmp/postings"), s.read.parquet(s"$tmp/stats"),
+        qTerms, k = 10, tombstones = Some(tomb))
+      val rebuilt = Text.bm25TopK(docs.filter($"doc_id" % 17 =!= 3),
+        "text", "doc_id", qTerms, k = 10)
+      val eq = live.select($"doc_id", $"rank", $"score".as("__sl"))
+        .join(rebuilt.select($"doc_id", $"rank", $"score".as("__sr")),
+          Seq("doc_id", "rank"), "full")
+        .agg((count(when($"__sl".isNull || $"__sr".isNull ||
+          abs($"__sl" - $"__sr") > 2e-6, 1)) === 0).as("__eq"))
+      val noTomb = live.join(tomb.select($"doc_id"), Seq("doc_id"))
+        .agg((count(lit(1)) === 0).as("__nt"))
+      live.crossJoin(broadcast(eq)).crossJoin(broadcast(noTomb))
+        .select($"doc_id", $"score", $"n_terms_hit", $"rank",
+          $"__eq".as("maintained_equals_rebuild"),
+          $"__nt".as("tombstones_absent"))
+    }),
+
     // S18: HYBRID retrieval (round 11) — the standard two-stage RAG /
     // eval-mining shape: a cheap BM25 lexical shortlist (top-100, t26's
     // machinery) re-ranked by embedding cosine against the query vector,
@@ -787,6 +832,65 @@ object TrainingQueries {
         .select($"doc_id", $"score".as("bm25"))
       Similarity.hybridRerank(cands, "bm25", "doc_id",
         emb, "vec_id", "embedding", qVec, k = 10, alpha = 0.5)
+    }),
+
+    // S19: AT-REST retrieval COMPOSED end-to-end (round 12, r11 verdict
+    // "do this" #2 / "what's wrong" #1): s18's comment claimed the 100 TB
+    // shape — this query EXECUTES it. The lexical shortlist comes from
+    // the t27 bucket-partitioned postings ON DISK (static `bucket IN`
+    // partition filter), the vector shortlist from the s16
+    // list_id-partitioned member table ON DISK (static `list_id IN`
+    // partition filter, centroid-table routed), and the two top-10 lists
+    // fuse by reciprocal-rank (Similarity.rrfFuse — score-free, touches
+    // only 2k rows). PersistSpec captures the composed plan and pins
+    // partition filters on BOTH scans. Verdicts: the disk-composed fused
+    // list ≡ the same composition over in-memory frames (rank identity +
+    // rrf epsilon), and the member probe itself roundtrips. Payload =
+    // the postings-probed lexical top-10 (DuckDB recomputes from raw
+    // text — the at-rest lexical path stays a real hash gate).
+    "s19_atrest_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qTerms = docs.filter($"doc_id" === 0)
+        .select(Text.normalize($"text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      val qVec = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val tmp = Scratch.dir(s, "s19_atrest")
+      Text.saveBm25Index(docs, "text", "doc_id", s"$tmp/bm25", nBuckets = 64)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      Similarity.saveIvfMemberTable(emb, "vec_id", "embedding", cents, s"$tmp/ivf")
+      def ranked(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+            .orderBy($"cosine".desc, $"vec_id".asc)).cast("int"))
+          .withColumnRenamed("vec_id", "doc_id")
+      val lexD = Text.bm25TopKFromIndex(
+        s.read.parquet(s"$tmp/bm25/postings"), s.read.parquet(s"$tmp/bm25/stats"),
+        qTerms, k = 10)
+      val vecD = ranked(Similarity.topKIvfPruned(s.read.parquet(s"$tmp/ivf"),
+        "vec_id", "embedding", qVec, cents, k = 10))
+      val fusedD = Similarity.rrfFuse(lexD, vecD, "doc_id", k = 10)
+      val lexM = Text.bm25TopK(docs, "text", "doc_id", qTerms, k = 10)
+      val vecM = ranked(Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", qVec, cents, k = 10))
+      val fusedM = Similarity.rrfFuse(lexM, vecM, "doc_id", k = 10)
+      val eq = fusedD.select($"doc_id", $"rank", $"rrf".as("__fd"))
+        .join(fusedM.select($"doc_id", $"rank", $"rrf".as("__fm")),
+          Seq("doc_id", "rank"), "full")
+        .agg((count(when($"__fd".isNull || $"__fm".isNull ||
+          abs($"__fd" - $"__fm") > 2e-6, 1)) === 0).as("__eq"))
+      val vrt = vecD.select($"doc_id", $"cosine".as("__cd"))
+        .join(vecM.select($"doc_id", $"cosine".as("__cm")), Seq("doc_id"), "full")
+        .agg((count(when($"__cd".isNull || $"__cm".isNull ||
+          abs($"__cd" - $"__cm") > 2e-6, 1)) === 0).as("__vrt"))
+      lexD.crossJoin(broadcast(eq)).crossJoin(broadcast(vrt))
+        .select($"doc_id", $"score", $"n_terms_hit", $"rank",
+          $"__eq".as("fused_roundtrip_ok"),
+          $"__vrt".as("member_probe_roundtrip_ok"))
     }),
 
     "m1_binary_metadata" -> ((s, dir) => {
@@ -3189,6 +3293,72 @@ object TrainingQueries {
          SELECT doc_id, score, n_terms_hit,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
                 TRUE AS roundtrip_ok
+         FROM sc
+         QUALIFY rank <= 10""",
+    // t28: BM25 over the SURVIVING corpus (base ∪ appended batch minus
+    // tombstones) recomputed from raw text — the maintained index path
+    // must reproduce it bit-for-rounded-bit
+    "t28_bm25_maintenance" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+           FROM documents
+           WHERE doc_id % 17 <> 3),
+         q AS (SELECT list_distinct(ws) AS terms FROM norm WHERE doc_id = 0),
+         base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM norm),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, tm, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS tm FROM base), q
+           WHERE list_contains(q.terms, tm)
+           GROUP BY doc_id, dl, tm),
+         dft AS (SELECT tm, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY tm),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+                  count(*) AS n_terms_hit
+           FROM tf JOIN dft USING (tm) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                TRUE AS maintained_equals_rebuild,
+                TRUE AS tombstones_absent
+         FROM sc
+         QUALIFY rank <= 10""",
+    // s19: payload = the postings-probed lexical top-10 (same corpus math
+    // as t26); the at-rest composition itself is pinned by the in-plan
+    // roundtrip verdicts (TRUE here) + PersistSpec's partition-filter plan
+    // capture
+    "s19_atrest_retrieval" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+           FROM documents),
+         q AS (SELECT list_distinct(ws) AS terms FROM norm WHERE doc_id = 0),
+         base AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM norm),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, tm, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS tm FROM base), q
+           WHERE list_contains(q.terms, tm)
+           GROUP BY doc_id, dl, tm),
+         dft AS (SELECT tm, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM tf GROUP BY tm),
+         sc AS (
+           SELECT tf.doc_id,
+                  round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+                  count(*) AS n_terms_hit
+           FROM tf JOIN dft USING (tm) CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+         SELECT doc_id, score, n_terms_hit,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                TRUE AS fused_roundtrip_ok,
+                TRUE AS member_probe_roundtrip_ok
          FROM sc
          QUALIFY rank <= 10""",
     "s18_hybrid_retrieval" ->

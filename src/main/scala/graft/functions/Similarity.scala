@@ -1235,6 +1235,43 @@ object Similarity {
         col("rank"))
   }
 
+  /** RECIPROCAL-RANK FUSION (round 12): merge two ranked candidate lists
+    * (each (id, rank), rank 1-based) into one —
+    *   rrf(d) = Σ_lists 1 / (c0 + rank_list(d)),
+    * absent-from-a-list contributing 0 — the standard score-free hybrid
+    * for composing retrievers whose scores aren't commensurable (BM25
+    * points vs cosine; the Cormack/Clarke/Buettcher TREC formulation
+    * every production hybrid-search engine ships). Unlike
+    * [[hybridRerank]] (which needs a score normalization and a vector
+    * for every lexical candidate), RRF composes two top-k lists AS
+    * RETURNED — exactly what the at-rest probes ([[topKIvfPruned]],
+    * `Text.bm25TopKFromIndex`) emit, so the fused plan touches only
+    * 2k rows regardless of corpus size.
+    * Output: (idCol, rrf round-6, in_lex, in_vec, rank), top `k`, id
+    * tie-break. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+              c0: Int = 60): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(c0 >= 0, "c0 must be non-negative")
+    val l = lex.select(col(idCol), col("rank").as("__rl"))
+    val v = vec.select(col(idCol), col("rank").as("__rv"))
+    l.join(v, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(c0.toDouble) + col("__rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c0.toDouble) + col("__rv")), lit(0.0)),
+          6).as("rrf"),
+        col("__rl").isNotNull.as("in_lex"),
+        col("__rv").isNotNull.as("in_vec"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+      // bounded ≤ k rows; literal partition key avoids the WindowExec
+      // no-partition warning (see bm25TopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("rrf").desc, col(idCol).asc)).cast("int"))
+  }
+
   /** One distributed logistic-regression gradient step over an embedding
     * column — the supervised twin of the k-means step (s6): train a
     * quality/importance classifier (fastText-style filtering, document

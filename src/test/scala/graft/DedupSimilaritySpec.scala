@@ -701,6 +701,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"blocked near-dup recall $recall ($hits/${exactPairs.size})")
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank scores, one-list members, tie-break, k-cut") {
+    // lex: (1,r1) (2,r2) (3,r3); vec: (2,r1) (4,r2) (3,r3)
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1), (4L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, vec, "doc_id", k = 10, c0 = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3), r.getInt(4)))
+    def rr(r: Int) = 1.0 / (60 + r)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // doc2 in both lists (r2+r1), doc3 in both (r3+r3), doc1/doc4 single-list
+    assert(got.toSeq == Seq(
+      (2L, r6(rr(2) + rr(1)), true, true, 1),
+      (3L, r6(rr(3) + rr(3)), true, true, 2),
+      (1L, r6(rr(1)), true, false, 3),
+      (4L, r6(rr(2)), false, true, 4)))
+    // equal-rrf tie breaks by id; k cuts after ordering
+    val a = Seq((7L, 1), (9L, 2)).toDF("doc_id", "rank")
+    val b = Seq((9L, 1), (7L, 2)).toDF("doc_id", "rank")
+    val tied = Similarity.rrfFuse(a, b, "doc_id", k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tied == Seq(7L))
+  }
+
   test("IVF-PQ probe: results come only from probed lists; self-query recall") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val index = Similarity.ivfIndex(emb, "vec_id", "embedding")

@@ -276,6 +276,67 @@ class PersistSpec extends SparkSpec {
       "tombstoned doc surfaced in the probe")
   }
 
+  test("t28 gate query: maintained index ≡ rebuild on survivors; tombstones absent") {
+    val rows = SparkEntry.queries("t28_bm25_maintenance")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("maintained_equals_rebuild")))
+    assert(rows.forall(_.getAs[Boolean]("tombstones_absent")))
+  }
+
+  test("s19 at-rest composition: partition filters on BOTH the postings and member scans; verdicts hold") {
+    import graft.functions.{Similarity, Text}
+    val docs = Tables.t(spark, sfDir, "documents")
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val qTerms = docs.filter($"doc_id" === 3)
+      .select(Text.normalize($"text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).distinct.toSeq
+    val qVec = emb.filter($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val path = tmp("s19compose")
+    Text.saveBm25Index(docs, "text", "doc_id", s"$path/bm25", nBuckets = 64)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    Similarity.saveIvfMemberTable(emb, "vec_id", "embedding", cents, s"$path/ivf")
+    val lexD = Text.bm25TopKFromIndex(
+      spark.read.parquet(s"$path/bm25/postings"),
+      spark.read.parquet(s"$path/bm25/stats"), qTerms, k = 10)
+    val vecD = Similarity.topKIvfPruned(spark.read.parquet(s"$path/ivf"),
+        "vec_id", "embedding", qVec, cents, k = 10, nProbe = 3)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy($"cosine".desc, $"vec_id".asc)).cast("int"))
+      .withColumnRenamed("vec_id", "doc_id")
+    val fused = Similarity.rrfFuse(lexD, vecD, "doc_id", k = 10)
+    assert(fused.count() > 0)
+    // ONE executed plan, partition filters on BOTH at-rest scans
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          leaves(r.child)
+        case l => Seq(l)
+      }
+    val scans = leaves(fused.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    def pruned(colName: String, maxParts: Int): Unit = {
+      val s = scans.filter(_.partitionFilters.exists(
+        _.references.exists(_.name == colName)))
+      assert(s.nonEmpty, s"no scan with a $colName partition filter (${scans.size} scans)")
+      assert(s.forall(_.selectedPartitions.partitionCount <= maxParts),
+        s"$colName scan listed ${s.map(_.selectedPartitions.partitionCount)} partitions")
+    }
+    pruned("bucket", qTerms.distinct.size)
+    pruned("list_id", 3)
+    // gate verdicts
+    val rows = SparkEntry.queries("s19_atrest_retrieval")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("fused_roundtrip_ok")))
+    assert(rows.forall(_.getAs[Boolean]("member_probe_roundtrip_ok")))
+  }
+
   test("t26/t27 gate queries: ranked rows agree and the round-trip verdict holds") {
     val mem = SparkEntry.queries("t26_bm25_topk")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq
