@@ -612,6 +612,65 @@ object AnalyticsQueries {
           $"first_doc", $"last_doc", $"__ok".as("stream_matches_batch"))
     }),
 
+    // O17: LIVE CDC SNAPSHOT in the gate (round 12, r11 verdict "do
+    // this" #5) — the third gate-checked streaming path (after w18/c2):
+    // Streams.runCdcSnapshotAvailableNow maintains the o14 keyed
+    // snapshot INCREMENTALLY from a change stream — each micro-batch
+    // folds its I/U/D rows into the persisted parquet snapshot with the
+    // same Relational.applyCdc plan and atomically swaps directories.
+    // The change log is sharded into one FILE PER KEY GROUP
+    // (c_custkey % 3) and streamed with maxFilesPerTrigger=1, so the
+    // query exercises three successive read-fold-swap cycles against
+    // the snapshot it itself wrote, while each key's changes land in
+    // exactly one batch (the fold is batch-order invariant by
+    // construction, so stream ≡ batch is an exact contract, not luck).
+    // Payload = the final snapshot READ FROM DISK (DuckDB recomputes it
+    // from customer+orders — the o14 oracle); verdict = full-outer
+    // equality with the single-shot batch applyCdc fold.
+    "o17_live_cdc_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Relational
+      val tmp = TrainingQueries.Scratch.dir(s, "o17_cdc")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val snap = s"$tmp/snap"; val ckpt = s"$tmp/ckpt"
+      val base = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+      val changes = t(s, dir, "orders").select(
+        $"o_custkey".as("c_custkey"),
+        concat(lit("upd_"), $"o_custkey").as("c_name"),
+        round($"o_totalprice", 2).as("c_acctbal"),
+        ($"o_custkey" % 25).cast("int").as("c_nationkey"),
+        when($"o_orderkey" % 10 === 0, "D").otherwise("U").as("op"),
+        $"o_orderkey".as("seq"))
+      base.write.mode("overwrite").parquet(snap)
+      for (i <- 0 until 3)
+        changes.filter($"c_custkey" % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      graft.streaming.Streams.runCdcSnapshotAvailableNow(
+        graft.streaming.Streams.parquetStream(s, src, schema,
+          maxFilesPerTrigger = 1),
+        Seq("c_custkey"), "seq", "op", snap, ckpt)
+      val live = s.read.parquet(snap)
+      val batch = Relational.applyCdc(base, changes, Seq("c_custkey"), "seq", "op")
+      // exact equality: every value either passed through parquet
+      // unchanged or is the same deterministic projection on both sides
+      val eq = live.select($"c_custkey", $"c_name".as("__nl"),
+          $"c_acctbal".as("__al"), $"c_nationkey".as("__kl"))
+        .join(batch.select($"c_custkey", $"c_name".as("__nb"),
+          $"c_acctbal".as("__ab"), $"c_nationkey".as("__kb")),
+          Seq("c_custkey"), "full")
+        .agg((count(when($"__nl".isNull || $"__nb".isNull ||
+          $"__nl" =!= $"__nb" || $"__al" =!= $"__ab" ||
+          $"__kl" =!= $"__kb", 1)) === 0).as("__eq"))
+      live.crossJoin(broadcast(eq))
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey",
+          $"__eq".as("streaming_equals_batch"))
+    }),
+
     // A22: RETENTION COHORTS — the signup-week × activity-week matrix:
     // each user joins the cohort of their first `signup` week; retention
     // at offset k = share of the cohort active (any event) k weeks later.
@@ -989,6 +1048,30 @@ object AnalyticsQueries {
          SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6) FROM s
          UNION ALL
          SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6) FROM s""",
+    // o17: the o14 batch-fold semantics recomputed from customer+orders;
+    // the streaming path must land on exactly this snapshot
+    "o17_live_cdc_snapshot" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+                  'upd_' || CAST(o_custkey AS VARCHAR) AS c_name,
+                  round(o_totalprice, 2) AS c_acctbal,
+                  CAST(o_custkey % 25 AS INTEGER) AS c_nationkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  o_orderkey AS seq
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                          ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_nationkey,
+                TRUE AS streaming_equals_batch
+         FROM customer c
+         WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest)
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+                TRUE AS streaming_equals_batch
+         FROM latest WHERE op <> 'D'""",
     "c2_live_corpus_prep" ->
       """WITH w AS (
            SELECT doc_id, text,
