@@ -2046,6 +2046,65 @@ object TrainingQueries {
           (abs($"m_est" - $"d_est") <= $"d_est" * 0.03).as("merge_close"))
     }),
 
+    // K11: PERSISTED mergeable QUANTILE partials — completes the
+    // non-algebraic-aggregate partial family (k6 = algebraic
+    // count/sum/min/max, k8 = HLL distinct counts, k11 = percentiles).
+    // Each month's partition stores a fixed-grid histogram
+    // (Stats.histogramPartials — grid chosen a priori, so partials are
+    // EXACTLY mergeable by integer addition); "p50/p90/p99 over an
+    // arbitrary date range" is then a merge of ≤ nBins-row persisted
+    // tables + a constant-size rank scan (Stats.histogramQuantiles),
+    // never a rescan of the fact table. Unlike HLL the error contract
+    // here is DETERMINISTIC: the true interpolated quantile provably
+    // lies inside the bracketing-bin interval, so the gate asserts
+    // |est − exact| ≤ err_bound as a hard invariant, for BOTH the
+    // full-range merge and a 1995 sub-range merge (the arbitrary-range
+    // story, exercised against partials read back from the K1 sink).
+    // Third verdict: the merged at-rest histogram equals the direct
+    // single-pass histogram bin-for-bin (integer counts — exact).
+    // Payload = the EXACT quantiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, both interpolate at rank p·(n−1)), recomputed
+    // independently by the oracle.
+    "k11_quantile_partials" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Stats
+      val (lo, hi, nBins) = (0.0, 600000.0, 4096)
+      val src = t(s, dir, "orders").select(
+        date_format($"o_orderdate", "yyyy-MM").as("o_month"), $"o_totalprice")
+      val tmp = Scratch.dir(s, "k11_hist")
+      graft.sources.Sinks.overwritePartitions(
+        Stats.histogramPartials(src, "o_totalprice", "o_month", lo, hi, nBins)
+          .repartition($"o_month"), tmp, Seq("o_month"))
+      val atRest = s.read.parquet(tmp)
+      val direct = Stats.histogramPartials(
+          src.withColumn("__all", lit(1)), "o_totalprice", "__all", lo, hi, nBins)
+        .select($"bin", $"bin_n".as("d_n"))
+      val mergeOk = atRest.groupBy($"bin").agg(sum($"bin_n").as("m_n"))
+        .join(direct, Seq("bin"), "full")
+        .agg((count(when($"m_n".isNull || $"d_n".isNull ||
+          $"m_n" =!= $"d_n", 1)) === 0).as("__mok"))
+      def rangeRows(label: String,
+                    monthFilter: org.apache.spark.sql.Column) = {
+        val est = Stats.histogramQuantiles(
+          atRest.filter(monthFilter), Seq(0.5, 0.9, 0.99), lo, hi, nBins)
+        val exact = src.filter(monthFilter).agg(
+          percentile($"o_totalprice", lit(0.5)).as("e50"),
+          percentile($"o_totalprice", lit(0.9)).as("e90"),
+          percentile($"o_totalprice", lit(0.99)).as("e99"))
+        val pick = when($"p" === 0.5, $"e50")
+          .when($"p" === 0.9, $"e90").otherwise($"e99")
+        est.crossJoin(broadcast(exact))
+          .select(lit(label).as("range_label"), $"p",
+            round(pick, 4).as("exact_q"),
+            (abs($"est" - pick) <= $"err_bound" + lit(1e-9)).as("within_bound"))
+      }
+      rangeRows("full", lit(true))
+        .unionAll(rangeRows("1995", $"o_month".between("1995-01", "1995-12")))
+        .crossJoin(broadcast(mergeOk))
+        .select($"range_label", $"p", $"exact_q", $"within_bound",
+          $"__mok".as("merge_exact"))
+    }),
+
     // D14: EXACT shared-span detection (Lee et al. 2021's exact-substring
     // dedup, relational form — see Dedup.sharedSpans): word-8-gram
     // inverted index → pair-informative hash cap (2..8 docs AND ≤32 total
@@ -3440,6 +3499,30 @@ object TrainingQueries {
                 true AS within_bound,
                 true AS merge_close
          FROM orders""",
+    // k11: the oracle recomputes the EXACT interpolated quantiles per
+    // range (quantile_cont ≡ Spark percentile: rank p·(n−1), linear
+    // interpolation); the verdict booleans assert the histogram-merge
+    // estimates honored their deterministic error bounds
+    "k11_quantile_partials" ->
+      """WITH src AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS m, o_totalprice
+           FROM orders),
+         f AS (SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                      round(quantile_cont(o_totalprice, 0.9), 4) AS q90,
+                      round(quantile_cont(o_totalprice, 0.99), 4) AS q99
+               FROM src),
+         sub AS (SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                        round(quantile_cont(o_totalprice, 0.9), 4) AS q90,
+                        round(quantile_cont(o_totalprice, 0.99), 4) AS q99
+                 FROM src WHERE m BETWEEN '1995-01' AND '1995-12')
+         SELECT 'full' AS range_label, CAST(0.5 AS DOUBLE) AS p,
+                q50 AS exact_q, TRUE AS within_bound, TRUE AS merge_exact
+         FROM f
+         UNION ALL SELECT 'full', CAST(0.9 AS DOUBLE), q90, TRUE, TRUE FROM f
+         UNION ALL SELECT 'full', CAST(0.99 AS DOUBLE), q99, TRUE, TRUE FROM f
+         UNION ALL SELECT '1995', CAST(0.5 AS DOUBLE), q50, TRUE, TRUE FROM sub
+         UNION ALL SELECT '1995', CAST(0.9 AS DOUBLE), q90, TRUE, TRUE FROM sub
+         UNION ALL SELECT '1995', CAST(0.99 AS DOUBLE), q99, TRUE, TRUE FROM sub""",
     "k7_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,

@@ -121,6 +121,86 @@ object Stats {
     * K-row tables; the join and share arithmetic run on K rows. Nothing
     * here ever shuffles the fact tables beyond the two aggregates.
     */
+  /** Fixed-grid histogram PARTIALS — the exactly-mergeable quantile
+    * sketch for persisted warehouse partitions. Each partition (month,
+    * tenant, …) stores `(partCol, bin, bin_n)` rows over a grid FIXED a
+    * priori (`[lo, hi)` split into `nBins` equal bins); because the grid
+    * never depends on the data, partials from any set of partitions —
+    * including ones written months apart — merge by integer addition
+    * alone (`sum(bin_n)` per bin), so "p99 over an arbitrary date range"
+    * is a merge of tiny persisted tables, never a rescan of the fact
+    * table. This is the quantile sibling of the HLL partials (k8): HLL
+    * covers distinct counts, this covers percentiles, both with O(grid)
+    * state per partition regardless of row count. Values outside the
+    * grid clamp into the edge bins (the deterministic-error contract in
+    * [[histogramQuantiles]] holds only for in-range data — size the grid
+    * from domain knowledge, not from the data).
+    *
+    * Shape: one projection + one map-side-combined groupBy; output is
+    * ≤ nBins rows per partition value.
+    */
+  def histogramPartials(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                        partCol: String, lo: Double, hi: Double,
+                        nBins: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nBins > 0 && hi > lo, "need a non-empty grid")
+    val width = (hi - lo) / nBins
+    df.select(col(partCol),
+        least(greatest(floor((col(valueCol) - lo) / width), lit(0)),
+          lit(nBins - 1L)).cast("int").as("bin"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("bin_n"))
+  }
+
+  /** Quantile estimates from merged [[histogramPartials]], with a
+    * PROVABLE per-estimate error bound. For each requested fraction `p`
+    * the continuous quantile (percentile_cont semantics: interpolated at
+    * rank `p·(n−1)`, 0-indexed) lies between the order statistics at
+    * 1-indexed ranks `k = ⌊p·(n−1)⌋+1` and `k+1`; those two values fall
+    * in the first bins whose cumulative counts reach `k` and `k+1`
+    * (`b1 ≤ b2`), so the true quantile is inside
+    * `[lo + b1·w, lo + (b2+1)·w]`. The estimate is the midpoint of that
+    * interval and `err_bound = (b2 − b1 + 1)·w/2` is a hard guarantee,
+    * not a statistical one — `|est − quantile_cont(p)| ≤ err_bound`
+    * always (for in-grid data). Returns one row per p:
+    * `(p, est, err_bound)`.
+    *
+    * Shape: merge = one groupBy over ≤ nBins·P rows; the rank scan is a
+    * window over the ≤ nBins merged rows (partitionBy(lit(0)) — bounded
+    * by the FIXED grid size, so the single partition is a constant-size
+    * table at any data scale, not a data-sized collapse).
+    */
+  def histogramQuantiles(partials: org.apache.spark.sql.DataFrame,
+                         ps: Seq[Double], lo: Double, hi: Double,
+                         nBins: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
+    val width = (hi - lo) / nBins
+    val merged = partials.groupBy(col("bin")).agg(sum(col("bin_n")).as("n"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(w0))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      val k = floor(lit(p) * (col("total") - 1)) + 1
+      Seq(
+        min(when(col("cum") >= k, col("bin"))).as(s"__b1_$i"),
+        min(when(col("cum") >= least(k + 1, col("total")), col("bin")))
+          .as(s"__b2_$i"))
+    }
+    cum.agg(aggCols.head, aggCols.drop(1): _*)
+      .select(explode(array(ps.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("p"), col(s"__b1_$i").as("b1"),
+          col(s"__b2_$i").as("b2"))
+      }: _*)).as("q"))
+      .select(col("q.p").as("p"),
+        (lit(lo) + (col("q.b1") + col("q.b2") + 1) * lit(width) / 2)
+          .as("est"),
+        ((col("q.b2") - col("q.b1") + 1) * lit(width) / 2).as("err_bound"))
+  }
+
   def psiByCategory(ref: org.apache.spark.sql.DataFrame,
                     cand: org.apache.spark.sql.DataFrame,
                     catCol: String, smooth: Double = 0.5): org.apache.spark.sql.DataFrame = {

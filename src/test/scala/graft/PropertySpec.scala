@@ -530,4 +530,42 @@ class RunnerSpec extends SparkSpec {
         s"weighted share of ${r.getAs[String]("lang")} hits its target")
     }
   }
+
+  test("histogram quantile partials: deterministic error bound + exact partition-merge (k11)") {
+    import graft.functions.Stats
+    trials(6) {
+      val n = 50 + rnd.nextInt(400)
+      val nBins = 64 + rnd.nextInt(200)
+      val (lo, hi) = (0.0, 1000.0)
+      // clustered values stress empty-bin gaps between bracketing ranks
+      val vals = (1 to n).map(_ =>
+        if (rnd.nextBoolean()) rnd.nextDouble() * 1000.0
+        else 300.0 + rnd.nextDouble() * 10.0)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (s"part${i % 5}", v) }.toDF("pk", "v")
+      val partials = Stats.histogramPartials(df, "v", "pk", lo, hi, nBins)
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+      val got = Stats.histogramQuantiles(partials, ps, lo, hi, nBins)
+        .collect().map(r => r.getAs[Double]("p") ->
+          (r.getAs[Double]("est"), r.getAs[Double]("err_bound"))).toMap
+      val sorted = vals.sorted
+      ps.foreach { p =>
+        val pos = p * (n - 1)
+        val (k, frac) = (math.floor(pos).toInt, pos - math.floor(pos))
+        val exact = sorted(k) + frac *
+          (sorted(math.min(k + 1, n - 1)) - sorted(k))
+        val (est, bound) = got(p)
+        assert(math.abs(est - exact) <= bound + 1e-9,
+          s"p=$p est=$est exact=$exact bound=$bound n=$n bins=$nBins")
+      }
+      // partials merge by addition: 5-partition histogram == 1-partition
+      val one = Stats.histogramPartials(
+          df.withColumn("pk", lit("all")), "v", "pk", lo, hi, nBins)
+        .select($"bin", $"bin_n".as("n1"))
+      val merged = partials.groupBy($"bin").agg(sum($"bin_n").as("nm"))
+      assert(merged.join(one, Seq("bin"), "full")
+        .filter($"nm".isNull || $"n1".isNull || $"nm" =!= $"n1")
+        .count() == 0)
+    }
+  }
 }
