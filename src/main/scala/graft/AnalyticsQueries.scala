@@ -119,9 +119,12 @@ object AnalyticsQueries {
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mov = w.rowsBetween(-2, 0)
+      // decimal cumulative sum (skew-sf1): the hot customer's running
+      // spend crosses 1e10 where double ulps exceed the round(4) quantum
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
-          round(sum($"o_totalprice").over(cum), 4).as("running_spend"),
+          round(sum($"o_totalprice".cast("decimal(18,2)")).over(cum)
+            .cast("double"), 4).as("running_spend"),
           count(lit(1)).over(cum).as("n_so_far"),
           round(avg($"o_totalprice").over(mov), 4).as("moving_avg3"))
     }),
@@ -275,16 +278,21 @@ object AnalyticsQueries {
       val w = Window.partitionBy($"o_custkey")
         .orderBy($"o_orderdate", $"o_orderkey").rowsBetween(-19, 0)
       val xs = collect_list($"o_totalprice").over(w) // oldest..newest
+      // HORNER fold, no pow (skew-sf1 fix): Σ xᵢ(1−α)^(n−1−i) computed as
+      // acc·(1−α) + x left-to-right — the oracle folds the same list in
+      // the same order with the same two IEEE ops, so the result is
+      // BIT-identical across engines. pow(0.7, k) is NOT: Java and C libm
+      // differ by an ulp for some k, and on the skew corpus's 150k-row
+      // hot customer one of those ulps landed exactly on a round(4)
+      // boundary (1-in-300k observed).
+      val decay = lit(1.0 - alpha)
       t(s, dir, "orders")
         .withColumn("__xs", xs)
         .select($"o_custkey", $"o_orderkey",
           round(
-            aggregate(transform($"__xs",
-                (x, i) => x * pow(lit(1.0 - alpha), size($"__xs") - 1 - i)),
-              lit(0.0), (acc, v) => acc + v) /
-            aggregate(transform($"__xs",
-                (_, i) => pow(lit(1.0 - alpha), size($"__xs") - 1 - i)),
-              lit(0.0), (acc, v) => acc + v), 4).as("ewma"))
+            aggregate($"__xs", lit(0.0), (acc, x) => acc * decay + x) /
+            aggregate($"__xs", lit(0.0), (acc, _) => acc * decay + lit(1.0)),
+            4).as("ewma"))
     }),
 
     // W14: robust (median/MAD) outlier screen — the heavy-tail-safe twin
@@ -364,7 +372,8 @@ object AnalyticsQueries {
                       CAST(grouping(l_returnflag) AS INT) AS g_rf,
                       CAST(grouping(l_linestatus) AS INT) AS g_ls2,
                       count(1) AS n_rows,
-                      round(sum(l_extendedprice), 4) AS sum_price
+                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                            AS DOUBLE), 4) AS sum_price
                FROM l_gs
                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
     }),
@@ -379,9 +388,13 @@ object AnalyticsQueries {
       import s.implicits._
       val counts = t(s, dir, "lineitem")
         .groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
-      val wOrd = Window.orderBy($"cnt".desc, $"l_suppkey".asc)
+      // onePartKey = the same single partition, minus the WindowExec
+      // no-partition warning (keeps logs clean so a REAL full-table
+      // global window would stand out; plain lit(0) gets optimized away)
+      val one = graft.operators.Relational.onePartKey($"cnt")
+      val wOrd = Window.partitionBy(one).orderBy($"cnt".desc, $"l_suppkey".asc)
       counts
-        .withColumn("total", sum($"cnt").over(Window.partitionBy()))
+        .withColumn("total", sum($"cnt").over(Window.partitionBy(one)))
         .withColumn("rank", row_number().over(wOrd))
         .withColumn("cum", sum($"cnt").over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -456,8 +469,14 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events")
         .select($"user_id", expr("CAST(ts AS BIGINT) div 1000").as("ts_us"),
           $"event_type")
+      // census threshold 8192: a no-op on the uniform corpus (~67
+      // events/user) but LOW enough that the planted-Zipf skew corpus
+      // (top user ≈ 16% of all events) actually routes its heavy users
+      // through the O(1)-state chained form — the gate then exercises
+      // BOTH sides of the hybrid on real data, not just in the property
+      // spec (fold ≡ chain is provably equal, so the oracle is unchanged)
       val stages = graft.operators.Temporal.funnelStages(ev, "user_id",
-        "ts_us", "event_type", steps)
+        "ts_us", "event_type", steps, maxBufferedPerUser = 8192L)
       val aggs = count(lit(1)).as("__n") +:
         steps.indices.map(i =>
           sum(when($"max_stage" >= i + 1, 1L).otherwise(0L)).as(s"__s$i"))
@@ -550,6 +569,96 @@ object AnalyticsQueries {
       one.select(explode(array(rows: _*)).as("r")).select("r.*")
         .crossJoin(broadcast(eq))
         .select($"step", $"step_name", $"n_users", $"reach_rate",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // W19: LIVE SESSIONIZATION in the gate (round 12) — the fourth
+    // gate-checked streaming path, and the first through the DECLARATIVE
+    // stateful engine: `session_window` gap-merge windowed aggregation
+    // (Streams.sessionWindowCounts) — no custom state processor at all,
+    // unlike w18/c2 (transformWithState) and o17 (foreachBatch fold).
+    // Append-mode discipline: a session row is emitted exactly once, when
+    // the watermark passes its close — so the w18 flush trick (two
+    // far-future rows in two files, maxFilesPerTrigger=1) seals every
+    // real session before the drain ends. Both sides work in the
+    // MILLISECOND domain. Session-boundary semantics pinned by the spec:
+    // events exactly `gap` apart MERGE (session extent is [ts, ts+gap],
+    // closed end) — so the batch twin and the DuckDB oracle split on
+    // `diff > gap`, same as w10's batch operator. Payload = the streamed
+    // per-session rows themselves (user, start_ms, n_events, value sum) —
+    // DuckDB recomputes every session from raw events, so a streaming
+    // divergence breaks the hash, not just the verdict; verdict =
+    // full-outer equality with the batch gap-split twin.
+    "w19_live_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "w19_stream")
+      // fresh stream state every invocation (bench runs each query twice
+      // in one JVM; a reused checkpoint would no-op run 2)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        coalesce($"value", lit(0.0)).as("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def flush(tsStr: String): Unit =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
+          .toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(src)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def run(): Unit = Streams.runAvailableNow(
+          Streams.sessionWindowCounts(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            "ts", "user_id"),
+          out, ckpt)
+        run() // ingests all real events; nothing sealed yet
+        flush("2099-01-01 00:00:00")
+        flush("2099-01-02 00:00:00")
+        run() // flush 1 advances the watermark, flush 2's batch seals all
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out).filter($"user_id" =!= -1L)
+        .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
+          $"n_events", round($"total_value", 4).as("total_value"))
+      // batch twin: w10's gap-split sessionization in the same ms domain
+      // (split on diff > gap — the merge-at-exactly-gap semantics above)
+      val gapMs = 30L * 60 * 1000
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
+          $"event_id", coalesce($"value", lit(0.0)).as("value"))
+        .withColumn("__prev", lag($"ts_ms", 1).over(w))
+        .withColumn("__new",
+          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum($"__new").over(cum))
+        .groupBy($"user_id", $"__sid")
+        .agg(min($"ts_ms").as("session_start_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("total_value"))
+      val eq = live.select($"user_id", $"session_start_ms",
+          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.select($"user_id", $"session_start_ms",
+            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
+            .withColumn("__b", lit(1)),
+          Seq("user_id", "session_start_ms"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__ne_l" === $"__ne_b" &&
+            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
           ($"__nl" === $"__nb" && $"__neq" === $"__nl")
             .as("streaming_equals_batch"))
     }),
@@ -828,10 +937,9 @@ object AnalyticsQueries {
            FROM orders)
          SELECT o_custkey, o_orderkey,
                 round(
-                  list_sum(list_transform(range(1, len(xs) + 1),
-                      i -> xs[i] * pow(0.7, len(xs) - i))) /
-                  list_sum(list_transform(range(1, len(xs) + 1),
-                      i -> pow(0.7, len(xs) - i))), 4) AS ewma
+                  list_reduce(xs, (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x) /
+                  list_reduce(list_transform(xs, x -> CAST(1.0 AS DOUBLE)),
+                    (acc, x) -> acc * CAST(0.7 AS DOUBLE) + x), 4) AS ewma
          FROM b""",
     "a16_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
@@ -839,7 +947,8 @@ object AnalyticsQueries {
                 CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
                 CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls2,
                 count(*) AS n_rows,
-                round(sum(l_extendedprice), 4) AS sum_price
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS sum_price
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
     "a17_heavy_hitters" ->
@@ -872,8 +981,9 @@ object AnalyticsQueries {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "w8_cumulative" ->
       """SELECT o_custkey, o_orderkey,
-         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_spend,
          count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
          round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -1154,6 +1264,25 @@ object AnalyticsQueries {
          SELECT 2, 'click', CAST(s2 AS BIGINT), round(s2 * 1.0 / n, 6), true FROM s
          UNION ALL
          SELECT 3, 'purchase', CAST(s3 AS BIGINT), round(s3 * 1.0 / n, 6), true FROM s""",
+    "w19_live_sessions" ->
+      """WITH o AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
+                  coalesce(value, 0) AS value FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                            OR tms - lag(tms) OVER w > 1800000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sid
+           FROM g)
+         SELECT user_id, min(tms) AS session_start_ms, count(*) AS n_events,
+                round(sum(value), 4) AS total_value,
+                true AS streaming_equals_batch
+         FROM s GROUP BY user_id, sid""",
     "a22_retention_cohorts" ->
       """WITH e AS (
            SELECT user_id, event_type,

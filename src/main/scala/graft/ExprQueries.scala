@@ -137,8 +137,10 @@ object ExprQueries {
     // through one partition.
     "j3_positional_join" -> ((s, dir) => {
       import s.implicits._
-      val wo = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-      val wc = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      val wo = Window.partitionBy(Relational.onePartKey($"o_orderkey"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      val wc = Window.partitionBy(Relational.onePartKey($"c_custkey"))
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
       val topOrders = t(s, dir, "orders")
         .select($"o_orderkey", $"o_totalprice")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc).limit(50)
@@ -382,6 +384,12 @@ object ExprQueries {
     // (streaming_payments_summary.sql:60-68)
     "e5_pivot_multi_agg" -> ((s, dir) => {
       import s.implicits._
+      // na.fill(0): Spark pivot (SQL semantics) leaves an EMPTY cell —
+      // a user with no 'click' rows — NULL, while the oracle's
+      // CASE-pivot folds it to 0. Uniform data never exposes the
+      // difference (every user has every type); the planted-Zipf skew
+      // corpus does (tail users have 1-2 events), which is where this
+      // fill was first forced. pandas pivot_table(fill_value=0) parity.
       Relational.pivotAgg(
         t(s, dir, "events"),
         groupCols = Seq("user_id"),
@@ -390,6 +398,7 @@ object ExprQueries {
         aggs = Seq(
           "total" -> round(sum(coalesce($"value", lit(0.0))), 4),
           "n" -> count(lit(1))))
+        .na.fill(0)
     }),
 
     // E6: grid generation — sequence + explode sweep amounts

@@ -169,9 +169,14 @@ object SparkEntry {
     // J1: left equi-join on natural keys (data_warehouse.py:119,182)
     "j1_left_join" -> ((s, dir) => {
       import s.implicits._
+      // decimal money sum (skew-sf1 campaign): the planted hot customer
+      // concentrates ~10% of orders on one key, so per-GROUP sums reach
+      // 1e10 — double sum-order ulps cross the round(4) boundary there
+      // (the same a1 defect the sf1 campaign fixed at table grain)
       val orderAgg = t(s, dir, "orders")
         .groupBy($"o_custkey")
-        .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("spend"))
+        .agg(count(lit(1)).as("cnt"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("spend"))
       t(s, dir, "customer")
         .join(orderAgg, $"c_custkey" === $"o_custkey", "left")
         .select(
@@ -507,7 +512,8 @@ object SparkEntry {
          coalesce(o.cnt, 0) AS n_orders,
          round(coalesce(o.spend, 0),4) AS total_spend
          FROM customer
-         LEFT JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS spend
+         LEFT JOIN (SELECT o_custkey, count(*) AS cnt,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
                     FROM orders GROUP BY o_custkey) o
          ON c_custkey = o.o_custkey""",
     "j5_multiway_join" ->

@@ -864,7 +864,8 @@ object TrainingQueries {
       Similarity.saveIvfMemberTable(emb, "vec_id", "embedding", cents, s"$tmp/ivf")
       def ranked(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(graft.operators.Relational.onePartKey($"vec_id"))
             .orderBy($"cosine".desc, $"vec_id".asc)).cast("int"))
           .withColumnRenamed("vec_id", "doc_id")
       val lexD = Text.bm25TopKFromIndex(
@@ -1309,7 +1310,8 @@ object TrainingQueries {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val merges = Text.bpeTrain(docs, "text", merges = 8)
-      val w = Window.orderBy($"rank")
+      val w = Window.partitionBy(
+        graft.operators.Relational.onePartKey($"rank")).orderBy($"rank")
       val verd = merges
         .withColumn("prev_f", lag($"freq", 1).over(w))
         .agg(count(lit(1)).as("__n"),
@@ -1465,7 +1467,8 @@ object TrainingQueries {
       val actual = t(s, dir, "documents")
         .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
         .withColumn("actual_share",
-          $"n_docs" / sum($"n_docs").over(Window.partitionBy()))
+          $"n_docs" / sum($"n_docs").over(Window.partitionBy(
+            graft.operators.Relational.onePartKey($"n_docs"))))
       actual.join(broadcast(target), "lang")
         .select($"lang", $"n_docs",
           round($"actual_share", 6).as("actual_share"),
@@ -1875,7 +1878,9 @@ object TrainingQueries {
         .groupBy($"__f")
         .agg(min($"o_orderdate").as("__mn"), max($"o_orderdate").as("__mx"))
       // 8 rows — the single-partition window is bounded by nRanges
-      val w = Window.orderBy($"__mn", $"__mx", $"__f")
+      val w = Window.partitionBy(
+        graft.operators.Relational.onePartKey($"__f"))
+        .orderBy($"__mn", $"__mx", $"__f")
       val layout = perFile
         .withColumn("__prev_mx", lag($"__mx", 1).over(w))
         .agg(
@@ -2103,6 +2108,61 @@ object TrainingQueries {
         .crossJoin(broadcast(mergeOk))
         .select($"range_label", $"p", $"exact_q", $"within_bound",
           $"__mok".as("merge_exact"))
+    }),
+
+    // K12: PERSISTED mergeable FREQUENCY partials — the heavy-hitter
+    // member of the non-algebraic partial trio (k8 = HLL distinct, k11 =
+    // histogram quantiles, k12 = count-min frequencies). Each month's
+    // partition stores one count-min sketch binary; "top-key counts over
+    // an arbitrary date range" is then a Stats.countMinUnion of ≤ #months
+    // KB-sized binaries + O(1) probes — never a rescan. Unlike k8's HLL
+    // union (statistical drift through mode promotions), CMS union is
+    // counter-wise integer ADDITION under the shared (depth, width, seed),
+    // so the gate asserts the merged-at-rest estimate EQUALS the
+    // direct-over-the-range sketch per probed key (merged_eq_direct) on
+    // top of the two CMS contracts (never_undercount — structural;
+    // within_eps — overcount ≤ eps·N) for BOTH the full range and a 1995
+    // sub-range. Payload = exact top-20 counts per range, recomputed by
+    // DuckDB.
+    "k12_countmin_partials" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Stats
+      val eps = 1e-3
+      val src = t(s, dir, "orders").select(
+        date_format($"o_orderdate", "yyyy-MM").as("o_month"), $"o_custkey")
+      val tmp = Scratch.dir(s, "k12_cms")
+      graft.sources.Sinks.replaceTable(
+        src.groupBy($"o_month")
+          .agg(Stats.countMinSketchAgg($"o_custkey", eps).as("cms")), tmp)
+      val atRest = s.read.parquet(tmp)
+      def probeRows(label: String, mf: org.apache.spark.sql.Column) = {
+        val mergedSk = atRest.filter(mf).agg(Stats.countMinUnion($"cms"))
+          .head().getAs[Array[Byte]](0)
+        val directSk = src.filter(mf).agg(Stats.countMinSketchAgg($"o_custkey", eps))
+          .head().getAs[Array[Byte]](0)
+        val bcM = s.sparkContext.broadcast(mergedSk)
+        val bcD = s.sparkContext.broadcast(directSk)
+        // deserialize once per executor (a20's discipline), not per row
+        val estM = udf(new (Long => Long) with Serializable {
+          @transient private lazy val cms = Stats.readCountMin(bcM.value)
+          def apply(k: Long): Long = cms.estimateCount(k)
+        })
+        val estD = udf(new (Long => Long) with Serializable {
+          @transient private lazy val cms = Stats.readCountMin(bcD.value)
+          def apply(k: Long): Long = cms.estimateCount(k)
+        })
+        src.filter(mf).groupBy($"o_custkey").agg(count(lit(1)).as("exact"))
+          .orderBy($"exact".desc, $"o_custkey".asc).limit(20)
+          .withColumn("__m", estM($"o_custkey"))
+          .withColumn("__d", estD($"o_custkey"))
+          .crossJoin(broadcast(src.filter(mf).agg(count(lit(1)).as("__n"))))
+          .select(lit(label).as("range_label"), $"o_custkey", $"exact",
+            ($"__m" >= $"exact").as("never_undercount"),
+            ($"__m" - $"exact" <= ceil($"__n" * lit(eps))).as("within_eps"),
+            ($"__m" === $"__d").as("merged_eq_direct"))
+      }
+      probeRows("full", lit(true))
+        .unionAll(probeRows("1995", $"o_month".between("1995-01", "1995-12")))
     }),
 
     // D14: EXACT shared-span detection (Lee et al. 2021's exact-substring
@@ -3523,6 +3583,22 @@ object TrainingQueries {
          UNION ALL SELECT '1995', CAST(0.5 AS DOUBLE), q50, TRUE, TRUE FROM sub
          UNION ALL SELECT '1995', CAST(0.9 AS DOUBLE), q90, TRUE, TRUE FROM sub
          UNION ALL SELECT '1995', CAST(0.99 AS DOUBLE), q99, TRUE, TRUE FROM sub""",
+    // k12: exact top-20 per range recomputed; the booleans assert the CMS
+    // contracts and the exact merged==direct counter identity
+    "k12_countmin_partials" ->
+      """WITH src AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS m, o_custkey FROM orders),
+         tf AS (SELECT o_custkey, count(*) AS exact FROM src
+                GROUP BY o_custkey ORDER BY exact DESC, o_custkey LIMIT 20),
+         ts AS (SELECT o_custkey, count(*) AS exact FROM src
+                WHERE m BETWEEN '1995-01' AND '1995-12'
+                GROUP BY o_custkey ORDER BY exact DESC, o_custkey LIMIT 20)
+         SELECT 'full' AS range_label, o_custkey, exact,
+                true AS never_undercount, true AS within_eps,
+                true AS merged_eq_direct
+         FROM tf
+         UNION ALL
+         SELECT '1995', o_custkey, exact, true, true, true FROM ts""",
     "k7_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,

@@ -454,7 +454,9 @@ object Protocol {
     // Global (unpartitioned) window is safe HERE: the input is one row per
     // calendar day (a daily reference-rate table, thousands of rows over
     // the protocol's lifetime), bounded by the calendar — not by the corpus.
-    val w = Window.orderBy(col("block_day"))
+    val w = Window.partitionBy(
+        graft.operators.Relational.onePartKey(col("block_day")))
+      .orderBy(col("block_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     stables
       .join(eth, col("block_day") === col("e_day"), "left").drop("e_day")

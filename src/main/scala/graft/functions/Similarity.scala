@@ -1226,10 +1226,12 @@ object Similarity {
         lit(1.0 - alpha) * col("cosine"), 6))
       .orderBy(col("hybrid").desc, col(idCol).asc)
       .limit(k)
-      // partitionBy(lit(0)): bounded (≤ k rows) single partition without
-      // the WindowExec no-partition warning (round-12 verdict).
+      // onePartKey: bounded (≤ k rows) single partition without the
+      // WindowExec no-partition warning (a foldable lit(0) key gets
+      // stripped by EliminateWindowPartitions — see Relational.onePartKey)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.operators.Relational.onePartKey(col(idCol)))
           .orderBy(col("hybrid").desc, col(idCol).asc)).cast("int"))
       .select(col(idCol), col(scoreCol), col("cosine"), col("hybrid"),
         col("rank"))
@@ -1265,10 +1267,11 @@ object Similarity {
         col("__rv").isNotNull.as("in_vec"))
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(k)
-      // bounded ≤ k rows; literal partition key avoids the WindowExec
-      // no-partition warning (see bm25TopK)
+      // bounded ≤ k rows; non-foldable constant partition key avoids the
+      // WindowExec no-partition warning (see Relational.onePartKey)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.operators.Relational.onePartKey(col(idCol)))
           .orderBy(col("rrf").desc, col(idCol).asc)).cast("int"))
   }
 

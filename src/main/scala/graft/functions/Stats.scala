@@ -73,6 +73,42 @@ object Stats {
     org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
 
+  /** UNION aggregate over serialized count-min sketches — the missing
+    * piece that makes [[countMinSketchAgg]] partials PERSISTABLE (Spark
+    * ships `count_min_sketch` but no `cms_union_agg` twin of
+    * `hll_union_agg`): CMS counters are plain integers under the same
+    * (depth, width, seed), so union is counter-wise ADDITION and a merge
+    * of per-partition sketches is EXACTLY the sketch of the concatenated
+    * input — estimates from merged-at-rest partials equal the
+    * direct-over-everything sketch bit-for-bit (unlike HLL union's
+    * mode-promotion drift, k8). Empty inputs fold to an empty byte array.
+    * Requires every input sketch to share params — `mergeInPlace` throws
+    * `IncompatibleMergeException` otherwise (fail loud, never mis-add). */
+  object CountMinUnionAggregator
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val ca = readCountMin(a)
+        ca.mergeInPlace(readCountMin(b))
+        val bos = new java.io.ByteArrayOutputStream()
+        ca.writeTo(bos)
+        bos.toByteArray
+      }
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      union(buf, Option(in).getOrElse(Array.emptyByteArray))
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = union(a, b)
+    override def finish(s: Array[Byte]): Array[Byte] = s
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Column form: `countMinUnion(sketchCol)` → merged sketch binary. */
+  def countMinUnion(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(CountMinUnionAggregator).apply(c)
+
   /** Robust (median/MAD) outlier flagging per group — the heavy-tail-safe
     * twin of the z-score screen (w11): mean/stddev move with the outliers
     * they're supposed to find; the median and the median absolute
@@ -177,9 +213,10 @@ object Stats {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "p in [0,1]")
     val width = (hi - lo) / nBins
     val merged = partials.groupBy(col("bin")).agg(sum(col("bin_n")).as("n"))
+    val one = graft.operators.Relational.onePartKey(col("bin"))
     val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("bin"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      .partitionBy(one).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(one)
     val cum = merged
       .withColumn("cum", sum(col("n")).over(w0))
       .withColumn("total", sum(col("n")).over(wAll))

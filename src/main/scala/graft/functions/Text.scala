@@ -598,13 +598,14 @@ object Text {
       .orderBy(col("score").desc, col("__id").asc)
       .limit(k)
     scored
-      // partitionBy(lit(0)): same single partition (input is ≤ k rows
-      // post-limit, so it's bounded), but a non-empty partition spec
-      // keeps WindowExec from logging the no-partition warning — real
-      // unbounded single-partition windows should stand out in the logs
-      // (round-12, verdict "what's wrong" #2).
+      // onePartKey: same single partition (input is ≤ k rows post-limit,
+      // so it's bounded), but a NON-FOLDABLE partition key keeps
+      // WindowExec from logging the no-partition warning — a plain
+      // lit(0) is stripped by EliminateWindowPartitions; real unbounded
+      // single-partition windows should stand out in the logs.
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.operators.Relational.onePartKey(col("__id")))
           .orderBy(col("score").desc, col("__id").asc)).cast("int"))
       .select(col("__id").as(idCol), col("score"), col("n_terms_hit"),
         col("rank"))
@@ -763,10 +764,11 @@ object Text {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
-    // partitionBy(lit(0)): bounded (≤ k rows) single partition without
-    // the WindowExec no-partition warning — see bm25TopK.
+    // onePartKey: bounded (≤ k rows) single partition without the
+    // WindowExec no-partition warning — see bm25TopK / Relational.onePartKey.
     scored.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.operators.Relational.onePartKey(col("doc_id")))
           .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
   }
 }

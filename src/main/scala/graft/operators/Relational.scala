@@ -172,6 +172,21 @@ object Relational {
     * skew handling doesn't cover); costs nSalts× the small side's shuffle
     * volume, so keep the small side small.
     */
+  /** Constant-valued but optimizer-proof partition key for DELIBERATE
+    * single-partition windows over frames already bounded small
+    * (post-limit ranks, post-agg share-of-total). `partitionBy(lit(0))`
+    * looks right but is a placebo: Catalyst's `EliminateWindowPartitions`
+    * strips FOLDABLE partition keys, the spec degrades to unpartitioned,
+    * and WindowExec's no-partition warning fires anyway (discovered round
+    * 12 — the r11 "hygiene" fix never silenced anything; verified against
+    * executed plans). `hash(anchor) * 0` dies the same way — the
+    * arithmetic simplifier folds multiply-by-zero before the window rule
+    * looks. `pmod(hash(anchor), 1)` is 0 on every row but survives (no
+    * rule knows pmod-by-one): one partition, no warning — and a REAL
+    * unpartitioned window in a log now means a real bug. Never use on
+    * corpus-sized input. */
+  def onePartKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFrom: String, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {

@@ -64,6 +64,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("countMinUnion aggregate: in-plan union of partials == direct sketch") {
+    import graft.functions.Stats
+    val orders = Tables.t(spark, sfDir, "orders")
+    // per-month partials -> ONE in-plan union aggregate (the k12 at-rest
+    // merge path), compared estimate-for-estimate against the direct
+    // whole-input sketch: CMS union is counter addition, so equality is
+    // exact, not statistical
+    val partials = orders
+      .withColumn("m", date_format($"o_orderdate", "yyyy-MM"))
+      .groupBy($"m").agg(Stats.countMinSketchAgg($"o_custkey").as("sk"))
+    val mergedBytes = partials.agg(Stats.countMinUnion($"sk"))
+      .head.getAs[Array[Byte]](0)
+    val directBytes = orders.agg(Stats.countMinSketchAgg($"o_custkey"))
+      .head.getAs[Array[Byte]](0)
+    val (merged, direct) =
+      (Stats.readCountMin(mergedBytes), Stats.readCountMin(directBytes))
+    val keys = orders.select($"o_custkey").distinct()
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      assert(merged.estimateCount(k) == direct.estimateCount(k), s"key $k")
+    }
+    // zero-input union folds to the empty sentinel, not a crash
+    val empty = partials.filter(lit(false)).agg(Stats.countMinUnion($"sk"))
+      .head.getAs[Array[Byte]](0)
+    assert(empty == null || empty.isEmpty)
+  }
+
   test("a12 rollup: subtotals sum to grand total, grouping flags mark levels") {
     val got = AnalyticsQueries.queries("a12_rollup")(spark, sfDir).collect()
     val grand = got.filter(r => r.getAs[Int]("g_rf") == 1 && r.getAs[Int]("g_ls") == 1)

@@ -710,6 +710,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)), s"got $got")
   }
 
+  test("session_window boundary: events exactly gap apart MERGE (closed end)") {
+    // w19's batch twin and DuckDB oracle split sessions on diff > gap —
+    // this pins the engine behavior that choice mirrors: a session's
+    // extent is [ts, ts+gap] with a CLOSED end, so an event landing
+    // exactly gap after the previous one extends the session, and one
+    // landing gap+1ms after starts a new one.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessbound").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        (1L, ts("2024-01-01 10:30:00"), "click", 2.0),   // exactly gap -> merge
+        (2L, ts("2024-01-01 10:00:00"), "click", 4.0),
+        (2L, new java.sql.Timestamp(
+          ts("2024-01-01 10:30:00").getTime + 1), "click", 8.0), // gap+1ms -> split
+        (9L, ts("2024-01-02 00:00:00"), "view", 0.0))    // watermark sentinel
+      .toDF("user_id", "ts", "event_type", "value").write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.runAvailableNow(
+      Streams.sessionWindowCounts(
+        Streams.parquetStream(spark, src, schema), "ts", "user_id"),
+      out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 1L, 8.0)), s"got $got")
+  }
+
   test("sessionize aggregates per-user sessions (batch execution of the stateful op)") {
     // mapGroupsWithState is a Dataset op: batch execution covers the
     // aggregation logic (the streaming path is exercised by the runner

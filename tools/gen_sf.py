@@ -28,17 +28,42 @@ RNG stream — only its distributions and invariants:
   - TPC-H-ish: same key ranges/ratios as sf0.1 x (sf/0.1); lineitem rows
     are INDEPENDENT draws (orderkey uniform, linenumber uniform 1..7,
     shipdate independent of orderdate), matching the driver tables.
+
+--skew: PLANTED-SKEW variant of the same corpus (round-12 campaign). The
+gate's oracle is self-consistent (Spark vs DuckDB on the same files), so
+every query stays hash-checkable; what changes is which CODE PATHS fire:
+
+  - events.user_id ~ Zipf(1.1) over the user ranks (top user ≈ 16% of all
+    events — trips the funnel heavy-user census that uniform data never
+    exercises, and concentrates every per-user window/groupBy);
+  - lineitem.l_suppkey: 15% of rows land on ONE supplier (the salted-join
+    j12 hot key) and l_orderkey: 5% on ONE order (AQE skew-join food);
+  - orders.o_custkey: 10% of orders on ONE customer (hot groupBy/join key
+    through the j/a families);
+  - documents: lang 'en' 80% (hot LSH/gram buckets, mixture skew) and
+    source 'src0' 40% (domain-cap pressure).
+
+    python3 tools/gen_sf.py 0.1 /root/repo/testdata_skew0.1 --skew
 """
 import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata_sf{sf:g}"
+skew = "--skew" in sys.argv
+argv = [a for a in sys.argv if a != "--skew"]
+sf = float(argv[1]) if len(argv) > 1 else 1.0
+out = argv[2] if len(argv) > 2 else (
+    f"/root/repo/testdata_{'skew' if skew else 'sf'}{sf:g}")
 import os
 os.makedirs(out, exist_ok=True)
 rng = np.random.default_rng(42)
+
+def hot_mix(n, n_keys, hot_key, hot_frac):
+    """Uniform keys with a planted fraction on one hot key."""
+    keys = rng.integers(0, n_keys, n)
+    keys[rng.random(n) < hot_frac] = hot_key
+    return keys
 
 def write(name, table):
     pq.write_table(table, f"{out}/{name}.parquet")
@@ -94,7 +119,8 @@ o_days = int((np.datetime64("2001-08-01") - np.datetime64("1995-01-01"))
              / np.timedelta64(1, "D"))
 write("orders", pa.table({
     "o_orderkey": pa.array(range(n_ord), pa.int64()),
-    "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+    "o_custkey": pa.array(hot_mix(n_ord, n_cust, 7, 0.10) if skew
+                          else rng.integers(0, n_cust, n_ord), pa.int64()),
     "o_orderstatus": np.array(["P", "O", "F"])[rng.integers(0, 3, n_ord)],
     "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
     "o_orderdate": pa.array(o_lo + rng.integers(0, o_days + 1, n_ord) * DAY_US,
@@ -107,9 +133,11 @@ s_lo = np.datetime64("1995-01-02").astype("datetime64[us]").astype(np.int64)
 s_days = int((np.datetime64("2001-11-04") - np.datetime64("1995-01-02"))
              / np.timedelta64(1, "D"))
 write("lineitem", pa.table({
-    "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+    "l_orderkey": pa.array(hot_mix(n_li, n_ord, 13, 0.05) if skew
+                           else rng.integers(0, n_ord, n_li), pa.int64()),
     "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-    "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+    "l_suppkey": pa.array(hot_mix(n_li, n_supp, 7, 0.15) if skew
+                          else rng.integers(0, n_supp, n_li), pa.int64()),
     "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
     "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
     "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
@@ -129,7 +157,11 @@ ts = np.sort(rng.integers(0, span_us, n_ev)) + ev_lo
 write("events", pa.table({
     "event_id": pa.array(range(n_ev), pa.int64()),
     "ts": pa.array(ts, pa.timestamp("us")),
-    "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+    "user_id": pa.array(
+        rng.choice(n_users, n_ev,
+                   p=(lambda r: r / r.sum())(
+                     np.arange(1, n_users + 1, dtype=np.float64) ** -1.1))
+        if skew else rng.integers(0, n_users, n_ev), pa.int64()),
     "event_type": np.array(["view", "click", "purchase", "signup",
                             "error"])[rng.integers(0, 5, n_ev)],
     "value": np.round(rng.exponential(50.0, n_ev), 2),
@@ -153,12 +185,15 @@ for i in range(10, n_doc):
     elif r < 0.052:
         texts[i] = texts[int(rng.integers(0, i))]
 langs = np.array(["en", "zh", "es", "fr", "de"])[
-    rng.choice(5, n_doc, p=[0.4, 0.15, 0.15, 0.15, 0.15])]
+    rng.choice(5, n_doc, p=[0.8, 0.05, 0.05, 0.05, 0.05] if skew
+               else [0.4, 0.15, 0.15, 0.15, 0.15])]
+sources = [("src0" if skew and r < 0.4 else f"src{i % 20}")
+           for i, r in enumerate(rng.random(n_doc))]
 write("documents", pa.table({
     "doc_id": pa.array(range(n_doc), pa.int64()),
     "text": texts,
     "lang": langs,
-    "source": [f"src{i % 20}" for i in range(n_doc)],
+    "source": sources,
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
 # ---- embeddings -----------------------------------------------------------
