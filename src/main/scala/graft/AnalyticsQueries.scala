@@ -663,6 +663,228 @@ object AnalyticsQueries {
             .as("streaming_equals_batch"))
     }),
 
+    // W20: LIVE WATERMARKED WINDOW ROLLUP in the gate (round 12) — the
+    // bread-and-butter streaming aggregation (Streams.windowedCounts:
+    // tumbling 1-hour windows per event_type, declarative windowed-agg
+    // state, Append mode) was the LAST basic streaming shape with no
+    // gate check. Unlike w19's single-file ingest, the source here is
+    // FOUR parquet files drained one per micro-batch, so every window
+    // accumulates across batches from out-of-order slices of the month;
+    // the watermark delay (800 h) exceeds the corpus's 30-day span, so
+    // no real row can ever be late — cross-batch folding is exercised
+    // while determinism is preserved — and the two far-future flush
+    // rows (w19's trick: flush 1 advances the watermark, flush 2's
+    // batch seals) emit every real window before the drain ends.
+    // Payload = every sealed (window, event_type) row; DuckDB
+    // recomputes all of them from raw events via an epoch-ms floor-div
+    // tumble, so a streaming divergence breaks the hash, not just the
+    // verdict. Verdict = full-outer equality vs the batch floor-div
+    // twin. Both sides work in the MILLISECOND domain (the parquet
+    // nanos truncate identically on write).
+    "w20_live_windowed_counts" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "w20_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"event_type",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        coalesce($"value", lit(0.0)).as("value"))
+      ev.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def flush(tsStr: String): Unit =
+        Seq(("___flush", java.sql.Timestamp.valueOf(tsStr), 0.0))
+          .toDF("event_type", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(src)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def run(): Unit = Streams.runAvailableNow(
+          Streams.windowedCounts(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            "ts", "1 hour", "800 hours"),
+          out, ckpt)
+        run() // four batches ingest the month; nothing sealed yet
+        flush("2099-01-01 00:00:00")
+        flush("2099-01-02 00:00:00")
+        run() // flush 1 advances the watermark, flush 2's batch seals
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out).filter($"event_type" =!= "___flush")
+        .select(unix_millis($"window_start").as("window_start_ms"),
+          $"event_type", $"n_events",
+          round($"total_value", 4).as("total_value"))
+      val batch = t(s, dir, "events")
+        .select($"event_type",
+          expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
+          coalesce($"value", lit(0.0)).as("value"))
+        .groupBy(($"ts_ms" - pmod($"ts_ms", lit(3600000L))).as("window_start_ms"),
+          $"event_type")
+        .agg(count(lit(1)).as("__ne_b"),
+          round(sum($"value"), 4).as("__tv_b"))
+      val eq = live.select($"window_start_ms", $"event_type",
+          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          Seq("window_start_ms", "event_type"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__ne_l" === $"__ne_b" &&
+            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"window_start_ms", $"event_type", $"n_events", $"total_value",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // J15: LIVE STREAM-STREAM INTERVAL JOIN in the gate (round 12) —
+    // the one streaming JOIN shape (Streams.intervalJoin: view→purchase
+    // attribution, same user, purchase within [view, view+30 min]) had
+    // no gate check. Both sides are independent file streams (two files
+    // each, one per micro-batch), so matches must pair rows that arrive
+    // in DIFFERENT batches out of order — exactly the buffered-state
+    // behavior the operator exists for; the watermark delay (800 h)
+    // exceeds the data span so no buffered row is evicted before its
+    // partner arrives, keeping the pair set deterministic (production
+    // tightens the watermark to bound state; the gate widens it to pin
+    // semantics). Inner join ⇒ Append-mode emits each pair exactly
+    // once, no flush rows needed. Everything is compared in the
+    // MILLISECOND domain on both engines (the ns→ms truncation happens
+    // before the range test, so a pair within 1 ms of the 30-min
+    // boundary cannot flip between Spark and DuckDB). Payload = every
+    // (view, purchase) pair with its lag; verdict = full-outer equality
+    // vs the batch range-join twin.
+    "j15_live_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "j15_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val srcL = s"$tmp/view"; val srcR = s"$tmp/purchase"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"user_id", $"event_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        $"event_type")
+      ev.filter($"event_type" === "view").drop("event_type")
+        .repartition(2).write.mode("overwrite").parquet(srcL)
+      ev.filter($"event_type" === "purchase").drop("event_type")
+        .repartition(2).write.mode("overwrite").parquet(srcR)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val joined = Streams.intervalJoin(
+          Streams.parquetStream(s, srcL, s.read.parquet(srcL).schema,
+            maxFilesPerTrigger = 1),
+          Streams.parquetStream(s, srcR, s.read.parquet(srcR).schema,
+            maxFilesPerTrigger = 1),
+          "user_id", "ts", before = "0 seconds", after = "30 minutes",
+          watermark = "800 hours")
+        Streams.runAvailableNow(
+          joined.select($"user_id", $"event_id".as("view_id"),
+            $"r_event_id".as("purchase_id"),
+            (unix_millis($"r_ts") - unix_millis($"ts")).as("lag_ms")),
+          out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out)
+      val evB = t(s, dir, "events").select($"user_id", $"event_id",
+        expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"), $"event_type")
+      val v = evB.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts_ms".as("__vms"))
+      val p = evB.filter($"event_type" === "purchase")
+        .select($"user_id".as("__puid"), $"event_id".as("purchase_id"),
+          $"ts_ms".as("__pms"))
+      val batch = v.join(p, $"user_id" === $"__puid" &&
+          $"__pms" >= $"__vms" && $"__pms" <= $"__vms" + lit(1800000L))
+        .select($"view_id", $"purchase_id", ($"__pms" - $"__vms").as("__lag_b"))
+      val eq = live.select($"view_id", $"purchase_id",
+          $"lag_ms".as("__lag_l")).withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          Seq("view_id", "purchase_id"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__lag_l" === $"__lag_b", 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"user_id", $"view_id", $"purchase_id", $"lag_ms",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // T29: LIVE DETERMINISTIC BOTTOM-K SAMPLE in the gate (round 12) —
+    // the transformWithState LISTSTATE sampler (Streams.
+    // bottomKSampleStream: keep the k smallest md5(doc_id) per language,
+    // O(k) state, no RNG — so the live sample IS the batch bottom-k over
+    // all history at every point). Ingest is three files, one per
+    // micro-batch; each batch emits the running sample per language and
+    // the CONVERGED row (max n_seen per language — n_seen strictly
+    // increases per emission, so it is unique) must equal the
+    // single-shot batch sample over the whole corpus — which DuckDB
+    // recomputes independently from its own md5() (both engines hash
+    // the decimal string of doc_id, so the hex ranks agree exactly).
+    // This pins the merge property hash-rank sampling is chosen FOR at
+    // 100 TB: the sample of a union is computable from samples of the
+    // parts, no matter how the stream batches them. Verdict = per-lang
+    // equality (count + exact sample string) vs the batch window twin.
+    "t29_live_bottomk_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "t29_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      t(s, dir, "documents").select($"lang", $"doc_id")
+        .repartition(3).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val docs = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
+          .as[Streams.SampleDoc]
+        Streams.runAvailableNow(
+          Streams.bottomKSampleStream(docs, 8).toDF(), out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val wLast = Window.partitionBy($"lang").orderBy($"n_seen".desc)
+      val live = s.read.parquet(out)
+        .withColumn("__rn", row_number().over(wLast)).filter($"__rn" === 1)
+        .select($"lang", $"n_seen", $"sample_ids")
+      val wB = Window.partitionBy($"lang").orderBy($"__h", $"doc_id")
+      val ranked = t(s, dir, "documents").select($"lang", $"doc_id")
+        .withColumn("__h", md5($"doc_id".cast("string")))
+        .withColumn("__bn", row_number().over(wB))
+      val bSample = ranked.filter($"__bn" <= 8)
+        .groupBy($"lang")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct($"__bn", $"doc_id"))),
+            x => x("doc_id").cast("string"))).as("__sample_b"))
+      val bN = t(s, dir, "documents").groupBy($"lang")
+        .agg(count(lit(1)).as("__n_b"))
+      val eq = live.withColumn("__l", lit(1))
+        .join(bSample.join(bN, Seq("lang")).withColumn("__b", lit(1)),
+          Seq("lang"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"n_seen" === $"__n_b" &&
+            $"sample_ids" === $"__sample_b", 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"lang", $"n_seen", $"sample_ids",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
     // C2: LIVE CORPUS PREP in the gate (round 11) — the second streaming
     // path the driver binary checks (after w18): the whole stateful tail
     // of corpus prep (permanent-state dedup CHAINED into per-language
@@ -719,6 +941,492 @@ object AnalyticsQueries {
         .crossJoin(broadcast(eq))
         .select($"lang", $"pack_id", $"n_docs", $"pack_tokens",
           $"first_doc", $"last_doc", $"__ok".as("stream_matches_batch"))
+    }),
+
+    // W21: EVENT-TIME TIMER SESSIONIZATION in the gate (round 12) —
+    // the transformWithState TIMER path (Streams.sessionizeTws /
+    // handleExpiredTimer): sessions close exactly when the WATERMARK
+    // passes lastSeen + gap — never wall-clock-early — so unlike w19's
+    // declarative session_window (sealed by the engine's windowed-agg
+    // state), every emitted row here comes out of a first-class
+    // per-key timer firing. Same ingest discipline as w19 (single real
+    // file so nothing is late under the 0-second watermark delay; two
+    // far-future flush rows fire all timers before the drain ends),
+    // same MILLISECOND domain, and deliberately the SAME ORACLE as
+    // w19: two independent stateful engines (timer merge vs gap-merge
+    // window) must land on the identical session set DuckDB recomputes
+    // from raw events. Verdict = full-outer equality vs the batch
+    // gap-split twin.
+    "w21_live_timer_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "w21_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        coalesce($"value", lit(0.0)).as("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def flush(tsStr: String): Unit =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
+          .toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(src)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def run(): Unit = Streams.runAvailableNow(
+          Streams.sessionizeTws(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
+              .as[Streams.TwsEvent],
+            gapMs = 30L * 60 * 1000).toDF(),
+          out, ckpt)
+        run() // ingests the month; timers armed, nothing fired yet
+        flush("2099-01-01 00:00:00")
+        flush("2099-01-02 00:00:00")
+        run() // flush batches advance the watermark; timers fire
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out).filter($"user_id" =!= -1L)
+        .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
+          $"n_events", round($"total_value", 4).as("total_value"))
+      val gapMs = 30L * 60 * 1000
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
+          $"event_id", coalesce($"value", lit(0.0)).as("value"))
+        .withColumn("__prev", lag($"ts_ms", 1).over(w))
+        .withColumn("__new",
+          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum($"__new").over(cum))
+        .groupBy($"user_id", $"__sid")
+        .agg(min($"ts_ms").as("session_start_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("total_value"))
+      val eq = live.select($"user_id", $"session_start_ms",
+          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.select($"user_id", $"session_start_ms",
+            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
+            .withColumn("__b", lit(1)),
+          Seq("user_id", "session_start_ms"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__ne_l" === $"__ne_b" &&
+            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // C3: BATCH→STREAMING MIGRATION in the gate (round 12) — the
+    // transformWithState INITIAL-STATE path (Streams.
+    // dedupIncrementalSeeded / handleInitialState): the permanent
+    // fingerprint state is BOOTSTRAPPED from the existing corpus (here:
+    // the first half by doc_id, standing in for the warehouse's d12
+    // index table) and the live tail re-delivers the WHOLE corpus — so
+    // the query proves seeded fingerprints never re-emit while novel
+    // ones emit exactly once with the min-doc_id winner. The source is
+    // sharded by hash(fingerprint) into three files (one per
+    // micro-batch), so every fingerprint's docs land in ONE batch and
+    // the winner rule is batch-order invariant — the o17 determinism
+    // trick, making stream ≡ batch an exact contract, not luck. DuckDB
+    // recomputes the whole thing from raw text (same md5-normalized
+    // fingerprint as c2's oracle); verdict = per-fingerprint winner
+    // equality vs the batch anti-join twin.
+    "c3_seeded_migration" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      import graft.functions.Text
+      val tmp = TrainingQueries.Scratch.dir(s, "c3_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val meta = t(s, dir, "documents").select(
+        $"doc_id".cast("long").as("doc_id"), $"lang",
+        Text.tokenCountWs($"text").cast("long").as("n_tokens"),
+        Text.fingerprintMd5($"text").as("fingerprint"))
+      val maxId = meta.agg(max($"doc_id")).as[Long].first()
+      val seedFps = meta.filter($"doc_id" * 2 <= maxId)
+        .select($"fingerprint").as[String]
+      for (i <- 0 until 3)
+        meta.filter(pmod(hash($"fingerprint"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val docs = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
+          .as[Streams.FpMeta]
+        Streams.runAvailableNow(
+          Streams.dedupIncrementalSeeded(docs, seedFps).toDF(), out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out)
+        .select($"doc_id", $"lang", $"n_tokens", $"fingerprint")
+      val wFp = Window.partitionBy($"fingerprint").orderBy($"doc_id")
+      val batch = meta
+        .join(seedFps.toDF("fingerprint").distinct(),
+          Seq("fingerprint"), "left_anti")
+        .withColumn("__rn", row_number().over(wFp)).filter($"__rn" === 1)
+        .select($"fingerprint", $"doc_id".as("__id_b"))
+      val eq = live.select($"fingerprint", $"doc_id".as("__id_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)), Seq("fingerprint"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__id_l" === $"__id_b", 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"doc_id", $"lang", $"n_tokens", $"fingerprint",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // T30: LIVE PER-(LANG, DOMAIN) DOCUMENT CAP in the gate (round 12)
+    // — the transformWithState MAPSTATE operator (Streams.
+    // domainCapStream: admit the first `cap` docs of each domain within
+    // each language, doc_id order, corpus-lifetime — the live twin of
+    // t18's WindowGroupLimit cap). Admission is inherently
+    // arrival-order dependent, so the source is sharded by
+    // hash(domain) into three files (one per micro-batch): every
+    // domain's docs land in ONE batch, where the processor sorts by
+    // doc_id — making stream ≡ batch exact by construction (the same
+    // order-invariance discipline as o17/c3) while still exercising
+    // the permanent MapState across three real batches (other domains'
+    // counts persist across them). Payload = every admitted doc; DuckDB
+    // recomputes the cap as a rank filter; verdict = full-outer
+    // equality vs the batch WindowGroupLimit twin.
+    "t30_live_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "t30_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = t(s, dir, "documents").select($"lang",
+        $"source".as("domain"), $"doc_id".cast("long").as("doc_id"))
+      for (i <- 0 until 3)
+        docs.filter(pmod(hash($"domain"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
+          .as[Streams.DomainDoc]
+        Streams.runAvailableNow(
+          Streams.domainCapStream(in, 3L).toDF(), out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out).select($"lang", $"domain", $"doc_id")
+      val wCap = Window.partitionBy($"lang", $"domain").orderBy($"doc_id")
+      val batch = docs.withColumn("__rn", row_number().over(wCap))
+        .filter($"__rn" <= 3).select($"lang", $"domain",
+          $"doc_id".as("__id_b"))
+      val eq = live.withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1))
+            .withColumnRenamed("__id_b", "doc_id"),
+          Seq("lang", "domain", "doc_id"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"lang", $"domain", $"doc_id",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // O18: LIVE DIM REFRESH in the gate (round 12) — the per-batch
+    // dim-re-read runner (Streams.runRefreshedAvailableNow +
+    // enrichWithDim): the static side of a stream-static enrichment is
+    // re-CREATED from its path for every micro-batch, so a dimension
+    // table rewritten BETWEEN batches is seen live — the semantics a
+    // plain file-backed broadcast join cannot give (its
+    // InMemoryFileIndex freezes the listing; see enrichWithDim's
+    // Scaladoc). The gate drives exactly that scenario: wave 1 of facts
+    // (even orderkeys) enriches against dim v1, then the dim directory
+    // is OVERWRITTEN with v2 (names prefixed "v2_") and wave 2 (odd
+    // orderkeys) streams through the same checkpoint — so each row's
+    // enriched name proves which dim version its batch read. DuckDB
+    // recomputes the expected union with a parity CASE; verdict =
+    // full-outer equality vs the batch CASE twin. Each batch writes its
+    // own batch_id=<n> partition (exactly-once under replay).
+    "o18_live_dim_refresh" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "o18_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val dimPath = s"$tmp/dim"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val facts = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey".as("c_custkey"))
+      val dimV1 = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      facts.filter($"o_orderkey" % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      dimV1.write.mode("overwrite").parquet(dimPath)
+      val schema = s.read.parquet(src).schema
+      def run(): Unit = Streams.runRefreshedAvailableNow(
+        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 100000),
+        () => s.read.parquet(dimPath),
+        (batch, dim) => Streams.enrichWithDim(batch, dim, Seq("c_custkey")),
+        out, ckpt)
+      run() // wave 1 enriches against dim v1
+      dimV1.select($"c_custkey", concat(lit("v2_"), $"c_name").as("c_name"))
+        .write.mode("overwrite").parquet(dimPath)
+      facts.filter($"o_orderkey" % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      run() // wave 2's batch re-reads the dim: sees v2
+      val live = s.read.parquet(out)
+        .select($"o_orderkey", $"c_custkey", $"c_name")
+      val batch = facts.join(
+          t(s, dir, "customer").select($"c_custkey", $"c_name"),
+          Seq("c_custkey"))
+        .select($"o_orderkey", $"c_custkey",
+          when($"o_orderkey" % 2 === 0, $"c_name")
+            .otherwise(concat(lit("v2_"), $"c_name")).as("__name_b"))
+      val eq = live.select($"o_orderkey", $"c_name".as("__name_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.select($"o_orderkey", $"__name_b")
+            .withColumn("__b", lit(1)),
+          Seq("o_orderkey"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__name_l" === $"__name_b", 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"o_orderkey", $"c_custkey", $"c_name",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("dim_refresh_seen"))
+    }),
+
+    // W22: LIVE DATA-CONTRACT MONITOR in the gate (round 12) — the
+    // streaming twin of k9's Quality.expect (Streams.contractStream):
+    // the three scalar dbt-vocabulary rules ride ONE streaming global
+    // aggregate in Complete mode, so the final emission is the RUNNING
+    // report over everything ingested — which, after a full drain, must
+    // equal the batch expect over the same rows exactly (every counter
+    // is an algebraic integer sum, so streaming state merges are exact
+    // regardless of how the two source files batch). DuckDB recomputes
+    // each counter independently (k9's scalar blocks); verdict =
+    // per-rule equality vs batch Quality.expect.
+    "w22_live_contract_monitor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      import graft.functions.Quality
+      val tmp = TrainingQueries.Scratch.dir(s, "w22_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      li.repartition(2).write.mode("overwrite").parquet(src)
+      val rules: Seq[Quality.Rule] = Seq(
+        Quality.NotNull("l_orderkey"),
+        Quality.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+        Quality.InRange("l_quantity", 1, 50))
+      val schema = s.read.parquet(src).schema
+      s.catalog.dropTempView("w22_contract_live")
+      val q = Streams.contractStream(
+          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1), rules)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("w22_contract_live")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val live = s.table("w22_contract_live")
+        .select($"rule", $"n_checked", $"n_violations", $"passed")
+      val batch = Quality.expect(li, rules)
+        .select($"rule", $"n_checked".as("__nc_b"),
+          $"n_violations".as("__nv_b"))
+      val eq = live.select($"rule", $"n_checked".as("__nc_l"),
+          $"n_violations".as("__nv_l")).withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)), Seq("rule"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__nc_l" === $"__nc_b" &&
+            $"__nv_l" === $"__nv_b", 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"rule", $"n_checked", $"n_violations", $"passed",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // O19: LIVE INGEST GUARD in the gate (round 12) — the per-batch
+    // anti-join against the existing corpus (Streams.excludeKnown): the
+    // live tail redelivers the WHOLE corpus, the known set is the first
+    // half by doc_id, and only the novel half may reach the sink. The
+    // guard is stateless per batch (the known side broadcasts into
+    // every micro-batch), so the result is batching-invariant by
+    // construction — the gate streams two files to prove the guard
+    // re-applies per batch. DuckDB recomputes the surviving half
+    // directly; verdict = full-outer equality vs the batch anti-join.
+    "o19_live_exclude_known" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "o19_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"lang", $"source")
+      docs.repartition(2).write.mode("overwrite").parquet(src)
+      val maxId = docs.agg(max($"doc_id")).as[Long].first()
+      val known = docs.filter($"doc_id" * 2 <= maxId)
+      val schema = s.read.parquet(src).schema
+      Streams.runAvailableNow(
+        Streams.excludeKnown(
+          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+          known, Seq("doc_id")),
+        out, ckpt)
+      val live = s.read.parquet(out).select($"doc_id", $"lang", $"source")
+      val batch = docs.filter($"doc_id" * 2 > maxId)
+        .select($"doc_id".as("__id_b"))
+      val eq = live.select($"doc_id").withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          $"doc_id" === $"__id_b", "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"doc_id", $"lang", $"source",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // O20: LIVE EXACTLY-ONCE DEDUP in the gate (round 12) — the
+    // watermark-bounded streaming dedup (Streams.dedupStream /
+    // dropDuplicates): the source delivers the ENTIRE events table
+    // TWICE (two identical files — the at-least-once upstream scenario
+    // the operator exists for), and the sink must see every event
+    // exactly once. The watermark delay (800 h) exceeds the corpus
+    // span so no dedup key is evicted between the two deliveries —
+    // which is precisely the state-retention contract: a redelivery
+    // inside the horizon drops, and the emitted set equals the
+    // distinct corpus no matter how the files batch (first-seen wins;
+    // every column of both copies is identical, so the winner is
+    // indistinguishable). DuckDB recomputes the expected set as the
+    // plain table; verdict = full-outer equality vs the batch
+    // distinct.
+    "o20_live_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "o20_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"event_id", $"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        $"event_type")
+      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
+      ev.coalesce(1).write.mode("append").parquet(src) // delivery 2
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        Streams.runAvailableNow(
+          Streams.dedupStream(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            "ts", Seq("event_id"), watermark = "800 hours"),
+          out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out).select($"event_id", $"user_id",
+        unix_millis($"ts").as("ts_ms"), $"event_type")
+      val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
+      val eq = live.select($"event_id").withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          $"event_id" === $"__id_b", "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"event_id", $"user_id", $"ts_ms", $"event_type",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
+    // T31: LIVE DRIFT MONITOR in the gate (round 12) — the per-batch
+    // PSI scorer (Streams.runDriftMonitorAvailableNow): every
+    // micro-batch is scored against the reference snapshot with
+    // Stats.psiByCategory and writes its own per-category report — the
+    // ingestion-gate semantics ("is the batch that just landed
+    // off-mix?"), distinct from t24's one-shot corpus drift. The
+    // source is two shards (doc_id%4==1 and ==3, one file each, one
+    // per batch) scored against the even-doc reference; which shard
+    // becomes batch 0 depends on file listing order, so the payload
+    // DROPS batch_id and compares the two reports as a multiset —
+    // order-invariant by construction. DuckDB recomputes both reports
+    // independently (the t24 formula per shard); verdict = multiset
+    // equality vs the batch psiByCategory run per shard (bit-identical
+    // doubles: same longs through the same arithmetic).
+    "t31_live_drift_monitor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      import graft.functions.Stats
+      val tmp = TrainingQueries.Scratch.dir(s, "t31_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val refPath = s"$tmp/ref"
+      val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"lang")
+      val ref = docs.filter($"doc_id" % 2 === 0)
+      ref.write.mode("overwrite").parquet(refPath)
+      docs.filter($"doc_id" % 4 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      docs.filter($"doc_id" % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      Streams.runDriftMonitorAvailableNow(
+        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+        () => s.read.parquet(refPath), "lang", out, ckpt)
+      def shape(df: DataFrame): DataFrame =
+        df.select($"lang", $"n_ref", $"n_cand",
+          round($"share_ref", 6).as("share_ref"),
+          round($"share_cand", 6).as("share_cand"),
+          round($"psi_contrib", 8).as("psi_contrib"))
+      val live = shape(s.read.parquet(out))
+      val batchBoth = shape(Stats.psiByCategory(ref,
+          docs.filter($"doc_id" % 4 === 1), "lang"))
+        .union(shape(Stats.psiByCategory(ref,
+          docs.filter($"doc_id" % 4 === 3), "lang")))
+      val keyCols = Seq("lang", "n_ref", "n_cand", "share_ref",
+        "share_cand", "psi_contrib")
+      val lg = live.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__nl"))
+      val bg = batchBoth.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__nb"))
+      val eq = lg.join(bg, keyCols, "full")
+        .agg((count(when($"__nl".isNull || $"__nb".isNull ||
+          $"__nl" =!= $"__nb", 1)) === 0).as("__ok"))
+      live.crossJoin(broadcast(eq))
+        .select($"lang", $"n_ref", $"n_cand", $"share_ref",
+          $"share_cand", $"psi_contrib",
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // O17: LIVE CDC SNAPSHOT in the gate (round 12, r11 verdict "do
@@ -1283,6 +1991,168 @@ object AnalyticsQueries {
                 round(sum(value), 4) AS total_value,
                 true AS streaming_equals_batch
          FROM s GROUP BY user_id, sid""",
+    "w20_live_windowed_counts" ->
+      """SELECT (epoch_ns(ts) // 1000000) // 3600000 * 3600000 AS window_start_ms,
+                event_type, count(*) AS n_events,
+                round(sum(coalesce(value, 0)), 4) AS total_value,
+                true AS streaming_equals_batch
+         FROM events GROUP BY 1, 2""",
+    "j15_live_interval_join" ->
+      """SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+                (epoch_ns(r.ts) // 1000000) - (epoch_ns(l.ts) // 1000000)
+                  AS lag_ms,
+                true AS streaming_equals_batch
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'view' AND r.event_type = 'purchase'
+          AND (epoch_ns(r.ts) // 1000000) >= (epoch_ns(l.ts) // 1000000)
+          AND (epoch_ns(r.ts) // 1000000)
+              <= (epoch_ns(l.ts) // 1000000) + 1800000""",
+    "t29_live_bottomk_sample" ->
+      """WITH d AS (
+           SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                    AS rn
+           FROM d),
+         n AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_seen
+           FROM d GROUP BY lang),
+         sm AS (
+           SELECT lang,
+                  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+                    AS sample_ids
+           FROM r WHERE rn <= 8 GROUP BY lang)
+         SELECT n.lang, n.n_seen, sm.sample_ids,
+                true AS streaming_equals_batch
+         FROM n JOIN sm USING (lang)""",
+    "c3_seeded_migration" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS BIGINT) AS n_tokens,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')))
+                    AS fingerprint
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS m FROM f),
+         novel AS (
+           SELECT f.* FROM f
+           WHERE fingerprint NOT IN
+             (SELECT DISTINCT fingerprint FROM f, mx WHERE doc_id * 2 <= m))
+         SELECT doc_id, lang, n_tokens, fingerprint,
+                true AS streaming_equals_batch
+         FROM novel
+         QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id) = 1""",
+    "t30_live_domain_cap" ->
+      """SELECT lang, source AS domain, doc_id,
+                true AS streaming_equals_batch
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang, source
+                                    ORDER BY doc_id) <= 3""",
+    // deliberately identical to w19's oracle: two independent stateful
+    // engines (event-time timers vs session_window) against one recompute
+    "w21_live_timer_sessions" ->
+      """WITH o AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
+                  coalesce(value, 0) AS value FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                            OR tms - lag(tms) OVER w > 1800000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sid
+           FROM g)
+         SELECT user_id, min(tms) AS session_start_ms, count(*) AS n_events,
+                round(sum(value), 4) AS total_value,
+                true AS streaming_equals_batch
+         FROM s GROUP BY user_id, sid""",
+    "o18_live_dim_refresh" ->
+      """SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+                CASE WHEN o.o_orderkey % 2 = 0 THEN c.c_name
+                     ELSE 'v2_' || c.c_name END AS c_name,
+                true AS dim_refresh_seen
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "w22_live_contract_monitor" ->
+      """SELECT 'not_null(l_orderkey)' AS rule,
+                CAST(count(*) AS BIGINT) AS n_checked,
+                CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+                     AS BIGINT) AS n_violations,
+                count(CASE WHEN l_orderkey IS NULL THEN 1 END) = 0 AS passed,
+                true AS streaming_equals_batch
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values(l_returnflag)',
+                CAST(count(l_returnflag) AS BIGINT),
+                CAST(count(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A','N','R') THEN 1 END)
+                     AS BIGINT),
+                count(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A','N','R') THEN 1 END) = 0,
+                true
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_range(l_quantity)',
+                CAST(count(l_quantity) AS BIGINT),
+                CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 END) AS BIGINT),
+                count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                  THEN 1 END) = 0,
+                true
+         FROM lineitem""",
+    "o19_live_exclude_known" ->
+      """SELECT doc_id, lang, source, true AS streaming_equals_batch
+         FROM documents
+         WHERE doc_id * 2 > (SELECT max(doc_id) FROM documents)""",
+    "o20_live_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                event_type, true AS streaming_equals_batch
+         FROM events""",
+    "t31_live_drift_monitor" ->
+      """WITH ref AS (SELECT lang, count(*) AS n_ref FROM documents
+                      WHERE doc_id % 2 = 0 GROUP BY lang),
+         c1 AS (SELECT lang, count(*) AS n_cand FROM documents
+                WHERE doc_id % 4 = 1 GROUP BY lang),
+         c3 AS (SELECT lang, count(*) AS n_cand FROM documents
+                WHERE doc_id % 4 = 3 GROUP BY lang),
+         j1 AS (SELECT coalesce(r.lang, c.lang) AS lang,
+                       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand
+                FROM ref r FULL JOIN c1 c ON r.lang IS NOT DISTINCT FROM c.lang),
+         t1 AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                       CAST(sum(n_cand) AS DOUBLE) AS tc,
+                       CAST(count(*) AS DOUBLE) AS k FROM j1),
+         j3 AS (SELECT coalesce(r.lang, c.lang) AS lang,
+                       CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                       CAST(coalesce(n_cand, 0) AS BIGINT) AS n_cand
+                FROM ref r FULL JOIN c3 c ON r.lang IS NOT DISTINCT FROM c.lang),
+         t3 AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                       CAST(sum(n_cand) AS DOUBLE) AS tc,
+                       CAST(count(*) AS DOUBLE) AS k FROM j3)
+         SELECT lang, n_ref, n_cand,
+                round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS share_ref,
+                round((n_cand + 0.5) / (tc + 0.5 * k), 6) AS share_cand,
+                round(((n_cand + 0.5) / (tc + 0.5 * k) - (n_ref + 0.5) / (tr + 0.5 * k))
+                      * ln(((n_cand + 0.5) / (tc + 0.5 * k)) / ((n_ref + 0.5) / (tr + 0.5 * k))), 8)
+                  AS psi_contrib,
+                true AS streaming_equals_batch
+         FROM j1, t1
+         UNION ALL
+         SELECT lang, n_ref, n_cand,
+                round((n_ref + 0.5) / (tr + 0.5 * k), 6),
+                round((n_cand + 0.5) / (tc + 0.5 * k), 6),
+                round(((n_cand + 0.5) / (tc + 0.5 * k) - (n_ref + 0.5) / (tr + 0.5 * k))
+                      * ln(((n_cand + 0.5) / (tc + 0.5 * k)) / ((n_ref + 0.5) / (tr + 0.5 * k))), 8),
+                true
+         FROM j3, t3""",
     "a22_retention_cohorts" ->
       """WITH e AS (
            SELECT user_id, event_type,
