@@ -780,13 +780,18 @@ object AnalyticsQueries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val joined = Streams.intervalJoin(
+        // the BUCKETED form is the one the gate runs: the plain
+        // intervalJoin's per-key state probe is quadratic on a hot key
+        // (skew-sf1's Zipf user pinned one task for 30+ min — see
+        // intervalJoinBucketed's Scaladoc); bucketing by 30-min windows
+        // bounds the probe and the result set is IDENTICAL (same oracle)
+        val joined = Streams.intervalJoinBucketed(
           Streams.parquetStream(s, srcL, s.read.parquet(srcL).schema,
             maxFilesPerTrigger = 1),
           Streams.parquetStream(s, srcR, s.read.parquet(srcR).schema,
             maxFilesPerTrigger = 1),
-          "user_id", "ts", before = "0 seconds", after = "30 minutes",
-          watermark = "800 hours")
+          "user_id", "ts", beforeMs = 0L, afterMs = 1800000L,
+          bucketMs = 1800000L, watermark = "800 hours")
         Streams.runAvailableNow(
           joined.select($"user_id", $"event_id".as("view_id"),
             $"r_event_id".as("purchase_id"),
@@ -1137,13 +1142,16 @@ object AnalyticsQueries {
       }
       val live = s.read.parquet(out).select($"lang", $"domain", $"doc_id")
       val wCap = Window.partitionBy($"lang", $"domain").orderBy($"doc_id")
+      // the verdict join must be NULL-SAFE on domain (<=>): a plain
+      // equi-join drops null-domain rows from both sides and the verdict
+      // would report a phantom mismatch (round-12 null campaign)
       val batch = docs.withColumn("__rn", row_number().over(wCap))
-        .filter($"__rn" <= 3).select($"lang", $"domain",
-          $"doc_id".as("__id_b"))
+        .filter($"__rn" <= 3).select($"lang".as("__lang_b"),
+          $"domain".as("__dom_b"), $"doc_id".as("__id_b"))
       val eq = live.withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1))
-            .withColumnRenamed("__id_b", "doc_id"),
-          Seq("lang", "domain", "doc_id"), "full")
+        .join(batch.withColumn("__b", lit(1)),
+          $"lang" === $"__lang_b" && $"domain" <=> $"__dom_b" &&
+            $"doc_id" === $"__id_b", "full")
         .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
           count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
       live.crossJoin(broadcast(eq))

@@ -499,7 +499,13 @@ object ExprQueries {
     // so float accumulation order is deterministic cross-engine.
     "e12_array_ops" -> ((s, dir) => {
       import s.implicits._
+      // observed values only: Spark's collect_list DROPS null elements while
+      // DuckDB's list() KEEPS them, so the null filter must be explicit on
+      // both sides — and an order whose every quantity is null produces no
+      // row at all (element_at(…, 1) on the empty array throws; surfaced by
+      // the round-12 null-corpus campaign)
       t(s, dir, "lineitem")
+        .filter($"l_quantity".isNotNull)
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_list($"l_quantity")).as("qtys"))
         .select($"l_orderkey",
@@ -525,7 +531,10 @@ object ExprQueries {
     // verdicts are functions of it.
     "a5_spline_eval" -> ((s, dir) => {
       import s.implicits._
+      // an observation with no x cannot be a knot (null-corpus campaign:
+      // a null quantity group made xs carry null and killed the solver)
       val knots = t(s, dir, "lineitem")
+        .filter($"l_quantity".isNotNull)
         .groupBy($"l_returnflag", $"l_quantity".cast("int").as("x"))
         .agg(avg($"l_extendedprice").as("y"))
         .groupBy($"l_returnflag")
@@ -555,6 +564,7 @@ object ExprQueries {
                 round(avg(l_extendedprice), 6) AS y,
                 true AS at_knot_ok, true AS finite_on_grid
          FROM lineitem
+         WHERE l_quantity IS NOT NULL
          GROUP BY l_returnflag, CAST(l_quantity AS INT)""",
     "p1_project_filter_isin" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
@@ -774,7 +784,7 @@ object ExprQueries {
     "e12_array_ops" ->
       """WITH g AS (
            SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
-           FROM lineitem GROUP BY l_orderkey)
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_orderkey)
          SELECT l_orderkey,
                 CAST(len(qtys) AS BIGINT) AS n_items,
                 CAST(len(list_filter(qtys, q -> q > 25)) AS BIGINT) AS n_big,

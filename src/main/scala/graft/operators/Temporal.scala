@@ -48,11 +48,20 @@ object Temporal {
       .orderBy(col("__ts").asc +: col("__side").asc +:
         valueCols.map(c => col(s"__v_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(
-        unioned.withColumn("__match_ts",
-          last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))) {
-      (d, c) => d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    // Carry the matched ROW as a struct, not each value column separately:
+    // a per-column last(ignoreNulls) would skip a right row whose value IS
+    // null and silently substitute an OLDER row's value — conflating "no
+    // match yet" with "matched row carries null" (surfaced by the round-12
+    // null-corpus campaign: j10/j14 returned a previous purchase's value
+    // where the true latest purchase had value NULL). The struct is
+    // non-null whenever ANY right row preceded, so the fill tracks row
+    // presence; its fields stay exactly the matched row's values.
+    val rowStruct = when(col("__side") === 0,
+      struct(valueCols.map(c => col(s"__v_$c").as(c)): _*))
+    val filled = unioned
+      .withColumn("__match_ts",
+        last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__vrow", last(rowStruct, ignoreNulls = true).over(w))
     val withinTol = tolerance match {
       case Some(t) => col("__match_ts").isNotNull && (col("__ts") - col("__match_ts")) <= t
       case None    => col("__match_ts").isNotNull
@@ -61,7 +70,7 @@ object Temporal {
       .filter(col("__side") === 1)
       .select(
         leftCols.map(col) ++
-          valueCols.map(c => when(withinTol, col(s"__v_$c")).as(c)) :+
+          valueCols.map(c => when(withinTol, col("__vrow").getField(c)).as(c)) :+
           when(withinTol, col("__match_ts")).as("asof_match_ts"): _*)
   }
 

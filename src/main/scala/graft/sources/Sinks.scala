@@ -121,6 +121,33 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Row-group-BOUNDED parquet write — the scan-parallelism and
+    * skew-defense insurance the round-12 skew audit showed is part of a
+    * table's layout contract (PLANS.md §"The skew campaign"): AQE's
+    * skew-join splitter cuts a hot shuffle partition along MAP
+    * boundaries, and a file written as ONE giant row group yields
+    * byte-range scan splits of which only one contains any rows — the
+    * skew becomes invisible to AQE (observed in the audit:
+    * 10 of 11 splits read zero rows and `createSkewPartitionSpecs`
+    * silently declined on a 6.1x-skewed partition). Bounding
+    * `parquet.block.size` caps each row group's extent so every
+    * `maxPartitionBytes`-sized split maps to at least one real row
+    * group — restoring intra-file scan parallelism AND AQE's map
+    * granularity. The knob is per-write (a parquet writer option, not a
+    * session flip), so hot fact tables opt in without touching dim
+    * writes; `saltedJoin` stays the defense that needs no layout help.
+    */
+  def writeRowGroupBounded(df: DataFrame, path: String,
+                           rowGroupBytes: Long = 8L * 1024 * 1024,
+                           partitionCols: Seq[String] = Nil): Unit = {
+    require(rowGroupBytes >= 1L * 1024 * 1024,
+      "row groups below 1 MiB make footer/page overhead dominate the scan")
+    val w = df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
   /** Z-ORDERED table layout — multi-dimensional skipping, the lakehouse
     * technique [[writeRangeSorted]] cannot provide: a single-key sort
     * gives file-skipping power on that key ONLY (every file still spans

@@ -214,6 +214,46 @@ object Streams {
       col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $after"))
   }
 
+  /** [[intervalJoin]] with TIME-BUCKETED composite keys — the hot-key
+    * defense the plain form cannot give. Spark's symmetric-hash
+    * stream-stream join keeps per-key state with NO range index: every
+    * arriving row is checked against ALL buffered opposite-side rows of
+    * its key, so a Zipf-hot key degrades quadratically — measured in the
+    * round-12 skew campaign, the skew-sf1 hot user (~16% of 1M events)
+    * pinned one task at 100% CPU for 30+ minutes while the uniform
+    * corpus finished in seconds. Salting doesn't work here (a pair's two
+    * rows must land in the same group), but TIME does: with bucket width
+    * `W >= max(before, after)`, a qualifying pair is at most one bucket
+    * apart, so joining on (key, bucket) with the right side exploded
+    * into its three adjacent buckets finds every pair EXACTLY ONCE
+    * (unique copy with matching bucket) while bounding per-group state
+    * to ~3 bucket-widths of the hot key's rows — probes go from
+    * O(state²) to O(state × rows-per-bucket). 3x right-side state is
+    * the price; the range residual still prunes to the true window, and
+    * watermark eviction works unchanged (the time-range condition on
+    * the watermarked columns is still present).
+    */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame,
+                           keyCol: String, tsCol: String,
+                           beforeMs: Long, afterMs: Long, bucketMs: Long,
+                           watermark: String = "1 hour"): DataFrame = {
+    require(bucketMs >= math.max(beforeMs, afterMs),
+      "bucket width must cover the larger range bound, or pairs span >1 bucket")
+    require(beforeMs >= 0 && afterMs >= 0, "range bounds must be non-negative")
+    val l = left.withWatermark(tsCol, watermark)
+      .withColumn("__bk", floor(unix_millis(col(tsCol)) / bucketMs))
+    val r0 = right.columns.foldLeft(right) { (df, c) => df.withColumnRenamed(c, s"r_$c") }
+    val r = r0.withWatermark(s"r_$tsCol", watermark)
+      .withColumn("__rbk", explode(array((-1 to 1).map(d =>
+        floor(unix_millis(col(s"r_$tsCol")) / bucketMs) + d): _*)))
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+      col("__bk") === col("__rbk") &&
+      col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $beforeMs milliseconds") &&
+      col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $afterMs milliseconds"))
+      .drop("__bk", "__rbk")
+  }
+
   /** Streaming dedup for duplicates that arrive CLOSE TO EACH OTHER but
     * with different (or re-stamped) event times — the case
     * [[dedupStream]]'s exact-key dedup misses, because it keys on
@@ -604,8 +644,13 @@ object Streams {
                                  tv: org.apache.spark.sql.streaming.TimerValues
                                 ): Iterator[DomainDoc] =
       rows.toSeq.sortBy(_.doc_id).iterator.filter { d =>
-        val c = if (counts.containsKey(d.domain)) counts.getValue(d.domain) else 0L
-        if (c < cap) { counts.updateValue(d.domain, c + 1); true }
+        // a NULL domain is ITS OWN capped group (matching the batch
+        // WindowGroupLimit twin, where null sources group together), but
+        // the state store rejects null map keys — encode it as a sentinel
+        // no real domain string can collide with (round-12 null campaign)
+        val k = if (d.domain == null) " <null-domain>" else d.domain
+        val c = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        if (c < cap) { counts.updateValue(k, c + 1); true }
         else false
       }
   }

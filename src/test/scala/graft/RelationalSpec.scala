@@ -161,6 +161,34 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("writeRowGroupBounded: bounded row groups vs the one-giant-group default") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dirB = java.nio.file.Files.createTempDirectory("graft_rgb").toString
+    val dirD = java.nio.file.Files.createTempDirectory("graft_rgd").toString
+    // ~12 MB uncompressed in ONE file: the layout the skew audit showed
+    // blinds AQE's skew splitter (all rows in one row group => byte-range
+    // map splits carry no cut points)
+    val big = spark.range(0L, 300000L).select($"id",
+      concat(lit("payload_"), md5($"id".cast("string"))).as("s")).coalesce(1)
+    Sinks.writeRowGroupBounded(big, dirB, rowGroupBytes = 1L * 1024 * 1024)
+    big.write.mode("overwrite").parquet(dirD)
+    def groupsPerFile(dir: String): Seq[Int] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try r.getFooter.getBlocks.size finally r.close()
+        }
+    }
+    assert(groupsPerFile(dirD).forall(_ == 1),
+      "default 128 MB block size leaves this file as one giant row group")
+    assert(groupsPerFile(dirB).exists(_ >= 4),
+      "bounded write must split the same data into many row groups")
+    assert(spark.read.parquet(dirB).count() == 300000L, "rows intact")
+  }
+
   test("compactTo: many small files collapse to one per partition, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val src = s"$dir/src"; val dst = s"$dir/dst"

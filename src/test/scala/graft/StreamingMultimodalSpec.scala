@@ -669,6 +669,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 9.99, 3L -> 7.5), s"got $got")
   }
 
+  test("intervalJoinBucketed finds exactly the plain intervalJoin's pairs, incl. cross-bucket") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssjoinbk").toString
+    val clickSrc = s"$tmp/clicks"; val buySrc = s"$tmp/buys"
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1's pair straddles a 10-min bucket boundary (09:59 → 10:01):
+    // found only via the right row's adjacent-bucket copy; user 4's pair
+    // sits inside one bucket; each pair must appear EXACTLY once (the
+    // one right copy whose bucket matches the left row's)
+    Seq((1L, ts("2024-01-01 09:59:00")),
+        (2L, ts("2024-01-01 10:00:00")),
+        (4L, ts("2024-01-01 10:11:00")))
+      .toDF("user_id", "ts").write.parquet(clickSrc)
+    Seq((1L, ts("2024-01-01 10:01:00"), 9.99),  // +2 min, next bucket
+        (2L, ts("2024-01-01 11:00:00"), 5.00),  // 1 h later — out of window
+        (4L, ts("2024-01-01 10:15:00"), 7.50))  // +4 min, same bucket
+      .toDF("user_id", "ts", "value").write.parquet(buySrc)
+    val clicks = Streams.parquetStream(spark, clickSrc, spark.read.parquet(clickSrc).schema)
+    val buys = Streams.parquetStream(spark, buySrc, spark.read.parquet(buySrc).schema)
+    val joined = Streams.intervalJoinBucketed(clicks, buys, "user_id", "ts",
+        beforeMs = 0L, afterMs = 10L * 60 * 1000, bucketMs = 10L * 60 * 1000)
+      .select($"user_id", $"r_value")
+    Streams.runAvailableNow(joined, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 2, s"each pair exactly once, got ${got.mkString(",")}")
+    assert(got.toMap == Map(1L -> 9.99, 4L -> 7.5), s"got ${got.mkString(",")}")
+  }
+
   test("dedupWithinWatermark drops re-stamped duplicates that exact dedup keeps") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedupwm").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"

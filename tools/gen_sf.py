@@ -44,6 +44,26 @@ every query stays hash-checkable; what changes is which CODE PATHS fire:
     source 'src0' 40% (domain-cap pressure).
 
     python3 tools/gen_sf.py 0.1 /root/repo/testdata_skew0.1 --skew
+
+--nulls: NULL-PLANTED variant (round-12 campaign, composable with
+--skew). The driver corpus carries ZERO nulls in any column of any
+table (verified column-by-column), so every null-handling path in the
+engine — coalesce fills, count(col) vs count(*), null group keys, the
+null-safe PSI join, aggregate null-skipping, JSON-path-on-null — has
+only ever fired on nulls the queries themselves derive. This knob
+plants nulls in MEASURE/ATTRIBUTE columns (never in keys, timestamps,
+ids, or text — those are legitimate non-null contracts the operators
+require and the specs pin):
+
+  - events.value 8% NULL, events.props 5% NULL;
+  - customer.c_acctbal / supplier.s_acctbal 5% NULL;
+  - lineitem.l_quantity 2%, l_tax 3% NULL (k9's InRange n_checked is
+    count(col), so planted nulls exercise the checked-vs-total split);
+  - orders.o_orderpriority 3% NULL (null GROUP KEYS through agg/pivot);
+  - documents.source 2% NULL (null category through the PSI null-safe
+    join, the domain cap's MapState, sampling strata).
+
+    python3 tools/gen_sf.py 0.1 /root/repo/testdata_nulls0.1 --nulls
 """
 import sys
 import numpy as np
@@ -51,13 +71,23 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 skew = "--skew" in sys.argv
-argv = [a for a in sys.argv if a != "--skew"]
+nulls = "--nulls" in sys.argv
+argv = [a for a in sys.argv if a not in ("--skew", "--nulls")]
 sf = float(argv[1]) if len(argv) > 1 else 1.0
 out = argv[2] if len(argv) > 2 else (
-    f"/root/repo/testdata_{'skew' if skew else 'sf'}{sf:g}")
+    f"/root/repo/testdata_{'skew' if skew else ('nulls' if nulls else 'sf')}{sf:g}")
 import os
 os.makedirs(out, exist_ok=True)
 rng = np.random.default_rng(42)
+
+def null_mask(values, frac, pa_type=None):
+    """pyarrow array with `frac` of entries nulled (no-op without --nulls)."""
+    if not nulls:
+        return values if isinstance(values, pa.Array) else pa.array(values, pa_type)
+    m = rng.random(len(values)) < frac
+    vals = [None if m[i] else v for i, v in enumerate(
+        values.to_pylist() if isinstance(values, pa.Array) else list(values))]
+    return pa.array(vals, pa_type)
 
 def hot_mix(n, n_keys, hot_key, hot_frac):
     """Uniform keys with a planted fraction on one hot key."""
@@ -86,7 +116,8 @@ write("customer", pa.table({
     "c_custkey": pa.array(range(n_cust), pa.int64()),
     "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
     "c_nationkey": pa.array(rng.integers(0, n_nation, n_cust), pa.int32()),
-    "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+    "c_acctbal": null_mask(np.round(rng.uniform(-1000, 10000, n_cust), 2),
+                           0.05, pa.float64()),
     "c_mktsegment": np.array(["MACHINERY", "AUTOMOBILE", "HOUSEHOLD",
                               "BUILDING", "FURNITURE"])[rng.integers(0, 5, n_cust)]}))
 
@@ -95,7 +126,8 @@ write("supplier", pa.table({
     "s_suppkey": pa.array(range(n_supp), pa.int64()),
     "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
     "s_nationkey": pa.array(rng.integers(0, n_nation, n_supp), pa.int32()),
-    "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2)}))
+    "s_acctbal": null_mask(np.round(rng.uniform(-1000, 10000, n_supp), 2),
+                           0.05, pa.float64())}))
 
 n_part = int(200_000 * sf)
 ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
@@ -125,8 +157,10 @@ write("orders", pa.table({
     "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
     "o_orderdate": pa.array(o_lo + rng.integers(0, o_days + 1, n_ord) * DAY_US,
                             pa.timestamp("us")),
-    "o_orderpriority": np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
-                                 "4-NOT SPECIFIED", "5-LOW"])[rng.integers(0, 5, n_ord)]}))
+    "o_orderpriority": null_mask(
+        np.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                  "4-NOT SPECIFIED", "5-LOW"])[rng.integers(0, 5, n_ord)],
+        0.03, pa.string())}))
 
 n_li = int(6_000_000 * sf)
 s_lo = np.datetime64("1995-01-02").astype("datetime64[us]").astype(np.int64)
@@ -139,10 +173,11 @@ write("lineitem", pa.table({
     "l_suppkey": pa.array(hot_mix(n_li, n_supp, 7, 0.15) if skew
                           else rng.integers(0, n_supp, n_li), pa.int64()),
     "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
-    "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+    "l_quantity": null_mask(rng.integers(1, 51, n_li).astype(np.float64),
+                            0.02, pa.float64()),
     "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
     "l_discount": rng.integers(0, 11, n_li) / 100.0,
-    "l_tax": rng.integers(0, 9, n_li) / 100.0,
+    "l_tax": null_mask(rng.integers(0, 9, n_li) / 100.0, 0.03, pa.float64()),
     "l_returnflag": np.array(["N", "R", "A"])[rng.integers(0, 3, n_li)],
     "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
     "l_shipdate": pa.array(s_lo + rng.integers(0, s_days + 1, n_li) * DAY_US,
@@ -164,8 +199,10 @@ write("events", pa.table({
         if skew else rng.integers(0, n_users, n_ev), pa.int64()),
     "event_type": np.array(["view", "click", "purchase", "signup",
                             "error"])[rng.integers(0, 5, n_ev)],
-    "value": np.round(rng.exponential(50.0, n_ev), 2),
-    "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]}))
+    "value": null_mask(np.round(rng.exponential(50.0, n_ev), 2),
+                       0.08, pa.float64()),
+    "props": null_mask([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
+                       0.05, pa.string())}))
 
 # ---- documents ------------------------------------------------------------
 n_doc = max(500, int(50_000 * sf))
@@ -193,7 +230,7 @@ write("documents", pa.table({
     "doc_id": pa.array(range(n_doc), pa.int64()),
     "text": texts,
     "lang": langs,
-    "source": sources,
+    "source": null_mask(sources, 0.02, pa.string()),
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
 
 # ---- embeddings -----------------------------------------------------------
