@@ -1437,6 +1437,64 @@ object AnalyticsQueries {
           $"__ok".as("streaming_equals_batch"))
     }),
 
+    // O21: LIVE RE-STAMPED-DUPLICATE DEDUP in the gate (round 12) —
+    // dropDuplicatesWithinWatermark (Streams.dedupWithinWatermark), the
+    // case o20's exact-key dedup misses: a redelivered event whose
+    // upstream RE-STAMPED the event time (+2 s here) is a NEW
+    // (key, ts) pair, so only the within-watermark key-only dedup
+    // drops it. WHICH copy wins is genuinely order-dependent (that is
+    // the operator's contract — first arrival), so the payload excludes
+    // the re-stamped ts entirely: the surviving (event_id, user_id,
+    // event_type) set is identical whichever copy won, making the
+    // query deterministic while still proving each key emits exactly
+    // once. Two deliveries, one file each, one per micro-batch — the
+    // duplicate arrives a batch later and must still drop (state
+    // retained: watermark delay exceeds the span + shift). DuckDB
+    // recomputes the expected set as the plain distinct corpus; verdict
+    // = full-outer equality vs the batch distinct.
+    "o21_live_restamped_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "o21_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"event_id", $"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        $"event_type")
+      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
+      ev.withColumn("ts", expr("ts + INTERVAL 2 seconds")) // re-stamped
+        .coalesce(1).write.mode("append").parquet(src)     // delivery 2
+      val schema = s.read.parquet(src).schema
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        Streams.runAvailableNow(
+          Streams.dedupWithinWatermark(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            "ts", Seq("event_id"), watermark = "800 hours"),
+          out, ckpt)
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val live = s.read.parquet(out)
+        .select($"event_id", $"user_id", $"event_type")
+      val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
+      val eq = live.select($"event_id").withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          $"event_id" === $"__id_b", "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"event_id", $"user_id", $"event_type",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
     // O17: LIVE CDC SNAPSHOT in the gate (round 12, r11 verdict "do
     // this" #5) — the third gate-checked streaming path (after w18/c2):
     // Streams.runCdcSnapshotAvailableNow maintains the o14 keyed
@@ -2123,6 +2181,10 @@ object AnalyticsQueries {
     "o20_live_stream_dedup" ->
       """SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
                 event_type, true AS streaming_equals_batch
+         FROM events""",
+    "o21_live_restamped_dedup" ->
+      """SELECT event_id, user_id, event_type,
+                true AS streaming_equals_batch
          FROM events""",
     "t31_live_drift_monitor" ->
       """WITH ref AS (SELECT lang, count(*) AS n_ref FROM documents
