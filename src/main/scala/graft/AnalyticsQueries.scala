@@ -1495,6 +1495,72 @@ object AnalyticsQueries {
             .as("streaming_equals_batch"))
     }),
 
+    // O22: CHECKPOINT RESTART-RESUME in the gate (round 12) — the one
+    // streaming contract no other gate exercises: a NEW query object
+    // started on an EXISTING checkpoint must (a) skip the files the
+    // previous run committed and (b) RESTORE its RocksDB state. The
+    // permanent-state dedup (Streams.dedupIncrementalBy, the d12
+    // streaming twin) runs TWICE against one checkpoint: run 1 ingests
+    // the corpus and stops (availableNow drain == a clean shutdown);
+    // then the WHOLE corpus is redelivered and run 2 — a fresh query,
+    // the restart — must emit ZERO rows: every key is a duplicate, but
+    // only if the first run's state actually came back from the
+    // checkpoint. A lost state store would re-emit all of them (hash
+    // fails on doubled rows); a re-read of run 1's file would do the
+    // same. Driver-side counts after each run pin it explicitly:
+    // n_after_restart == n_after_run1 == |corpus|. This is the
+    // crash-recovery story at ingest scale — state outlives the query
+    // process. DuckDB recomputes the expected set as the plain corpus;
+    // verdict = full-outer equality vs the batch distinct.
+    "o22_live_checkpoint_restart" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "o22_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type")
+      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
+      val schema = s.read.parquet(src).schema
+      def runOnce(): Unit = {
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val stream = Streams.parquetStream(s, src, schema,
+            maxFilesPerTrigger = 1).as[(Long, Long, String)]
+          Streams.runAvailableNow(
+            Streams.dedupIncrementalBy[(Long, Long, String)](
+              stream, _._1.toString, _._1)
+              .toDF("event_id", "user_id", "event_type"),
+            out, ckpt)
+        } finally prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      runOnce() // run 1: fresh state, emits the whole corpus, stops
+      val n1 = s.read.parquet(out).count()
+      ev.coalesce(1).write.mode("append").parquet(src) // redelivery
+      runOnce() // run 2: the RESTART — state must come back
+      val n2 = s.read.parquet(out).count()
+      val live = s.read.parquet(out)
+        .select($"event_id", $"user_id", $"event_type")
+      val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
+      val eq = live.select($"event_id").withColumn("__l", lit(1))
+        .join(batch.withColumn("__b", lit(1)),
+          $"event_id" === $"__id_b", "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"event_id", $"user_id", $"event_type",
+          lit(n2 == n1 && n1 > 0).as("state_survived_restart"),
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
     // O17: LIVE CDC SNAPSHOT in the gate (round 12, r11 verdict "do
     // this" #5) — the third gate-checked streaming path (after w18/c2):
     // Streams.runCdcSnapshotAvailableNow maintains the o14 keyed
@@ -2184,6 +2250,11 @@ object AnalyticsQueries {
          FROM events""",
     "o21_live_restamped_dedup" ->
       """SELECT event_id, user_id, event_type,
+                true AS streaming_equals_batch
+         FROM events""",
+    "o22_live_checkpoint_restart" ->
+      """SELECT event_id, user_id, event_type,
+                true AS state_survived_restart,
                 true AS streaming_equals_batch
          FROM events""",
     "t31_live_drift_monitor" ->

@@ -1852,6 +1852,63 @@ object TrainingQueries {
           $"__nt".as("tombstones_absent"))
     }),
 
+    // S20: LIVE ANN-INDEX INGEST in the gate (round 12) — the STREAMING
+    // twin of s17's batch maintenance: the embedding corpus arrives as
+    // three micro-batches (one file each) and
+    // Streams.runIvfAppendAvailableNow assigns every batch against the
+    // same frozen centroids, writing each under its own
+    // batch_id=<n>/list_id=<m>/ partition tree (replayed batch
+    // overwrites itself — exactly-once without a transaction log).
+    // Verdicts: a probe over the STREAM-BUILT table read from disk ≡ the
+    // single-shot batch-built index (EXACT — assignment is a pure
+    // function of vector and centroids, epsilon only on the rounded
+    // cosine join), and ingest is complete (member rows == corpus rows,
+    // all distinct). Payload = exact brute top-10 on the twin slice
+    // (DuckDB recomputes). The 100 TB shape: live ingest keeps the ANN
+    // index fresh without ever rewriting base files; probes prune
+    // list_id dirs inside every batch dir, so probe I/O stays
+    // ~nProbe/nLists of the ingested total no matter how many batches
+    // built it.
+    "s20_live_index_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val tmp = Scratch.dir(s, "s20_ivf")
+      val src = s"$tmp/src"; val idx = s"$tmp/idx"; val ckpt = s"$tmp/ckpt"
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 1)
+      for (i <- 0 until 3)
+        emb.filter($"vec_id" % 3 === i).coalesce(1)
+          .write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      Streams.runIvfAppendAvailableNow(
+        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+        "vec_id", "embedding", cents, idx, ckpt)
+      val live = s.read.parquet(idx)
+      val probeLive = Similarity.topKIvfPruned(live, "vec_id", "embedding",
+        q, cents, k = 10)
+      val rebuild = Similarity.topKIvfPruned(
+        Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", q, cents, k = 10)
+      val eq = probeLive.select($"vec_id", $"cosine".as("__cl"))
+        .join(rebuild.select($"vec_id", $"cosine".as("__cr")),
+          Seq("vec_id"), "full")
+        .agg((count(when($"__cl".isNull || $"__cr".isNull ||
+          abs($"__cl" - $"__cr") > 2e-6, 1)) === 0).as("__eq"))
+      val complete = live
+        .agg(count(lit(1)).as("__ni"), countDistinct($"vec_id").as("__nd"))
+        .crossJoin(emb.agg(count(lit(1)).as("__ne")))
+        .select(($"__ni" === $"__ne" && $"__nd" === $"__ne").as("__cmp"))
+      val (_, samp) = twinSample(emb, "vec_id")
+      val exact = Similarity.topKBrute(samp, "vec_id", "embedding", q, k = 10)
+      exact.crossJoin(broadcast(eq)).crossJoin(broadcast(complete))
+        .select($"vec_id", $"cosine",
+          $"__eq".as("streamed_equals_rebuild"),
+          $"__cmp".as("ingest_complete"))
+    }),
+
     // K5: the RANGE-SORTED LAYOUT + COMPACTION write path, driver-gated
     // (round-9 verdict #5 — these sinks were spec-only): orders is
     // written via Sinks.writeRangeSorted (repartitionByRange +
@@ -2574,6 +2631,20 @@ object TrainingQueries {
            FROM samp e CROSS JOIN q)
          SELECT vec_id, cosine, true AS incremental_equals_rebuild,
                 true AS tombstones_absent
+         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "s20_live_index_ingest" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+         samp AS (SELECT * FROM embeddings
+                  WHERE (${twinSampleSql("embeddings", "vec_id")})),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+           FROM samp e CROSS JOIN q)
+         SELECT vec_id, cosine, true AS streamed_equals_rebuild,
+                true AS ingest_complete
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "k5_range_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -934,4 +934,38 @@ object Streams {
     runRefreshedAvailableNow(stream, refProvider,
       (batch, ref) => graft.functions.Stats.psiByCategory(ref, batch, catCol),
       outPath, checkpoint)
+
+  /** LIVE ANN-INDEX INGEST: maintain an at-rest IVF member table from a
+    * stream of embedding batches. Each micro-batch is assigned against the
+    * FROZEN `centroids` (the [[graft.functions.Similarity.ivfIndexWith]]
+    * map-side argmax — no shuffle) and written under its own
+    * `batch_id=<n>/list_id=<m>/` partition tree, so a batch replayed after
+    * a crash OVERWRITES itself — exactly-once without a transaction log,
+    * same posture as [[runRefreshedAvailableNow]]. Probes read the root
+    * path: partition discovery surfaces both levels and a
+    * `list_id IN (...)` probe filter ([[graft.functions.Similarity.topKIvfPruned]])
+    * prunes list directories inside every batch directory, so probe I/O
+    * stays proportional to nProbe/nLists of the INGESTED total regardless
+    * of how many batches built it. Assignment is a pure function of
+    * (vector, centroids), so the streamed table equals the batch-built
+    * one exactly — the s20 gate asserts it. At 100 TB the same runner
+    * points at the production member-table root; compaction of
+    * per-batch files into the base layout is [[graft.sources.Sinks.compactTo]]
+    * offline, never blocking ingest. */
+  def runIvfAppendAvailableNow(stream: DataFrame, idCol: String,
+                               vecCol: String, centroids: DataFrame,
+                               path: String, checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.functions.Similarity
+          .ivfIndexWith(batch.toDF(), idCol, vecCol, centroids)
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -345,4 +345,68 @@ class PersistSpec extends SparkSpec {
     assert(disk.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSeq == mem)
     assert(mem.map(_._4) == (1 to mem.size))
   }
+
+  test("streamed IVF ingest: per-batch layout, probe pruned across batch dirs, batch replay idempotent, == batch build") {
+    import graft.streaming.Streams
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 1)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nLists = 8, iters = 1)
+    val root = tmp("s20live")
+    val src = s"$root/src"; val idx = s"$root/idx"; val ckpt = s"$root/ckpt"
+    for (i <- 0 until 3)
+      emb.filter($"vec_id" % 3 === i).coalesce(1)
+        .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Streams.runIvfAppendAvailableNow(
+      Streams.parquetStream(spark, src, schema, maxFilesPerTrigger = 1),
+      "vec_id", "embedding", cents, idx, ckpt)
+    // layout: one batch_id dir per micro-batch, list_id dirs inside
+    val bdirs = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(bdirs.size == 3, s"expected 3 batch dirs, got $bdirs")
+    val inner = new java.io.File(s"$idx/${bdirs.head}").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
+    assert(inner.nonEmpty, "no list_id dirs inside a batch dir")
+    // streamed member assignment == single-shot batch build (exact)
+    val live = spark.read.parquet(idx)
+      .select($"vec_id", $"list_id".cast("int").as("list_id"))
+    val built = Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"list_id")
+    assert(live.count() == built.count() &&
+      live.except(built).isEmpty && built.except(live).isEmpty,
+      "streamed member table diverged from batch build")
+    // crash-replay idempotence: re-materialize batch 1 (same rows, same
+    // frozen centroids) exactly as the foreachBatch body would on replay
+    // -> the member set must be unchanged (overwrite-own-partition)
+    val b1ids = spark.read.parquet(idx).filter($"batch_id" === 1)
+      .select($"vec_id")
+    Similarity.ivfIndexWith(emb.join(b1ids, "vec_id"),
+        "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$idx/batch_id=1")
+    val replayed = spark.read.parquet(idx)
+      .select($"vec_id", $"list_id".cast("int").as("list_id"))
+    assert(replayed.count() == built.count() &&
+      replayed.except(built).isEmpty, "batch replay changed the member set")
+    // probe pruning bites ACROSS batch dirs: nProbe lists touched in each
+    // of the 3 batch trees, never the full (3 x 8) partition matrix
+    val probe = Similarity.topKIvfPruned(spark.read.parquet(idx),
+      "vec_id", "embedding", q, cents, k = 5, nProbe = 3)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+      s"probe scan has no list_id partition filter: ${scan.partitionFilters}")
+    val touched = scan.selectedPartitions.partitionCount
+    assert(touched <= 3 * 3, s"scan listed $touched partitions, expected <= 9")
+    // and the probe result equals the in-memory probe
+    val inMem = Similarity.topKIvfPruned(
+      Similarity.ivfIndexWith(emb, "vec_id", "embedding", cents),
+      "vec_id", "embedding", q, cents, k = 5, nProbe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(probe) == rows(inMem), "streamed-index probe diverged")
+  }
 }

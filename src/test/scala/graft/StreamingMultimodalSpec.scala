@@ -810,6 +810,48 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.getAs[Double]("total_value") == 3.0)
     assert(latest.count() == 2)
   }
+
+  test("checkpoint restart restores permanent dedup state (and a fresh checkpoint provably would not)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.t(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"event_type").limit(500)
+    ev.coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def runOnce(outP: String, ckptP: String): Unit = {
+      val stream = Streams.parquetStream(spark, src, schema,
+        maxFilesPerTrigger = 1).as[(Long, Long, String)]
+      Streams.runAvailableNow(
+        Streams.dedupIncrementalBy[(Long, Long, String)](
+          stream, _._1.toString, _._1)
+          .toDF("event_id", "user_id", "event_type"),
+        outP, ckptP)
+    }
+    runOnce(out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 500L, s"run 1 should emit the whole corpus, got $n1")
+    // the WHOLE corpus redelivered after a clean shutdown
+    ev.coalesce(1).write.mode("append").parquet(src)
+    // run 2 on the SAME checkpoint: a new query object — state must come
+    // back from the checkpoint, so every redelivered key drops
+    runOnce(out, ckpt)
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == n1, s"restart re-emitted: $n1 -> $n2")
+    // the assertion above could pass vacuously if run 2 simply ignored
+    // the new file — pin that it DID consume a new batch (offset log
+    // advanced past run 1's single batch) and still emitted nothing:
+    // that combination is only possible if the dedup state came back
+    val consumed2 = new java.io.File(s"$ckpt/offsets").listFiles().length
+    assert(consumed2 >= 2, s"run 2 consumed no new batch (offsets=$consumed2)")
+    // sanity of the operator under fresh state: same two files, fresh
+    // checkpoint — batch 1 seeds the state, batch 2's redelivery drops
+    // within the same run (cross-BATCH dedup, no restart involved)
+    val out2 = s"$tmp/out2"; val ckpt2 = s"$tmp/ckpt2"
+    runOnce(out2, ckpt2)
+    val nFresh = spark.read.parquet(out2).count()
+    assert(nFresh == n1,
+      s"fresh run should emit each key once (first delivery wins), got $nFresh")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
