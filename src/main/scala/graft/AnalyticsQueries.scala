@@ -526,10 +526,7 @@ object AnalyticsQueries {
         Seq((-1L, java.sql.Timestamp.valueOf(tsStr), "view"))
           .toDF("user_id", "ts", "step").coalesce(1)
           .write.mode("append").parquet(src)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         def run(): Unit = graft.streaming.Streams.runAvailableNow(
           graft.streaming.Streams.funnelTws(
             graft.streaming.Streams.parquetStream(s, src, schema,
@@ -539,9 +536,6 @@ object AnalyticsQueries {
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
         run()
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       // current state per user = the max-n_seen row (each fold advance
       // appends one running row); flush user excluded
@@ -610,10 +604,7 @@ object AnalyticsQueries {
         Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
           .toDF("user_id", "ts", "value").coalesce(1)
           .write.mode("append").parquet(src)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         def run(): Unit = Streams.runAvailableNow(
           Streams.sessionWindowCounts(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
@@ -623,9 +614,6 @@ object AnalyticsQueries {
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
         run() // flush 1 advances the watermark, flush 2's batch seals all
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out).filter($"user_id" =!= -1L)
         .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
@@ -699,10 +687,7 @@ object AnalyticsQueries {
         Seq(("___flush", java.sql.Timestamp.valueOf(tsStr), 0.0))
           .toDF("event_type", "ts", "value").coalesce(1)
           .write.mode("append").parquet(src)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         def run(): Unit = Streams.runAvailableNow(
           Streams.windowedCounts(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
@@ -712,9 +697,6 @@ object AnalyticsQueries {
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
         run() // flush 1 advances the watermark, flush 2's batch seals
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out).filter($"event_type" =!= "___flush")
         .select(unix_millis($"window_start").as("window_start_ms"),
@@ -776,10 +758,7 @@ object AnalyticsQueries {
         .repartition(2).write.mode("overwrite").parquet(srcL)
       ev.filter($"event_type" === "purchase").drop("event_type")
         .repartition(2).write.mode("overwrite").parquet(srcR)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         // the BUCKETED form is the one the gate runs: the plain
         // intervalJoin's per-key state probe is quadratic on a hot key
         // (skew-sf1's Zipf user pinned one task for 30+ min — see
@@ -797,9 +776,6 @@ object AnalyticsQueries {
             $"r_event_id".as("purchase_id"),
             (unix_millis($"r_ts") - unix_millis($"ts")).as("lag_ms")),
           out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out)
       val evB = t(s, dir, "events").select($"user_id", $"event_id",
@@ -851,17 +827,11 @@ object AnalyticsQueries {
       t(s, dir, "documents").select($"lang", $"doc_id")
         .repartition(3).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         val docs = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
           .as[Streams.SampleDoc]
         Streams.runAvailableNow(
           Streams.bottomKSampleStream(docs, 8).toDF(), out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val wLast = Window.partitionBy($"lang").orderBy($"n_seen".desc)
       val live = s.read.parquet(out)
@@ -912,17 +882,11 @@ object AnalyticsQueries {
       t(s, dir, "documents").select($"doc_id", $"text")
         .write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         val kept = Streams.corpusPrepStream(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 100000))
           .as[Streams.FpMeta]
         Streams.runAvailableNow(Streams.corpusPrepTws(kept, 2048L).toDF(), out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val streamed = s.read.parquet(out)
       // batch twin: same stateless front (one implementation), window
@@ -980,10 +944,7 @@ object AnalyticsQueries {
         Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
           .toDF("user_id", "ts", "value").coalesce(1)
           .write.mode("append").parquet(src)
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         def run(): Unit = Streams.runAvailableNow(
           Streams.sessionizeTws(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
@@ -994,9 +955,6 @@ object AnalyticsQueries {
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
         run() // flush batches advance the watermark; timers fire
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out).filter($"user_id" =!= -1L)
         .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
@@ -1068,17 +1026,11 @@ object AnalyticsQueries {
         meta.filter(pmod(hash($"fingerprint"), lit(3)) === i)
           .coalesce(1).write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         val docs = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
           .as[Streams.FpMeta]
         Streams.runAvailableNow(
           Streams.dedupIncrementalSeeded(docs, seedFps).toDF(), out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out)
         .select($"doc_id", $"lang", $"n_tokens", $"fingerprint")
@@ -1128,17 +1080,11 @@ object AnalyticsQueries {
         docs.filter(pmod(hash($"domain"), lit(3)) === i)
           .coalesce(1).write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         val in = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
           .as[Streams.DomainDoc]
         Streams.runAvailableNow(
           Streams.domainCapStream(in, 3L).toDF(), out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out).select($"lang", $"domain", $"doc_id")
       val wCap = Window.partitionBy($"lang", $"domain").orderBy($"doc_id")
@@ -1192,11 +1138,13 @@ object AnalyticsQueries {
         .write.mode("append").parquet(src)
       dimV1.write.mode("overwrite").parquet(dimPath)
       val schema = s.read.parquet(src).schema
-      def run(): Unit = Streams.runRefreshedAvailableNow(
-        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 100000),
-        () => s.read.parquet(dimPath),
-        (batch, dim) => Streams.enrichWithDim(batch, dim, Seq("c_custkey")),
-        out, ckpt)
+      def run(): Unit = graft.streaming.Streams.withGateStreamConfs(s) {
+        Streams.runRefreshedAvailableNow(
+          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 100000),
+          () => s.read.parquet(dimPath),
+          (batch, dim) => Streams.enrichWithDim(batch, dim, Seq("c_custkey")),
+          out, ckpt)
+      }
       run() // wave 1 enriches against dim v1
       dimV1.select($"c_custkey", concat(lit("v2_"), $"c_name").as("c_name"))
         .write.mode("overwrite").parquet(dimPath)
@@ -1253,12 +1201,14 @@ object AnalyticsQueries {
         Quality.InRange("l_quantity", 1, 50))
       val schema = s.read.parquet(src).schema
       s.catalog.dropTempView("w22_contract_live")
-      val q = Streams.contractStream(
-          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1), rules)
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("w22_contract_live")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      graft.streaming.Streams.withGateStreamConfs(s) {
+        val q = Streams.contractStream(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1), rules)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("w22_contract_live")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val live = s.table("w22_contract_live")
         .select($"rule", $"n_checked", $"n_violations", $"passed")
       val batch = Quality.expect(li, rules)
@@ -1300,11 +1250,13 @@ object AnalyticsQueries {
       val maxId = docs.agg(max($"doc_id")).as[Long].first()
       val known = docs.filter($"doc_id" * 2 <= maxId)
       val schema = s.read.parquet(src).schema
-      Streams.runAvailableNow(
-        Streams.excludeKnown(
-          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
-          known, Seq("doc_id")),
-        out, ckpt)
+      graft.streaming.Streams.withGateStreamConfs(s) {
+        Streams.runAvailableNow(
+          Streams.excludeKnown(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            known, Seq("doc_id")),
+          out, ckpt)
+      }
       val live = s.read.parquet(out).select($"doc_id", $"lang", $"source")
       val batch = docs.filter($"doc_id" * 2 > maxId)
         .select($"doc_id".as("__id_b"))
@@ -1348,18 +1300,12 @@ object AnalyticsQueries {
       ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
       ev.coalesce(1).write.mode("append").parquet(src) // delivery 2
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         Streams.runAvailableNow(
           Streams.dedupStream(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
             "ts", Seq("event_id"), watermark = "800 hours"),
           out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out).select($"event_id", $"user_id",
         unix_millis($"ts").as("ts_ms"), $"event_type")
@@ -1409,9 +1355,11 @@ object AnalyticsQueries {
       docs.filter($"doc_id" % 4 === 3).coalesce(1)
         .write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
-      Streams.runDriftMonitorAvailableNow(
-        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
-        () => s.read.parquet(refPath), "lang", out, ckpt)
+      graft.streaming.Streams.withGateStreamConfs(s) {
+        Streams.runDriftMonitorAvailableNow(
+          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+          () => s.read.parquet(refPath), "lang", out, ckpt)
+      }
       def shape(df: DataFrame): DataFrame =
         df.select($"lang", $"n_ref", $"n_cand",
           round($"share_ref", 6).as("share_ref"),
@@ -1468,18 +1416,12 @@ object AnalyticsQueries {
       ev.withColumn("ts", expr("ts + INTERVAL 2 seconds")) // re-stamped
         .coalesce(1).write.mode("append").parquet(src)     // delivery 2
       val schema = s.read.parquet(src).schema
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      graft.streaming.Streams.withGateStreamConfs(s) {
         Streams.runAvailableNow(
           Streams.dedupWithinWatermark(
             Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
             "ts", Seq("event_id"), watermark = "800 hours"),
           out, ckpt)
-      } finally prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
       val live = s.read.parquet(out)
         .select($"event_id", $"user_id", $"event_type")
@@ -1524,22 +1466,14 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type")
       ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
       val schema = s.read.parquet(src).schema
-      def runOnce(): Unit = {
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          val stream = Streams.parquetStream(s, src, schema,
-            maxFilesPerTrigger = 1).as[(Long, Long, String)]
-          Streams.runAvailableNow(
-            Streams.dedupIncrementalBy[(Long, Long, String)](
-              stream, _._1.toString, _._1)
-              .toDF("event_id", "user_id", "event_type"),
-            out, ckpt)
-        } finally prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+      def runOnce(): Unit = graft.streaming.Streams.withGateStreamConfs(s) {
+        val stream = Streams.parquetStream(s, src, schema,
+          maxFilesPerTrigger = 1).as[(Long, Long, String)]
+        Streams.runAvailableNow(
+          Streams.dedupIncrementalBy[(Long, Long, String)](
+            stream, _._1.toString, _._1)
+            .toDF("event_id", "user_id", "event_type"),
+          out, ckpt)
       }
       runOnce() // run 1: fresh state, emits the whole corpus, stops
       val n1 = s.read.parquet(out).count()
@@ -1599,10 +1533,12 @@ object AnalyticsQueries {
         changes.filter($"c_custkey" % 3 === i).coalesce(1)
           .write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
-      graft.streaming.Streams.runCdcSnapshotAvailableNow(
-        graft.streaming.Streams.parquetStream(s, src, schema,
-          maxFilesPerTrigger = 1),
-        Seq("c_custkey"), "seq", "op", snap, ckpt)
+      graft.streaming.Streams.withGateStreamConfs(s) {
+        graft.streaming.Streams.runCdcSnapshotAvailableNow(
+          graft.streaming.Streams.parquetStream(s, src, schema,
+            maxFilesPerTrigger = 1),
+          Seq("c_custkey"), "seq", "op", snap, ckpt)
+      }
       val live = s.read.parquet(snap)
       val batch = Relational.applyCdc(base, changes, Seq("c_custkey"), "seq", "op")
       // exact equality: every value either passed through parquet

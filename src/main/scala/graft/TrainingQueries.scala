@@ -1883,9 +1883,11 @@ object TrainingQueries {
         emb.filter($"vec_id" % 3 === i).coalesce(1)
           .write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
-      Streams.runIvfAppendAvailableNow(
-        Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
-        "vec_id", "embedding", cents, idx, ckpt)
+      Streams.withGateStreamConfs(s) {
+        Streams.runIvfAppendAvailableNow(
+          Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+          "vec_id", "embedding", cents, idx, ckpt)
+      }
       val live = s.read.parquet(idx)
       val probeLive = Similarity.topKIvfPruned(live, "vec_id", "embedding",
         q, cents, k = 10)

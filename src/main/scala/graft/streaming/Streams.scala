@@ -952,6 +952,31 @@ object Streams {
     * points at the production member-table root; compaction of
     * per-batch files into the base layout is [[graft.sources.Sinks.compactTo]]
     * offline, never blocking ingest. */
+  /** Pin the session confs the driver-gate streaming queries use —
+    * the RocksDB state store plus a NARROW state-partition count — run
+    * `body`, restore previous values. Stateful availableNow gates carry
+    * tiny per-key state, so the session default of 32 shuffle partitions
+    * means 32 RocksDB instances per stateful operator PER MICRO-BATCH of
+    * pure setup cost. 8 is plenty for gate corpora; production
+    * checkpoints choose their own width at creation time (Spark pins the
+    * state partition count INTO the checkpoint, so this is a
+    * per-checkpoint sizing decision, never a global) — at cluster scale
+    * you'd size it to keep per-partition state under executor memory,
+    * not minimize instance count. */
+  def withGateStreamConfs(s: SparkSession)(body: => Unit): Unit = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   def runIvfAppendAvailableNow(stream: DataFrame, idCol: String,
                                vecCol: String, centroids: DataFrame,
                                path: String, checkpoint: String): Unit = {
