@@ -606,10 +606,16 @@ object Similarity {
     * by cosine distance (ties → lowest list id), as 1-based list ids.
     * Same math as CosineSimilarity: dot over the common prefix, full norms
     * both sides, cosine = 0 on zero denom. nProbe = 1 is exactly the
-    * [[ivfIndex]] single-list argmin. */
+    * [[ivfIndex]] single-list argmin. Round 12: the Scala UDF became the
+    * native [[graft.expressions.IvfAssign]] expression — same math and
+    * tie order (hash-gated queries stay bit-identical), but the kernel
+    * reads ArrayData directly instead of boxing a Seq[Double] per row,
+    * and the projection around it keeps whole-stage codegen fused. This
+    * is the single most-executed vector kernel at index-build scale. */
   private def probeUdf(seeds: Array[Array[Double]], seedNorms: Array[Double],
-                       nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Double]) => rankLists(v.toArray, seeds, seedNorms, nProbe))
+                       nProbe: Int): Column => Column =
+    (v: Column) => asCol(graft.expressions.IvfAssign(
+      asExpr(v), seeds, seedNorms, nProbe))
 
   /** BLOCKED kNN graph — the scale path for [[knnGraph]]: members are
     * IVF-assigned to their single nearest list map-side, every vector

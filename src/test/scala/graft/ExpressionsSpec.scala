@@ -106,4 +106,52 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("graft_sorted_inter"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
   }
+
+  test("IvfAssign: matches the boxed-UDF math bit-for-bit, ties -> lowest id, codegen fused") {
+    import org.apache.spark.sql.GraftColumns.{column => asCol, expression => asExpr}
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val seeds = Array.fill(6)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    def normOf(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    val norms = seeds.map(normOf)
+    // the UDF this expression replaced — reference semantics
+    def rankRef(x: Array[Double], nProbe: Int): Seq[Int] = {
+      val nx = normOf(x)
+      seeds.indices.map { c =>
+        val cv = seeds(c)
+        var dot = 0.0
+        val n = math.min(x.length, cv.length)
+        var j = 0
+        while (j < n) { dot += x(j) * cv(j); j += 1 }
+        val denom = nx * norms(c)
+        (1.0 - (if (denom == 0.0) 0.0 else dot / denom), c + 1)
+      }.sortBy(identity).take(math.min(nProbe, seeds.length)).map(_._2)
+    }
+    val vecs = Seq.fill(200)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.fill(dim)(0.0)) ++                 // zero vector: all cos = 0, pure id tie-break
+      seeds.toSeq.map(_.toSeq)                   // exact centroid hits
+    val df = vecs.toDF("v")
+    for (nProbe <- Seq(1, 3, 6, 9)) {
+      val expr = graft.expressions.IvfAssign(asExpr(col("v")), seeds, norms, nProbe)
+      val got = df.select(asCol(expr).as("ids"))
+        .collect().map(_.getSeq[Int](0).toSeq)
+      val want = vecs.map(v => rankRef(v.toArray, nProbe))
+      assert(got.toSeq == want, s"nProbe=$nProbe diverged from UDF semantics")
+    }
+    // zero vector: every cosine is 0 (zero denom), so ranking is id order
+    val z = df.filter(aggregate($"v", lit(0.0), (a, x) => a + abs(x)) === 0.0)
+      .select(asCol(graft.expressions.IvfAssign(asExpr(col("v")), seeds, norms, 3)))
+      .head().getSeq[Int](0)
+    assert(z == Seq(1, 2, 3), s"tie-break should be ascending list id: $z")
+    // plan purity: fused into WholeStageCodegen, no ScalaUDF anywhere
+    // (range-based input — a local Seq would constant-fold to a
+    // LocalTableScan before the plan ever shows the projection)
+    val planDf = spark.range(100)
+      .select(array((0 until dim).map(i => (col("id") + i).cast("double")): _*).as("v"))
+      .select(asCol(
+        graft.expressions.IvfAssign(asExpr(col("v")), seeds, norms, 2)).as("ids"))
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_ivf_assign"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"), plan)
+  }
 }
