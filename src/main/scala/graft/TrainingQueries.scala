@@ -2224,6 +2224,68 @@ object TrainingQueries {
         .unionAll(probeRows("1995", $"o_month".between("1995-01", "1995-12")))
     }),
 
+    // K13: JSON-LINES INGEST with corrupt-record quarantine (round 12 —
+    // the format raw scraped corpora arrive in): the documents table is
+    // round-tripped through JSONL and read back by
+    // sources.JsonLinesSource with an EXPLICIT schema (inference would
+    // be a second full pass over a 100 TB corpus) in PERMISSIVE mode —
+    // three deliberately mangled lines (truncated object, stray log
+    // line, two-objects-one-line) are planted in their own shard and
+    // must surface as quarantine rows carrying the RAW line, never
+    // killing the read (FAILFAST) or vanishing (DROPMALFORMED). Payload
+    // = per-lang doc counts over the CLEAN rows + the corrupt count;
+    // verdict = clean rows round-trip the parquet source exactly
+    // (full-outer on doc_id, null-safe lang/text compare — on the nulls
+    // corpus, Spark's writer omits null fields and the reader restores
+    // them as null, which this verdict proves). DuckDB recomputes the
+    // counts from the parquet table; the planted-corrupt count is the
+    // literal 3.
+    "k13_jsonl_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+      val tmp = Scratch.dir(s, "k13_jsonl")
+      val raw = s"$tmp/raw"
+      docs.write.mode("overwrite").json(raw)
+      // all three must be malformed IN the first JSON value: Spark's
+      // Jackson parser takes the first valid value per line and tolerates
+      // trailing garbage ({"a":1}{"b":2} parses as the FIRST object, not
+      // a corrupt line — discovered by this gate's first run)
+      val bad = Seq(
+        """{"doc_id": 900000001, "lang": "en", "text": "truncated""",
+        """not json at all - a stray upstream log line""",
+        """{"doc_id": 900000002, "lang": }""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(raw, "corrupt-shard.json"),
+        bad.mkString("\n").getBytes("UTF-8"))
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("text", "string")
+      val in = graft.sources.JsonLinesSource.read(s, raw, schema)
+      val good = in.filter($"_corrupt_record".isNull)
+        .select($"doc_id", $"lang", $"text")
+      // QUARANTINE AT REST: the bad rows (raw line preserved) land in
+      // their own table for replay after the upstream fix. This is also
+      // the only robust way to COUNT them — Spark rejects any query
+      // whose pruned scan schema is the corrupt column alone
+      // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a
+      // count's pruning reduces to exactly that; the write references
+      // every column, and the count runs on the parquet it produced.
+      val quarantine = s"$tmp/quarantine"
+      in.filter($"_corrupt_record".isNotNull)
+        .write.mode("overwrite").parquet(quarantine)
+      val nc = s.read.parquet(quarantine).agg(count(lit(1)).as("n_corrupt"))
+      val eq = good.select($"doc_id".as("__i1"), $"lang".as("__l1"),
+          $"text".as("__t1"))
+        .join(docs.select($"doc_id".as("__i2"), $"lang".as("__l2"),
+          $"text".as("__t2")), $"__i1" === $"__i2", "full")
+        .agg((count(when($"__i1".isNull || $"__i2".isNull ||
+          !($"__l1" <=> $"__l2") || !($"__t1" <=> $"__t2"), 1)) === 0)
+          .as("__rt"))
+      good.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nc.select($"n_corrupt")))
+        .crossJoin(broadcast(eq))
+        .select($"lang", $"n_docs", $"n_corrupt", $"__rt".as("roundtrip_ok"))
+    }),
+
     // D14: EXACT shared-span detection (Lee et al. 2021's exact-substring
     // dedup, relational form — see Dedup.sharedSpans): word-8-gram
     // inverted index → pair-informative hash cap (2..8 docs AND ≤32 total
@@ -3672,6 +3734,10 @@ object TrainingQueries {
          FROM tf
          UNION ALL
          SELECT '1995', o_custkey, exact, true, true, true FROM ts""",
+    "k13_jsonl_ingest" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(3 AS BIGINT) AS n_corrupt, true AS roundtrip_ok
+         FROM documents GROUP BY lang""",
     "k7_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,

@@ -71,3 +71,33 @@ object Retry {
     throw new IllegalStateException("unreachable")
   }
 }
+
+/** S-family extension (round 12): JSON-LINES bulk source — the format
+  * raw web-scraped training corpora actually arrive in. Two contracts a
+  * 100 TB ingest cannot do without:
+  *
+  *  1. EXPLICIT schema. Schema inference is a full extra pass over the
+  *     corpus before the real scan even starts; at ingest scale that
+  *     doubles the I/O bill. Callers declare what they expect.
+  *  2. PERMISSIVE corrupt-record quarantine. One mangled line out of
+  *     billions must not kill the job (FAILFAST) or silently vanish
+  *     (DROPMALFORMED loses the evidence). Bad lines surface with every
+  *     declared column null and the RAW LINE preserved in
+  *     `quarantineCol` — filterable into a quarantine table for replay
+  *     after the upstream fix.
+  *
+  * Caveat (Spark contract): a query whose referenced columns include
+  * ONLY the corrupt-record column is rejected by the JSON relation —
+  * always select/aggregate it alongside a data column (the k13 gate and
+  * SourcesSpec do).
+  */
+object JsonLinesSource {
+  val DefaultQuarantineCol = "_corrupt_record"
+  def read(spark: SparkSession, path: String, schema: StructType,
+           quarantineCol: String = DefaultQuarantineCol): DataFrame =
+    spark.read
+      .schema(schema.add(quarantineCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", quarantineCol)
+      .json(path)
+}

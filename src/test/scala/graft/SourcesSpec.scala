@@ -54,4 +54,35 @@ class SourcesSpec extends SparkSpec {
     }
     assert(got == 42 && calls == 3)
   }
+
+  test("JsonLinesSource: explicit schema, corrupt lines quarantined with the RAW line, trailing-garbage quirk pinned") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.JsonLinesSource
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2, "name": "beta", "extra_field_not_in_schema": true}""",
+      """{"id": 3, "name": }""",                    // malformed mid-value
+      """totally not json""",                       // not JSON at all
+      """{"id": 4}{"id": 99}""")                    // trailing second object
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType().add("id", "long").add("name", "string")
+    val df = JsonLinesSource.read(spark, tmp, schema)
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id", "name").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // Spark's Jackson parser takes the FIRST valid JSON value per line and
+    // tolerates trailing garbage: line 5 is a GOOD row (id=4), not corrupt.
+    // Fields outside the declared schema are dropped (line 2); missing
+    // declared fields read as null (line 5's name).
+    assert(good == Set((1L, Some("alpha")), (2L, Some("beta")), (4L, None)), good)
+    // corrupt rows: every declared column null, the raw line preserved
+    // verbatim for replay
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("id", "name", "_corrupt_record").collect()
+    assert(bad.length == 2)
+    assert(bad.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(bad.map(_.getString(2)).toSet ==
+      Set("""{"id": 3, "name": }""", "totally not json"))
+  }
 }
