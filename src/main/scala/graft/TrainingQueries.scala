@@ -2169,6 +2169,71 @@ object TrainingQueries {
           $"__mok".as("merge_exact"))
     }),
 
+    // K14: PERSISTED mergeable HEAVY-HITTER partials (round 12 — the
+    // fourth member of the sketch family: k8 HLL distinct, k11 quantile
+    // grids, k12 count-min point lookups, k14 top-k ENUMERATION — the
+    // one question count-min cannot answer without knowing which keys to
+    // probe). Per language, the exact word counts pruned to words above
+    // N_lang/k are written through the K1 sink (< k rows per period
+    // REGARDLESS of vocabulary size — the property that compacts 100 TB
+    // of per-period facts into mergeable partials); merging any period
+    // subset gives est with the DETERMINISTIC pigeonhole envelope
+    // est ≤ true ≤ est + Σ⌊N_p/k⌋, and any word above that Σ bound
+    // provably surfaces. Unlike Misra–Gries/SpaceSaving the summary is a
+    // pure function of each period's multiset — no stream-order
+    // dependence — so DuckDB recomputes the ENTIRE merged summary
+    // hash-identically (kept set, est, bound, ranks), not just verdicts.
+    // The period key coalesces NULL langs to a sentinel: a period
+    // dropped by the equi-join would leak unpruned mass past the
+    // completeness guarantee (null-planted corpus). Application: the
+    // corpus stopword/contamination list, maintained incrementally.
+    "k14_heavyhitter_partials" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Stats
+      val k = 60
+      val words = t(s, dir, "documents")
+        .select(coalesce($"lang", lit("__null__")).as("lang"),
+          explode(split(Text.normalize($"text"), " ")).as("word"))
+        .filter(length($"word") > 0)
+      val tmp = Scratch.dir(s, "k14_hh")
+      graft.sources.Sinks.overwritePartitions(
+        Stats.heavyHitterPartials(words, "word", "lang", k)
+          .repartition($"lang"), s"$tmp/partials", Seq("lang"))
+      graft.sources.Sinks.replaceTable(
+        words.groupBy($"lang").agg(count(lit(1)).as("n_rows")), s"$tmp/stats")
+      val atRest = s.read.parquet(s"$tmp/partials")
+      val stats = s.read.parquet(s"$tmp/stats")
+      val merged = Stats.heavyHittersMerged(atRest, stats, "word", k)
+      val exact = words.groupBy($"word").agg(count(lit(1)).as("exact"))
+      // both bound directions, per reported word
+      val boundOk = merged.join(exact, Seq("word"), "left")
+        .agg((count(when($"exact".isNull || $"est" > $"exact" ||
+          $"exact" > $"est" + $"err_bound", 1)) === 0).as("__bok"))
+      // completeness: nothing above the global bound is missing
+      val bound = stats.agg(sum(floor($"n_rows" / k)).cast("long").as("__b"))
+      val missed = exact.crossJoin(broadcast(bound)).filter($"exact" > $"__b")
+        .join(merged.select($"word"), Seq("word"), "left_anti")
+        .agg((count(lit(1)) === 0).as("__comp"))
+      // at-rest merge ≡ in-memory direct (integer sums — exact)
+      val directM = Stats.heavyHittersMerged(
+        Stats.heavyHitterPartials(words, "word", "lang", k),
+        words.groupBy($"lang").agg(count(lit(1)).as("n_rows")), "word", k)
+      val mEq = merged.select($"word", $"est".as("__e1"))
+        .join(directM.select($"word", $"est".as("__e2")), Seq("word"), "full")
+        .agg((count(when($"__e1".isNull || $"__e2".isNull ||
+          $"__e1" =!= $"__e2", 1)) === 0).as("__meq"))
+      val one = graft.operators.Relational.onePartKey($"word")
+      merged.withColumn("rank", row_number().over(
+          Window.partitionBy(one).orderBy($"est".desc, $"word".asc)))
+        .filter($"rank" <= 20)
+        .crossJoin(broadcast(boundOk)).crossJoin(broadcast(missed))
+        .crossJoin(broadcast(mEq))
+        .select($"word", $"est", $"err_bound", $"rank",
+          $"__bok".as("bounds_hold"),
+          $"__comp".as("complete_above_bound"),
+          $"__meq".as("merged_eq_direct"))
+    }),
+
     // K12: PERSISTED mergeable FREQUENCY partials — the heavy-hitter
     // member of the non-algebraic partial trio (k8 = HLL distinct, k11 =
     // histogram quantiles, k12 = count-min frequencies). Each month's
@@ -3738,6 +3803,24 @@ object TrainingQueries {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(3 AS BIGINT) AS n_corrupt, true AS roundtrip_ok
          FROM documents GROUP BY lang""",
+    "k14_heavyhitter_partials" ->
+      """WITH w AS (
+           SELECT coalesce(lang, '__null__') AS lang,
+                  unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents),
+         wf AS (SELECT lang, word FROM w WHERE length(word) > 0),
+         nl AS (SELECT lang, count(*) AS n FROM wf GROUP BY lang),
+         per AS (SELECT lang, word, count(*) AS c FROM wf GROUP BY lang, word),
+         kept AS (SELECT p.lang, p.word, p.c FROM per p JOIN nl USING (lang)
+                  WHERE p.c * 60 > n),
+         est AS (SELECT word, CAST(sum(c) AS BIGINT) AS est FROM kept GROUP BY word),
+         b AS (SELECT CAST(sum(n // 60) AS BIGINT) AS err_bound FROM nl),
+         r AS (SELECT word, est, (SELECT err_bound FROM b) AS err_bound,
+                      CAST(row_number() OVER (ORDER BY est DESC, word ASC) AS INTEGER) AS rank
+               FROM est)
+         SELECT word, est, err_bound, rank, true AS bounds_hold,
+                true AS complete_above_bound, true AS merged_eq_direct
+         FROM r WHERE rank <= 20""",
     "k7_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 strftime(min(o_orderdate), '%Y-%m-%d') AS min_odate,

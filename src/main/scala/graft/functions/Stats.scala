@@ -269,4 +269,52 @@ object Stats {
         (col("share_cand") - col("share_ref")) * log(col("share_cand") / col("share_ref")))
       .drop("__tr", "__tc", "__k")
   }
+
+  /** MERGEABLE heavy-hitter partials (round 12 — the fourth member of
+    * the persisted-sketch family after k8 HLL, k11 quantile grids, k12
+    * count-min): per period, the EXACT per-key counts pruned to keys
+    * whose count strictly exceeds N_period/k. Pigeonhole bounds both
+    * directions deterministically — a pruned key contributed at most
+    * ⌊N_p/k⌋ per period, so for any key the merged estimate satisfies
+    * `est ≤ true ≤ est + Σ_p ⌊N_p/k⌋`, and any key with true total
+    * above that Σ bound must surface in at least one period's summary
+    * (if it were below threshold everywhere its total could not exceed
+    * the bound). Space: a period's summary holds FEWER THAN k keys
+    * (each kept key owns > N_p/k of N_p rows), independent of key
+    * cardinality — the property that lets 100 TB of per-period facts
+    * compact to k-row partials mergeable for any date range. Unlike
+    * Misra–Gries/SpaceSaving, the summary is a pure function of the
+    * period's multiset — no stream-order dependence, so rebuilds and
+    * engine recomputes (the DuckDB oracle) are bit-identical.
+    * Output: (partCol, key, cnt) — write through the K1 sink
+    * partitioned by `partCol`; `n_rows` per period goes in a stats
+    * table like k11's. */
+  def heavyHitterPartials(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                          partCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k > 1, "k must be > 1")
+    val per = df.groupBy(col(partCol), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    // one extra tiny shuffle on partCol; the threshold join is
+    // broadcast-sized (one row per period)
+    val n = df.groupBy(col(partCol)).agg(count(lit(1)).as("__n"))
+    per.join(broadcast(n), Seq(partCol))
+      .filter(col("cnt") * k > col("__n"))
+      .select(col(partCol), col(keyCol), col("cnt"))
+  }
+
+  /** Merge persisted heavy-hitter partials over any period subset: per
+    * key, `est` = the sum of its kept per-period counts (a LOWER bound
+    * on the true total) and `err_bound` = Σ over the selected periods
+    * of ⌊N_p/k⌋ (the most the pruning could have hidden). Deterministic:
+    * both columns are integer arithmetic over exact counts. */
+  def heavyHittersMerged(partials: org.apache.spark.sql.DataFrame,
+                         periodRows: org.apache.spark.sql.DataFrame,
+                         keyCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bound = periodRows.agg(
+      sum(floor(col("n_rows") / k)).cast("long").as("err_bound"))
+    partials.groupBy(col(keyCol)).agg(sum(col("cnt")).as("est"))
+      .crossJoin(broadcast(bound))
+  }
 }

@@ -568,4 +568,56 @@ class RunnerSpec extends SparkSpec {
         .count() == 0)
     }
   }
+
+  test("heavy-hitter partials: < k rows per period, pigeonhole envelope, subset merge, planted hitter found (k14)") {
+    import graft.functions.Stats
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val rnd = new scala.util.Random(23)
+    // Zipf-ish synthetic: key i appears ~1000/i times, across 4 periods,
+    // plus one PLANTED hitter spread thin over every period (never the
+    // per-period max, but its total clears the global bound)
+    val rows = (for {
+      key <- 1 to 40
+      rep <- 1 to (1000 / key)
+    } yield (s"p${rnd.nextInt(4)}", s"key_$key")) ++
+      (for (p <- 0 until 4; _ <- 1 to 260) yield (s"p$p", "planted"))
+    val df = rows.toDF("period", "key")
+    val partials = Stats.heavyHitterPartials(df, "key", "period", k)
+    // space bound: strictly fewer than k keys per period
+    val perPeriod = partials.groupBy($"period").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perPeriod.nonEmpty && perPeriod.forall(_ < k), perPeriod.toSeq)
+    val statsAll = df.groupBy($"period").agg(count(lit(1)).as("n_rows"))
+    val merged = Stats.heavyHittersMerged(partials, statsAll, "key", k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = df.groupBy($"key").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bound = statsAll.agg(sum(floor($"n_rows" / k)).cast("long"))
+      .head().getLong(0)
+    // envelope: est <= true <= est + bound, for every reported key
+    merged.foreach { case (w, (est, b)) =>
+      assert(b == bound)
+      assert(est <= exact(w) && exact(w) <= est + b, s"$w est=$est exact=${exact(w)} b=$b")
+    }
+    // completeness: everything above the bound is reported — including
+    // the planted thin-spread hitter
+    exact.filter(_._2 > bound).keys.foreach { w =>
+      assert(merged.contains(w), s"missed heavy key $w (exact=${exact(w)}, bound=$bound)")
+    }
+    assert(exact("planted") > bound && merged.contains("planted"))
+    // subset merge == direct summary over the subset (pure function of
+    // each period's multiset — no order dependence)
+    val sub = Seq("p0", "p2")
+    val mergedSub = Stats.heavyHittersMerged(
+        partials.filter($"period".isin(sub: _*)),
+        statsAll.filter($"period".isin(sub: _*)), "key", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val directSub = Stats.heavyHittersMerged(
+        Stats.heavyHitterPartials(df.filter($"period".isin(sub: _*)), "key", "period", k),
+        df.filter($"period".isin(sub: _*)).groupBy($"period")
+          .agg(count(lit(1)).as("n_rows")), "key", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mergedSub == directSub)
+  }
 }
