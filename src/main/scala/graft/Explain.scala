@@ -39,7 +39,7 @@ object Explain {
     "a22_retention_cohorts", "t26_bm25_topk", "t27_bm25_index_probe",
     "s17_ivf_maintenance", "s18_hybrid_retrieval", "s19_atrest_retrieval",
     "t28_bm25_maintenance", "k11_quantile_partials", "k12_countmin_partials",
-    "k13_jsonl_ingest", "k14_heavyhitter_partials")
+    "k13_jsonl_ingest", "k14_heavyhitter_partials", "s21_int8_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

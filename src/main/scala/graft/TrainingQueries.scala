@@ -1911,6 +1911,57 @@ object TrainingQueries {
           $"__cmp".as("ingest_complete"))
     }),
 
+    // S21: INT8 QUANTIZED SHORTLIST → FULL-PRECISION RE-RANK (round 12 —
+    // flips the quantizeInt8 row from spec-only to gate-checked): the
+    // embedding-STORE scale pattern — score candidates on the 8×-smaller
+    // quantized column, keep a shortlist, re-rank only the shortlist at
+    // full precision. Verdicts, all in-plan: (a) the affine
+    // reconstruction bound holds for EVERY element of EVERY corpus
+    // vector (|v − dequant(v)| ≤ scale/2 — the quantizer's contract, a
+    // hard invariant not a statistical one); (b) the re-ranked top-10
+    // from a 64-deep quantized shortlist recalls ≥ 6 of the exact brute
+    // top-10 (s16's threshold). Payload = exact brute top-10 on the twin
+    // slice (DuckDB recomputes). Everything is deterministic arithmetic
+    // — quantization, shortlist order, re-rank — so the gate is stable
+    // on every corpus.
+    "s21_int8_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id" === 0)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val qLit = array(q.map(lit): _*)
+      def rerankTop10(df: DataFrame): DataFrame = {
+        val quant = df.select($"vec_id", $"embedding",
+          Similarity.quantizeInt8($"embedding").as("qs"))
+        quant
+          .select($"vec_id", $"embedding",
+            Similarity.cosine(Similarity.dequantizeInt8($"qs"), qLit).as("__qc"))
+          .orderBy($"__qc".desc, $"vec_id".asc).limit(64)
+          .select($"vec_id",
+            round(Similarity.cosine($"embedding".cast("array<double>"), qLit), 6)
+              .as("cosine"))
+          .orderBy($"cosine".desc, $"vec_id".asc).limit(10)
+      }
+      val qok = emb.select($"embedding".cast("array<double>").as("__v"),
+          Similarity.quantizeInt8($"embedding").as("qs"))
+        .select(aggregate(
+            zip_with($"__v", Similarity.dequantizeInt8($"qs"),
+              (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)).as("__maxerr"),
+          $"qs".getField("scale").as("__sc"))
+        .agg((count(when($"__maxerr" > $"__sc" * 0.5 + lit(1e-9), 1)) === 0)
+          .as("__qok"))
+      val (nVec, samp) = twinSample(emb, "vec_id")
+      val exact = Similarity.topKBrute(samp, "vec_id", "embedding", q, k = 10)
+      val rr = if (nVec <= TwinSampleCap) rerankTop10(emb) else rerankTop10(samp)
+      val nHit = rr.select($"vec_id")
+        .join(exact.select($"vec_id"), "vec_id").agg(count(lit(1)).as("n_hit"))
+      exact.crossJoin(broadcast(qok)).crossJoin(broadcast(nHit))
+        .select($"vec_id", $"cosine",
+          $"__qok".as("quant_bound_ok"),
+          ($"n_hit" >= 6L).as("recall_ok"))
+    }),
+
     // K5: the RANGE-SORTED LAYOUT + COMPACTION write path, driver-gated
     // (round-9 verdict #5 — these sinks were spec-only): orders is
     // written via Sinks.writeRangeSorted (repartitionByRange +
@@ -2760,6 +2811,19 @@ object TrainingQueries {
            FROM samp e CROSS JOIN q)
          SELECT vec_id, cosine, true AS incremental_equals_rebuild,
                 true AS tombstones_absent
+         FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+    "s21_int8_rerank" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0),
+         samp AS (SELECT * FROM embeddings
+                  WHERE (${twinSampleSql("embeddings", "vec_id")})),
+         scored AS (
+           SELECT vec_id,
+                  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe) /
+                        (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                         sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+           FROM samp e CROSS JOIN q)
+         SELECT vec_id, cosine, true AS quant_bound_ok, true AS recall_ok
          FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
     "s20_live_index_ingest" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
