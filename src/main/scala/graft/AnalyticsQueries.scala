@@ -990,6 +990,81 @@ object AnalyticsQueries {
             .as("streaming_equals_batch"))
     }),
 
+    // W23: DECLARATIVE SESSION_WINDOW in the gate (round 12 — flips the
+    // last spec-only sessionization row): Spark's gap-merge
+    // session_window aggregate, the THIRD independent sessionizer to
+    // face the SAME oracle — w19 (engine windowed-agg state), w21
+    // (first-class per-key timers), and now the declarative gap-merge —
+    // all three must land on the identical session set DuckDB recomputes
+    // from raw events with a lag/cumsum gap split. Same ingest
+    // discipline as w21: one real file (nothing late under the 0-second
+    // delay), two far-future flush rows advance the watermark past every
+    // real session's end+gap so Append mode seals them; the flush user's
+    // own unsealed session stays in state and is filtered. Verdict =
+    // full-outer equality vs the batch gap-split twin.
+    "w23_live_session_window" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Streams
+      val tmp = TrainingQueries.Scratch.dir(s, "w23_stream")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
+        coalesce($"value", lit(0.0)).as("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      def flush(tsStr: String): Unit =
+        Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
+          .toDF("user_id", "ts", "value").coalesce(1)
+          .write.mode("append").parquet(src)
+      graft.streaming.Streams.withGateStreamConfs(s) {
+        def run(): Unit = Streams.runAvailableNow(
+          Streams.sessionWindowCounts(
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            "ts", "user_id", gap = "30 minutes", watermark = "0 seconds"),
+          out, ckpt)
+        run()
+        flush("2099-01-01 00:00:00")
+        flush("2099-01-02 00:00:00")
+        run()
+      }
+      val live = s.read.parquet(out).filter($"user_id" =!= -1L)
+        .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
+          $"n_events", round($"total_value", 4).as("total_value"))
+      val gapMs = 30L * 60 * 1000
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val batch = t(s, dir, "events")
+        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
+          $"event_id", coalesce($"value", lit(0.0)).as("value"))
+        .withColumn("__prev", lag($"ts_ms", 1).over(w))
+        .withColumn("__new",
+          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("__sid", sum($"__new").over(cum))
+        .groupBy($"user_id", $"__sid")
+        .agg(min($"ts_ms").as("session_start_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("total_value"))
+      val eq = live.select($"user_id", $"session_start_ms",
+          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
+        .withColumn("__l", lit(1))
+        .join(batch.select($"user_id", $"session_start_ms",
+            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
+            .withColumn("__b", lit(1)),
+          Seq("user_id", "session_start_ms"), "full")
+        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+          count(when($"__ne_l" === $"__ne_b" &&
+            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
+      live.crossJoin(broadcast(eq))
+        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
+          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+            .as("streaming_equals_batch"))
+    }),
+
     // C3: BATCH→STREAMING MIGRATION in the gate (round 12) — the
     // transformWithState INITIAL-STATE path (Streams.
     // dedupIncrementalSeeded / handleInitialState): the permanent
@@ -2125,6 +2200,25 @@ object AnalyticsQueries {
     // deliberately identical to w19's oracle: two independent stateful
     // engines (event-time timers vs session_window) against one recompute
     "w21_live_timer_sessions" ->
+      """WITH o AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
+                  coalesce(value, 0) AS value FROM events),
+         g AS (
+           SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+                            OR tms - lag(tms) OVER w > 1800000
+                          THEN 1 ELSE 0 END AS new_sess
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                     ORDER BY tms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sid
+           FROM g)
+         SELECT user_id, min(tms) AS session_start_ms, count(*) AS n_events,
+                round(sum(value), 4) AS total_value,
+                true AS streaming_equals_batch
+         FROM s GROUP BY user_id, sid""",
+    "w23_live_session_window" ->
       """WITH o AS (
            SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
                   coalesce(value, 0) AS value FROM events),
