@@ -699,10 +699,18 @@ object Streams {
     private def close(key: Long, s: TwsSessionState): TwsSession =
       TwsSession(key, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastSeen), s.n, s.total)
-    /** One live timer per key, armed at the EARLIEST possible closure. */
-    private def rearm(sessions: Seq[TwsSessionState]): Unit = {
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
+    /** One live timer per key, armed at the EARLIEST possible closure.
+      * `expired` = the timestamp whose timer JUST fired (from
+      * handleExpiredTimer): Spark has already consumed it, but it still
+      * shows in listTimers() during the callback — deleting it again
+      * logs a spurious TimerStateImpl warning per key per firing, so it
+      * is skipped (log hygiene: a REAL delete failure should stand out). */
+    private def rearm(sessions: Seq[TwsSessionState],
+                      expired: Long = Long.MinValue): Unit = {
+      getHandle.listTimers().foreach { t =>
+        val ts = t.asInstanceOf[Long]
+        if (ts != expired) getHandle.deleteTimer(ts)
+      }
       if (sessions.nonEmpty)
         getHandle.registerTimer(sessions.map(_.lastSeen).min + gapMs)
     }
@@ -735,7 +743,7 @@ object Streams {
       val sessions = if (open.exists()) open.get().toSeq else Seq.empty
       val (done, still) = sessions.partition(s => s.lastSeen + gapMs <= wm)
       if (still.isEmpty) open.clear() else open.put(still.toArray)
-      rearm(still)
+      rearm(still, info.getExpiryTimeInMs())
       done.sortBy(_.start).map(close(key, _)).iterator
     }
   }
@@ -785,19 +793,25 @@ object Streams {
         org.apache.spark.sql.Encoders.product[FunnelPend],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
-    private def rearm(still: Seq[FunnelPend]): Unit = {
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
+    /** `expired` skips the just-fired timer (already consumed by Spark;
+      * re-deleting logs a spurious TimerStateImpl warning — see
+      * TwsSessionProcessor.rearm). */
+    private def rearm(still: Seq[FunnelPend],
+                      expired: Long = Long.MinValue): Unit = {
+      getHandle.listTimers().foreach { t =>
+        val ts = t.asInstanceOf[Long]
+        if (ts != expired) getHandle.deleteTimer(ts)
+      }
       if (still.nonEmpty) getHandle.registerTimer(still.map(_.ts).min + 1L)
     }
-    private def foldReady(key: Long, wm: Long,
-                          incoming: Seq[FunnelPend]): Iterator[FunnelOut] = {
+    private def foldReady(key: Long, wm: Long, incoming: Seq[FunnelPend],
+                          expired: Long = Long.MinValue): Iterator[FunnelOut] = {
       val all = (if (pending.exists()) pending.get().toSeq else Seq.empty) ++ incoming
       // an event with ts >= wm may still be preceded by a late arrival —
       // only strictly-passed events are final
       val (ready, still) = all.partition(_.ts < wm)
       if (still.isEmpty) pending.clear() else pending.put(still.toArray)
-      rearm(still)
+      rearm(still, expired)
       if (ready.isEmpty) Iterator.empty
       else {
         var st = if (folded.exists()) folded.get()
@@ -831,7 +845,8 @@ object Streams {
                                     tv: org.apache.spark.sql.streaming.TimerValues,
                                     info: org.apache.spark.sql.streaming.ExpiredTimerInfo
                                    ): Iterator[FunnelOut] =
-      foldReady(key, tv.getCurrentWatermarkInMs(), Seq.empty)
+      foldReady(key, tv.getCurrentWatermarkInMs(), Seq.empty,
+        info.getExpiryTimeInMs())
   }
 
   /** [[TwsFunnelProcessor]] wired to a watermarked step-event stream;
