@@ -295,9 +295,10 @@ object Stats {
     require(k > 1, "k must be > 1")
     val per = df.groupBy(col(partCol), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
-    // one extra tiny shuffle on partCol; the threshold join is
-    // broadcast-sized (one row per period)
-    val n = df.groupBy(col(partCol)).agg(count(lit(1)).as("__n"))
+    // N_p comes from the per-key counts themselves (Σ cnt per period) —
+    // a (periods × keys)-sized re-aggregate, NOT a second corpus scan;
+    // the threshold join is broadcast-sized (one row per period)
+    val n = per.groupBy(col(partCol)).agg(sum(col("cnt")).as("__n"))
     per.join(broadcast(n), Seq(partCol))
       .filter(col("cnt") * k > col("__n"))
       .select(col(partCol), col(keyCol), col("cnt"))
