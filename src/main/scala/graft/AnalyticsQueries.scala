@@ -19,6 +19,51 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Shared batch twin + verdict for the sessionization gates (w19
+    * declarative session_window, w21 event-time timers — both face the
+    * SAME DuckDB oracle): the lag/cumsum gap split over raw events in
+    * the millisecond domain, sessions keyed by (user_id, start), a
+    * full-outer equality verdict, the shared 30-minute gap. One
+    * implementation so the gap semantics and the 2e-4 double-sum
+    * tolerance can never drift between the gates.
+    * `live` must carry (user_id, session_start_ms, n_events,
+    * total_value). (user_id, session_start_ms) is unique on both sides
+    * by construction — a session set keyed by start — so the count
+    * full-outer is not dup-blind here. */
+  private def sessionGapVerdict(s: SparkSession, dir: String,
+                                live: DataFrame): DataFrame = {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = t(s, dir, "events")
+      .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
+        $"event_id", coalesce($"value", lit(0.0)).as("value"))
+      .withColumn("__prev", lag($"ts_ms", 1).over(w))
+      .withColumn("__new",
+        when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum($"__new").over(cum))
+      .groupBy($"user_id", $"__sid")
+      .agg(min($"ts_ms").as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("total_value"))
+    val eq = live.select($"user_id", $"session_start_ms",
+        $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
+      .withColumn("__l", lit(1))
+      .join(batch.select($"user_id", $"session_start_ms",
+          $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
+          .withColumn("__b", lit(1)),
+        Seq("user_id", "session_start_ms"), "full")
+      .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
+        count(when($"__ne_l" === $"__ne_b" &&
+          abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
+    live.crossJoin(broadcast(eq))
+      .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
+        ($"__nl" === $"__nb" && $"__neq" === $"__nl")
+          .as("streaming_equals_batch"))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.t(s, dir, name)
 
@@ -620,35 +665,7 @@ object AnalyticsQueries {
           $"n_events", round($"total_value", 4).as("total_value"))
       // batch twin: w10's gap-split sessionization in the same ms domain
       // (split on diff > gap — the merge-at-exactly-gap semantics above)
-      val gapMs = 30L * 60 * 1000
-      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val batch = t(s, dir, "events")
-        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
-          $"event_id", coalesce($"value", lit(0.0)).as("value"))
-        .withColumn("__prev", lag($"ts_ms", 1).over(w))
-        .withColumn("__new",
-          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
-            .otherwise(0L))
-        .withColumn("__sid", sum($"__new").over(cum))
-        .groupBy($"user_id", $"__sid")
-        .agg(min($"ts_ms").as("session_start_ms"),
-          count(lit(1)).as("n_events"),
-          round(sum($"value"), 4).as("total_value"))
-      val eq = live.select($"user_id", $"session_start_ms",
-          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
-        .withColumn("__l", lit(1))
-        .join(batch.select($"user_id", $"session_start_ms",
-            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
-            .withColumn("__b", lit(1)),
-          Seq("user_id", "session_start_ms"), "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__ne_l" === $"__ne_b" &&
-            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
-      live.crossJoin(broadcast(eq))
-        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+      sessionGapVerdict(s, dir, live)
     }),
 
     // W20: LIVE WATERMARKED WINDOW ROLLUP in the gate (round 12) — the
@@ -959,110 +976,7 @@ object AnalyticsQueries {
       val live = s.read.parquet(out).filter($"user_id" =!= -1L)
         .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
           $"n_events", round($"total_value", 4).as("total_value"))
-      val gapMs = 30L * 60 * 1000
-      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val batch = t(s, dir, "events")
-        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
-          $"event_id", coalesce($"value", lit(0.0)).as("value"))
-        .withColumn("__prev", lag($"ts_ms", 1).over(w))
-        .withColumn("__new",
-          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
-            .otherwise(0L))
-        .withColumn("__sid", sum($"__new").over(cum))
-        .groupBy($"user_id", $"__sid")
-        .agg(min($"ts_ms").as("session_start_ms"),
-          count(lit(1)).as("n_events"),
-          round(sum($"value"), 4).as("total_value"))
-      val eq = live.select($"user_id", $"session_start_ms",
-          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
-        .withColumn("__l", lit(1))
-        .join(batch.select($"user_id", $"session_start_ms",
-            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
-            .withColumn("__b", lit(1)),
-          Seq("user_id", "session_start_ms"), "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__ne_l" === $"__ne_b" &&
-            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
-      live.crossJoin(broadcast(eq))
-        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
-    }),
-
-    // W23: DECLARATIVE SESSION_WINDOW in the gate (round 12 — flips the
-    // last spec-only sessionization row): Spark's gap-merge
-    // session_window aggregate, the THIRD independent sessionizer to
-    // face the SAME oracle — w19 (engine windowed-agg state), w21
-    // (first-class per-key timers), and now the declarative gap-merge —
-    // all three must land on the identical session set DuckDB recomputes
-    // from raw events with a lag/cumsum gap split. Same ingest
-    // discipline as w21: one real file (nothing late under the 0-second
-    // delay), two far-future flush rows advance the watermark past every
-    // real session's end+gap so Append mode seals them; the flush user's
-    // own unsealed session stays in state and is filtered. Verdict =
-    // full-outer equality vs the batch gap-split twin.
-    "w23_live_session_window" -> ((s, dir) => {
-      import s.implicits._
-      import graft.streaming.Streams
-      val tmp = TrainingQueries.Scratch.dir(s, "w23_stream")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(tmp))
-      val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
-      val ev = t(s, dir, "events").select($"user_id",
-        expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
-        coalesce($"value", lit(0.0)).as("value"))
-      ev.coalesce(1).write.mode("overwrite").parquet(src)
-      val schema = s.read.parquet(src).schema
-      def flush(tsStr: String): Unit =
-        Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
-          .toDF("user_id", "ts", "value").coalesce(1)
-          .write.mode("append").parquet(src)
-      graft.streaming.Streams.withGateStreamConfs(s) {
-        def run(): Unit = Streams.runAvailableNow(
-          Streams.sessionWindowCounts(
-            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
-            "ts", "user_id", gap = "30 minutes", watermark = "0 seconds"),
-          out, ckpt)
-        run()
-        flush("2099-01-01 00:00:00")
-        flush("2099-01-02 00:00:00")
-        run()
-      }
-      val live = s.read.parquet(out).filter($"user_id" =!= -1L)
-        .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
-          $"n_events", round($"total_value", 4).as("total_value"))
-      val gapMs = 30L * 60 * 1000
-      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
-      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val batch = t(s, dir, "events")
-        .select($"user_id", expr("CAST(ts AS BIGINT) div 1000000").as("ts_ms"),
-          $"event_id", coalesce($"value", lit(0.0)).as("value"))
-        .withColumn("__prev", lag($"ts_ms", 1).over(w))
-        .withColumn("__new",
-          when($"__prev".isNull || ($"ts_ms" - $"__prev") > gapMs, 1L)
-            .otherwise(0L))
-        .withColumn("__sid", sum($"__new").over(cum))
-        .groupBy($"user_id", $"__sid")
-        .agg(min($"ts_ms").as("session_start_ms"),
-          count(lit(1)).as("n_events"),
-          round(sum($"value"), 4).as("total_value"))
-      val eq = live.select($"user_id", $"session_start_ms",
-          $"n_events".as("__ne_l"), $"total_value".as("__tv_l"))
-        .withColumn("__l", lit(1))
-        .join(batch.select($"user_id", $"session_start_ms",
-            $"n_events".as("__ne_b"), $"total_value".as("__tv_b"))
-            .withColumn("__b", lit(1)),
-          Seq("user_id", "session_start_ms"), "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__ne_l" === $"__ne_b" &&
-            abs($"__tv_l" - $"__tv_b") <= 2e-4, 1)).as("__neq"))
-      live.crossJoin(broadcast(eq))
-        .select($"user_id", $"session_start_ms", $"n_events", $"total_value",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+      sessionGapVerdict(s, dir, live)
     }),
 
     // C3: BATCH→STREAMING MIGRATION in the gate (round 12) — the
@@ -1335,15 +1249,18 @@ object AnalyticsQueries {
       val live = s.read.parquet(out).select($"doc_id", $"lang", $"source")
       val batch = docs.filter($"doc_id" * 2 > maxId)
         .select($"doc_id".as("__id_b"))
-      val eq = live.select($"doc_id").withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1)),
-          $"doc_id" === $"__id_b", "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      // group the LIVE side by key first: a full outer against raw live
+      // rows is blind to DUPLICATE emissions (each dup matches the one
+      // batch row and the counts still agree) — the exact failure this
+      // gate exists to catch. One row per key with __c = 1 is the
+      // contract; any dup (__c > 1) or miss (null side) fails.
+      val eq = live.groupBy($"doc_id").agg(count(lit(1)).as("__c"))
+        .join(batch, $"doc_id" === $"__id_b", "full")
+        .agg((count(when($"doc_id".isNull || $"__id_b".isNull ||
+          $"__c" =!= 1, 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"doc_id", $"lang", $"source",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // O20: LIVE EXACTLY-ONCE DEDUP in the gate (round 12) — the
@@ -1385,15 +1302,17 @@ object AnalyticsQueries {
       val live = s.read.parquet(out).select($"event_id", $"user_id",
         unix_millis($"ts").as("ts_ms"), $"event_type")
       val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
-      val eq = live.select($"event_id").withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1)),
-          $"event_id" === $"__id_b", "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      // grouped-live verdict (not raw full-outer): duplicate emissions —
+      // the failure mode a dedup gate exists to catch — would each match
+      // the one batch row and leave raw counts equal; __c = 1 per key is
+      // the real exactly-once contract
+      val eq = live.groupBy($"event_id").agg(count(lit(1)).as("__c"))
+        .join(batch, $"event_id" === $"__id_b", "full")
+        .agg((count(when($"event_id".isNull || $"__id_b".isNull ||
+          $"__c" =!= 1, 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"event_id", $"user_id", $"ts_ms", $"event_type",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // T31: LIVE DRIFT MONITOR in the gate (round 12) — the per-batch
@@ -1501,15 +1420,15 @@ object AnalyticsQueries {
       val live = s.read.parquet(out)
         .select($"event_id", $"user_id", $"event_type")
       val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
-      val eq = live.select($"event_id").withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1)),
-          $"event_id" === $"__id_b", "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      // grouped-live verdict: see o20 — raw full-outer counts cannot see
+      // a duplicate emission, which is precisely what this gate guards
+      val eq = live.groupBy($"event_id").agg(count(lit(1)).as("__c"))
+        .join(batch, $"event_id" === $"__id_b", "full")
+        .agg((count(when($"event_id".isNull || $"__id_b".isNull ||
+          $"__c" =!= 1, 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"event_id", $"user_id", $"event_type",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // O22: CHECKPOINT RESTART-RESUME in the gate (round 12) — the one
@@ -1558,16 +1477,16 @@ object AnalyticsQueries {
       val live = s.read.parquet(out)
         .select($"event_id", $"user_id", $"event_type")
       val batch = t(s, dir, "events").select($"event_id".as("__id_b"))
-      val eq = live.select($"event_id").withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1)),
-          $"event_id" === $"__id_b", "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__l" === 1 && $"__b" === 1, 1)).as("__neq"))
+      // grouped-live verdict: see o20 — a lost-state re-emission would
+      // leave raw full-outer counts equal; __c = 1 per key is the contract
+      val eq = live.groupBy($"event_id").agg(count(lit(1)).as("__c"))
+        .join(batch, $"event_id" === $"__id_b", "full")
+        .agg((count(when($"event_id".isNull || $"__id_b".isNull ||
+          $"__c" =!= 1, 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"event_id", $"user_id", $"event_type",
           lit(n2 == n1 && n1 > 0).as("state_survived_restart"),
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // O17: LIVE CDC SNAPSHOT in the gate (round 12, r11 verdict "do
@@ -2200,25 +2119,6 @@ object AnalyticsQueries {
     // deliberately identical to w19's oracle: two independent stateful
     // engines (event-time timers vs session_window) against one recompute
     "w21_live_timer_sessions" ->
-      """WITH o AS (
-           SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
-                  coalesce(value, 0) AS value FROM events),
-         g AS (
-           SELECT *, CASE WHEN lag(tms) OVER w IS NULL
-                            OR tms - lag(tms) OVER w > 1800000
-                          THEN 1 ELSE 0 END AS new_sess
-           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
-         s AS (
-           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-                     ORDER BY tms, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS sid
-           FROM g)
-         SELECT user_id, min(tms) AS session_start_ms, count(*) AS n_events,
-                round(sum(value), 4) AS total_value,
-                true AS streaming_equals_batch
-         FROM s GROUP BY user_id, sid""",
-    "w23_live_session_window" ->
       """WITH o AS (
            SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id,
                   coalesce(value, 0) AS value FROM events),

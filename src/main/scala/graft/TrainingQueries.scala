@@ -2242,10 +2242,16 @@ object TrainingQueries {
       import s.implicits._
       import graft.functions.Stats
       val k = 60
+      // persisted: words feeds five consumers (partials write, stats
+      // write, exact counts, both direct-twin recomputes) and the
+      // normalize+explode over documents is the expensive part — one
+      // materialization instead of five scans (Bench clears caches
+      // between queries)
       val words = t(s, dir, "documents")
         .select(coalesce($"lang", lit("__null__")).as("lang"),
           explode(split(Text.normalize($"text"), " ")).as("word"))
         .filter(length($"word") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tmp = Scratch.dir(s, "k14_hh")
       graft.sources.Sinks.overwritePartitions(
         Stats.heavyHitterPartials(words, "word", "lang", k)

@@ -257,17 +257,22 @@ case class IvfAssign(child: Expression, seeds: Array[Array[Double]],
       // insertion into the sorted top-m. Candidates scan in ascending id
       // and the shift comparison is STRICT, so on equal distance the
       // earlier (lower) id stays ahead and a boundary tie never evicts —
-      // identical to sortBy((dist, 1-based id)).take(m).
+      // identical to sortBy((dist, 1-based id)).take(m). Comparisons go
+      // through Double.compare, the TOTAL order Scala's sortBy uses:
+      // primitive </> are always false against NaN, which would let a
+      // NaN distance (cos of an Inf/NaN vector) squat in a top-m slot
+      // and corrupt the ordering; under total order NaN ranks greater
+      // than +Infinity, exactly as the replaced UDF ranked it.
       if (filled < m) {
         var pos = filled
-        while (pos > 0 && bestD(pos - 1) > d) {
+        while (pos > 0 && java.lang.Double.compare(bestD(pos - 1), d) > 0) {
           bestD(pos) = bestD(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
         }
         bestD(pos) = d; bestId(pos) = c + 1
         filled += 1
-      } else if (d < bestD(m - 1)) {
+      } else if (java.lang.Double.compare(d, bestD(m - 1)) < 0) {
         var pos = m - 1
-        while (pos > 0 && bestD(pos - 1) > d) {
+        while (pos > 0 && java.lang.Double.compare(bestD(pos - 1), d) > 0) {
           bestD(pos) = bestD(pos - 1); bestId(pos) = bestId(pos - 1); pos -= 1
         }
         bestD(pos) = d; bestId(pos) = c + 1

@@ -950,24 +950,7 @@ object Streams {
       (batch, ref) => graft.functions.Stats.psiByCategory(ref, batch, catCol),
       outPath, checkpoint)
 
-  /** LIVE ANN-INDEX INGEST: maintain an at-rest IVF member table from a
-    * stream of embedding batches. Each micro-batch is assigned against the
-    * FROZEN `centroids` (the [[graft.functions.Similarity.ivfIndexWith]]
-    * map-side argmax — no shuffle) and written under its own
-    * `batch_id=<n>/list_id=<m>/` partition tree, so a batch replayed after
-    * a crash OVERWRITES itself — exactly-once without a transaction log,
-    * same posture as [[runRefreshedAvailableNow]]. Probes read the root
-    * path: partition discovery surfaces both levels and a
-    * `list_id IN (...)` probe filter ([[graft.functions.Similarity.topKIvfPruned]])
-    * prunes list directories inside every batch directory, so probe I/O
-    * stays proportional to nProbe/nLists of the INGESTED total regardless
-    * of how many batches built it. Assignment is a pure function of
-    * (vector, centroids), so the streamed table equals the batch-built
-    * one exactly — the s20 gate asserts it. At 100 TB the same runner
-    * points at the production member-table root; compaction of
-    * per-batch files into the base layout is [[graft.sources.Sinks.compactTo]]
-    * offline, never blocking ingest. */
-  /** Pin the session confs the driver-gate streaming queries use —
+ /** Pin the session confs the driver-gate streaming queries use —
     * the RocksDB state store plus a NARROW state-partition count — run
     * `body`, restore previous values. Stateful availableNow gates carry
     * tiny per-key state, so the session default of 32 shuffle partitions
@@ -992,6 +975,23 @@ object Streams {
     }
   }
 
+  /** LIVE ANN-INDEX INGEST: maintain an at-rest IVF member table from a
+    * stream of embedding batches. Each micro-batch is assigned against the
+    * FROZEN `centroids` (the [[graft.functions.Similarity.ivfIndexWith]]
+    * map-side argmax — no shuffle) and written under its own
+    * `batch_id=<n>/list_id=<m>/` partition tree, so a batch replayed after
+    * a crash OVERWRITES itself — exactly-once without a transaction log,
+    * same posture as [[runRefreshedAvailableNow]]. Probes read the root
+    * path: partition discovery surfaces both levels and a
+    * `list_id IN (...)` probe filter ([[graft.functions.Similarity.topKIvfPruned]])
+    * prunes list directories inside every batch directory, so probe I/O
+    * stays proportional to nProbe/nLists of the INGESTED total regardless
+    * of how many batches built it. Assignment is a pure function of
+    * (vector, centroids), so the streamed table equals the batch-built
+    * one exactly — the s20 gate asserts it. At 100 TB the same runner
+    * points at the production member-table root; compaction of
+    * per-batch files into the base layout is [[graft.sources.Sinks.compactTo]]
+    * offline, never blocking ingest. */
   def runIvfAppendAvailableNow(stream: DataFrame, idCol: String,
                                vecCol: String, centroids: DataFrame,
                                path: String, checkpoint: String): Unit = {

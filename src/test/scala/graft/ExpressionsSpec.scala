@@ -129,6 +129,8 @@ class ExpressionsSpec extends SparkSpec {
     }
     val vecs = Seq.fill(200)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++
       Seq(Seq.fill(dim)(0.0)) ++                 // zero vector: all cos = 0, pure id tie-break
+      Seq(Seq.fill(dim)(Double.PositiveInfinity), // NaN distances: total order
+        Double.NaN +: Seq.fill(dim - 1)(1.0)) ++  //   must rank them LAST (sortBy semantics)
       seeds.toSeq.map(_.toSeq)                   // exact centroid hits
     val df = vecs.toDF("v")
     for (nProbe <- Seq(1, 3, 6, 9)) {
