@@ -805,16 +805,17 @@ object AnalyticsQueries {
       val batch = v.join(p, $"user_id" === $"__puid" &&
           $"__pms" >= $"__vms" && $"__pms" <= $"__vms" + lit(1800000L))
         .select($"view_id", $"purchase_id", ($"__pms" - $"__vms").as("__lag_b"))
-      val eq = live.select($"view_id", $"purchase_id",
-          $"lag_ms".as("__lag_l")).withColumn("__l", lit(1))
-        .join(batch.withColumn("__b", lit(1)),
-          Seq("view_id", "purchase_id"), "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__lag_l" === $"__lag_b", 1)).as("__neq"))
+      // grouped-live verdict (o20's discipline): "every pair found
+      // EXACTLY once" is this gate's core claim — a raw full-outer's
+      // counts stay equal when a pair is emitted twice
+      val eq = live.groupBy($"view_id", $"purchase_id")
+        .agg(count(lit(1)).as("__c"), min($"lag_ms").as("__lag_l"))
+        .join(batch, Seq("view_id", "purchase_id"), "full")
+        .agg((count(when($"__c".isNull || $"__lag_b".isNull ||
+          $"__c" =!= 1 || $"__lag_l" =!= $"__lag_b", 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"user_id", $"view_id", $"purchase_id", $"lag_ms",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("streaming_equals_batch"))
+          $"__ok".as("streaming_equals_batch"))
     }),
 
     // T29: LIVE DETERMINISTIC BOTTOM-K SAMPLE in the gate (round 12) —
@@ -1148,17 +1149,18 @@ object AnalyticsQueries {
         .select($"o_orderkey", $"c_custkey",
           when($"o_orderkey" % 2 === 0, $"c_name")
             .otherwise(concat(lit("v2_"), $"c_name")).as("__name_b"))
-      val eq = live.select($"o_orderkey", $"c_name".as("__name_l"))
-        .withColumn("__l", lit(1))
-        .join(batch.select($"o_orderkey", $"__name_b")
-            .withColumn("__b", lit(1)),
+      // grouped-live verdict (o20's discipline): exactly ONE enriched
+      // row per fact — a replayed batch appending duplicates would slip
+      // past raw full-outer counts
+      val eq = live.groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("__c"), min($"c_name").as("__name_l"))
+        .join(batch.select($"o_orderkey", $"__name_b"),
           Seq("o_orderkey"), "full")
-        .agg(count($"__l").as("__nl"), count($"__b").as("__nb"),
-          count(when($"__name_l" === $"__name_b", 1)).as("__neq"))
+        .agg((count(when($"__c".isNull || $"__name_b".isNull ||
+          $"__c" =!= 1 || $"__name_l" =!= $"__name_b", 1)) === 0).as("__ok"))
       live.crossJoin(broadcast(eq))
         .select($"o_orderkey", $"c_custkey", $"c_name",
-          ($"__nl" === $"__nb" && $"__neq" === $"__nl")
-            .as("dim_refresh_seen"))
+          $"__ok".as("dim_refresh_seen"))
     }),
 
     // W22: LIVE DATA-CONTRACT MONITOR in the gate (round 12) — the
