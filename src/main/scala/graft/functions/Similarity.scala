@@ -656,6 +656,18 @@ object Similarity {
       nProbe, memberAssign)
   }
 
+  /** Does the ceil(sqrt(N)) list floor bind, i.e. is N > cap (= nLists²)?
+    * Decided by a LocalLimit-bounded count that stops producing rows at
+    * cap+1 per partition instead of scanning the corpus. Round-12 ADVICE
+    * fix: for nLists >= 46341, cap+1 overflows a limit() Int and the
+    * clamped limit could never exceed cap, silently unbinding the floor —
+    * above the clamp we fall back to the exact count (the caller asked for
+    * a >2-billion-pair regime, so one pass is the cheap part). */
+  private[graft] def sqrtFloorBinds(spread: DataFrame, cap: Long,
+                                    exactN: => Long): Boolean =
+    if (cap + 1 > Int.MaxValue.toLong) exactN > cap
+    else spread.limit((cap + 1).toInt).count() > cap
+
   /** COST-BOUNDED blocked kNN graph — [[knnGraphBlocked]] with the probe
     * budget DERIVED, not hardcoded: after training, the home-list
     * occupancy histogram (one nLists-row aggregate — already driver-sized)
@@ -696,9 +708,7 @@ object Similarity {
       if (maxCandidatesPerVector > 0)
         math.max(nLists, math.ceil(math.sqrt(exactN.toDouble)).toInt)
       else {
-        val cap = nLists.toLong * nLists
-        val floorBinds =
-          spread.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count() > cap
+        val floorBinds = sqrtFloorBinds(spread, nLists.toLong * nLists, exactN)
         if (floorBinds)
           math.max(nLists, math.ceil(math.sqrt(exactN.toDouble)).toInt)
         else nLists

@@ -297,9 +297,14 @@ object Stats {
       .agg(count(lit(1)).as("cnt"))
     // N_p comes from the per-key counts themselves (Σ cnt per period) —
     // a (periods × keys)-sized re-aggregate, NOT a second corpus scan;
-    // the threshold join is broadcast-sized (one row per period)
+    // the threshold join is broadcast-sized (one row per period).
+    // The join is NULL-SAFE (<=>): a NULL period is a legal group for the
+    // groupBy above, and an equi-join would silently drop every one of its
+    // keys — violating the pigeonhole completeness envelope for callers
+    // whose stats table still counts that period's rows (round-12 ADVICE).
     val n = per.groupBy(col(partCol)).agg(sum(col("cnt")).as("__n"))
-    per.join(broadcast(n), Seq(partCol))
+      .withColumnRenamed(partCol, "__p")
+    per.join(broadcast(n), col(partCol) <=> col("__p"))
       .filter(col("cnt") * k > col("__n"))
       .select(col(partCol), col(keyCol), col("cnt"))
   }

@@ -733,9 +733,20 @@ object Text {
     // tombstones are present (their dl sum is an aggregate, kept in-plan)
     val st = tombstones match {
       case Some(tomb) =>
-        tomb.agg(count(lit(1)).cast("double").as("__tc"),
+        // Round-12 ADVICE hardening: a duplicated tombstone row would
+        // double-subtract its dl and over-decrement N (skewing every
+        // surviving score), and tombstoning the whole corpus would yield
+        // 0/0 → null avgdl → silently null scores. Dedup on doc_id first,
+        // then fail loudly (hybridRerank's raise_error posture) when the
+        // adjusted corpus is empty.
+        val tombU = tomb.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        tombU.agg(count(lit(1)).cast("double").as("__tc"),
             coalesce(sum(col("dl")), lit(0.0)).as("__tdl"))
-          .select((lit(n0) - col("__tc")).as("__n"),
+          .select(
+            when(lit(n0) - col("__tc") > 0.0, lit(n0) - col("__tc"))
+              .otherwise(raise_error(concat(
+                lit("bm25TopKFromIndex: tombstones cover the whole corpus (adjusted n_docs = "),
+                (lit(n0) - col("__tc")).cast("string"), lit(")")))).as("__n"),
             ((lit(n0 * avgdl0) - col("__tdl")) / (lit(n0) - col("__tc")))
               .as("__avgdl"))
       case None =>

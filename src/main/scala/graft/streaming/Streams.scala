@@ -237,6 +237,8 @@ object Streams {
                            keyCol: String, tsCol: String,
                            beforeMs: Long, afterMs: Long, bucketMs: Long,
                            watermark: String = "1 hour"): DataFrame = {
+    require(bucketMs > 0,
+      "bucketMs must be > 0 (a zero width divides-by-zero into null bucket keys)")
     require(bucketMs >= math.max(beforeMs, afterMs),
       "bucket width must cover the larger range bound, or pairs span >1 bucket")
     require(beforeMs >= 0 && afterMs >= 0, "range bounds must be non-negative")

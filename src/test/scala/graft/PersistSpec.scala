@@ -276,6 +276,34 @@ class PersistSpec extends SparkSpec {
       "tombstoned doc surfaced in the probe")
   }
 
+  test("bm25 tombstones: duplicate rows dedup'd, full-corpus tombstoning raises (round-12 ADVICE)") {
+    import graft.functions.Text
+    val docs = Seq((1L, "spark shuffles data"), (2L, "spark joins tables"),
+      (3L, "ducks swim fast"), (4L, "spark caches frames"))
+      .toDF("doc_id", "text")
+    val path = tmp("bm25tombguard")
+    Text.saveBm25Index(docs, "text", "doc_id", path, nBuckets = 8)
+    val postings = spark.read.parquet(s"$path/postings")
+    val stats = spark.read.parquet(s"$path/stats")
+    val tombOnce = Seq((3L, 3.0)).toDF("doc_id", "dl")
+    // a CDC feed can redeliver the same delete: the duplicated tombstone
+    // must not double-subtract dl / over-decrement N
+    val tombDup = tombOnce.union(tombOnce).union(tombOnce)
+    def scores(t: org.apache.spark.sql.DataFrame) =
+      Text.bm25TopKFromIndex(postings, stats, Seq("spark"), k = 10,
+          tombstones = Some(t))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(scores(tombOnce) == scores(tombDup))
+    // tombstoning every doc: loud in-plan failure, not null scores
+    val tombAll = docs.select($"doc_id",
+      lit(3.0).as("dl")).union(tombOnce)
+    val ex = intercept[Exception] { scores(tombAll) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("tombstones cover the whole corpus")),
+      msgs(ex).mkString("|"))
+  }
+
   test("t28 gate query: maintained index ≡ rebuild on survivors; tombstones absent") {
     val rows = SparkEntry.queries("t28_bm25_maintenance")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -620,4 +620,33 @@ class RunnerSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(mergedSub == directSub)
   }
+
+  test("heavy-hitter partials keep a NULL period's keys (null-safe threshold join)") {
+    import graft.functions.Stats
+    import org.apache.spark.sql.functions._
+    // one NULL-period group: 30 of 40 rows are key "hot" → clears k=3
+    val rows = Seq.fill(30)((null: String, "hot")) ++
+      (1 to 10).map(i => (null: String, s"cold_$i")) ++
+      Seq.fill(20)(("p1", "hot"))
+    val df = rows.toDF("period", "key")
+    val partials = Stats.heavyHitterPartials(df, "key", "period", 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2)))
+    // pre-fix, the equi-join dropped the whole null period; now "hot"
+    // must surface in BOTH periods with its exact per-period counts
+    assert(partials.contains((None, "hot", 30L)), partials.toSeq)
+    assert(partials.contains((Some("p1"), "hot", 20L)), partials.toSeq)
+    // and the space bound still holds within the null period
+    assert(partials.count(_._1.isEmpty) < 3)
+  }
+
+  test("sqrtFloorBinds: bounded count below the Int clamp, exact count above it") {
+    import graft.functions.Similarity
+    val df = (1 to 10).map(i => (i.toLong, Seq(i.toDouble))).toDF("id", "v")
+    // small cap: 10 rows > cap 4 → binds, via the limit(5) path
+    assert(Similarity.sqrtFloorBinds(df, 4L, sys.error("exactN must not be forced")))
+    // cap >= Int.MaxValue (nLists >= 46341): the limit() clamp can never
+    // exceed cap — must consult exactN instead of silently returning false
+    assert(!Similarity.sqrtFloorBinds(df, Int.MaxValue.toLong, 10L))
+    assert(Similarity.sqrtFloorBinds(df, Int.MaxValue.toLong, Int.MaxValue.toLong + 5L))
+  }
 }

@@ -698,6 +698,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap == Map(1L -> 9.99, 4L -> 7.5), s"got ${got.mkString(",")}")
   }
 
+  test("intervalJoinBucketed rejects bucketMs = 0 loudly (round-12 ADVICE)") {
+    // beforeMs = afterMs = 0 used to satisfy bucketMs >= max(before, after)
+    // with bucketMs = 0, dividing-by-zero into null bucket keys and an
+    // empty join instead of a loud failure
+    val df = spark.readStream.format("rate").load()
+      .withColumnRenamed("timestamp", "ts").withColumn("user_id", $"value")
+    val ex = intercept[IllegalArgumentException] {
+      Streams.intervalJoinBucketed(df, df, "user_id", "ts",
+        beforeMs = 0L, afterMs = 0L, bucketMs = 0L)
+    }
+    assert(ex.getMessage.contains("bucketMs must be > 0"))
+  }
+
   test("dedupWithinWatermark drops re-stamped duplicates that exact dedup keeps") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedupwm").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
