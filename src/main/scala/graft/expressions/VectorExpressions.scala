@@ -294,3 +294,124 @@ case class IvfAssign(child: Expression, seeds: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Product-quantization code assignment as a NATIVE expression — the
+  * squared-L2 argmin of a sub-vector over its subspace codebook (ties →
+  * lowest code), the map-side kernel of every [[graft.functions.Similarity.pqTrain]]
+  * Lloyd step and of PQ encoding at index-build time. Replaces the boxed
+  * `udf((sub, sv) => pqNearest(...))` whose per-row cost was dominated by
+  * materializing `Seq[Double]` (the same shape [[IvfAssign]] eliminated
+  * for IVF assignment): here the distance loop reads `ArrayData`
+  * directly and whole-stage codegen keeps the surrounding projection
+  * fused. Math is ORDER-IDENTICAL to the replaced `pqNearest` — strict
+  * `<` comparison seeded at Double.MaxValue, first-best-wins on ties —
+  * so trained codebooks (and every s8/s9 hash gate downstream) are
+  * bit-identical across the swap. The full m-subspace codebook rides
+  * along as a bound literal (m·k·(dim/m) doubles — one vector's worth
+  * per codeword, driver-sized like the broadcast the UDF closed over).
+  */
+case class PqAssign(left: Expression, right: Expression,
+                    books: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PqAssign needs a non-empty codebook per subspace")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int subspace, array<double> sub-vector), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_assign"
+
+  /** The compiled kernel, shared by interpreted eval and codegen. */
+  def assign(sub: Int, sv: ArrayData): Int = {
+    val book = books(sub)
+    val len = sv.numElements()
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < book.length) {
+      val cv = book(c); var d = 0.0; var i = 0
+      val n = math.min(cv.length, len)
+      while (i < n) { val t = sv.getDouble(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    assign(a.asInstanceOf[Int], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAssign", this, classOf[PqAssign].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.assign($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Full PQ encoding as ONE native expression: all `m` sub-codes of a
+  * vector (`array<int>`, values in [0, k)) in a single pass — no
+  * per-subspace `slice` allocation, no boxed `Seq[Double]`. This is the
+  * PQ twin of [[IvfAssign]] for the ENCODE hot path: at index-build
+  * time every corpus vector runs through it exactly once, so at 100 TB
+  * it is the most-executed PQ kernel in the engine. Per subspace the
+  * distance loop is the same strict-`<`/Double.MaxValue argmin as
+  * [[PqAssign]] (ties → lowest code), reading the sub-vector in place
+  * via an element offset — bit-identical codes to the sliced UDF form
+  * it replaces (s8/s9 hash gates must not move). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PqEncode needs a non-empty codebook per subspace")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  /** The compiled kernel, shared by interpreted eval and codegen. */
+  def encode(v: ArrayData): ArrayData = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val len = v.numElements()
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < book.length) {
+        val cv = book(c); var d = 0.0; var i = 0
+        // matches slice-then-argmin: the slice clamps at the vector end,
+        // so the comparison loop runs over min(dsub, len - off) elements
+        val n = math.min(cv.length, math.max(0, len - off))
+        while (i < n) { val t = v.getDouble(off + i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    encode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1056,10 +1056,14 @@ object Similarity {
     if (iters > 1) subs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(books)
-      val assign = udf((sub: Int, sv: Seq[Double]) => pqNearest(bc.value(sub), sv.toArray))
+      // Round-13: assignment is the native codegen PqAssign expression
+      // (the IvfAssign precedent) — the boxed (Int, Seq[Double]) UDF is
+      // gone from the Lloyd step; codebooks bind as a driver-sized
+      // literal exactly like the broadcast the UDF closed over, and the
+      // kernel is order-identical to pqNearest (bit-equal codebooks).
       val updates = subs
-        .withColumn("code", assign(col("sub"), col("sv")))
+        .withColumn("code", asCol(graft.expressions.PqAssign(
+          asExpr(col("sub")), asExpr(col("sv")), books)))
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(avg(col("x")).as("mu"))
@@ -1075,8 +1079,11 @@ object Similarity {
     books
   }
 
-  /** Squared-L2 argmin over a subspace codebook (ties → lowest code). */
-  private def pqNearest(book: Array[Array[Double]], sv: Array[Double]): Int = {
+  /** Squared-L2 argmin over a subspace codebook (ties → lowest code).
+    * Retained as the REFERENCE kernel: ExpressionsSpec pins the native
+    * [[graft.expressions.PqAssign]]/[[graft.expressions.PqEncode]]
+    * expressions bit-for-bit against it (the IvfAssign discipline). */
+  private[graft] def pqNearest(book: Array[Array[Double]], sv: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < book.length) {
       val cv = book(c); var d = 0.0; var i = 0
@@ -1093,16 +1100,12 @@ object Similarity {
     * store compression that makes billion-vector ANN RAM-resident. One
     * map-side scan; codebooks broadcast. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
-    val dsub = books(0)(0).length
-    val bc = corpus.sparkSession.sparkContext.broadcast(books)
-    val enc = udf((v: Seq[Double]) => {
-      val x = v.toArray
-      (0 until m).map(s => pqNearest(bc.value(s), x.slice(s * dsub, (s + 1) * dsub)))
-    })
-    corpus.select(col(idCol), enc(asDouble(col(vecCol))).as("codes"))
-  }
+               books: Array[Array[Array[Double]]]): DataFrame =
+    // Round-13: one native PqEncode pass — all m sub-codes in a single
+    // codegen kernel, no per-subspace slice allocation, no boxed UDF
+    // (bit-identical codes to the sliced-UDF form; ExpressionsSpec pins it)
+    corpus.select(col(idCol), asCol(graft.expressions.PqEncode(
+      asExpr(asDouble(col(vecCol))), books)).as("codes"))
 
   /** IVF-PQ probe — the two scale paths composed, which is the standard
     * billion-vector recipe: IVF prunes WHICH rows are considered (only

@@ -156,4 +156,43 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_ivf_assign"), plan)
     assert(!plan.contains("ScalaUDF") && !plan.toLowerCase.contains("batchevalpython"), plan)
   }
+
+  test("PqAssign/PqEncode: bit-identical to the pqNearest reference kernel, codegen fused") {
+    import org.apache.spark.sql.GraftColumns.{column => asCol, expression => asExpr}
+    import graft.functions.Similarity
+    val rnd = new scala.util.Random(13)
+    val m = 4; val k = 5; val dsub = 3; val dim = m * dsub
+    val books = Array.fill(m, k)(Array.fill(dsub)(rnd.nextDouble() * 2 - 1))
+    // duplicated codeword in subspace 0: ties must pick the LOWEST code
+    books(0)(3) = books(0)(1).clone()
+    val vecs = Seq.fill(200)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Seq.fill(dim)(0.0)) ++
+      Seq(books(0)(1).toSeq ++ Seq.fill(dim - dsub)(0.5)) // exact codeword hit → tie with code 3
+    // PqAssign on pre-sliced sub-vectors ≡ pqNearest per (sub, slice)
+    val subRows = for (v <- vecs; s <- 0 until m)
+      yield (s, v.slice(s * dsub, (s + 1) * dsub))
+    val subDf = subRows.toDF("sub", "sv")
+    val gotAssign = subDf.select(asCol(graft.expressions.PqAssign(
+        asExpr(col("sub")), asExpr(col("sv")), books)).as("code"))
+      .collect().map(_.getInt(0)).toSeq
+    val wantAssign = subRows.map { case (s, sv) =>
+      Similarity.pqNearest(books(s), sv.toArray) }
+    assert(gotAssign == wantAssign)
+    // PqEncode on full vectors ≡ the sliced UDF form it replaced
+    val gotEnc = vecs.toDF("v")
+      .select(asCol(graft.expressions.PqEncode(asExpr(col("v")), books)).as("codes"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val wantEnc = vecs.map(v => (0 until m).map(s =>
+      Similarity.pqNearest(books(s), v.slice(s * dsub, (s + 1) * dsub).toArray)).toSeq)
+    assert(gotEnc == wantEnc)
+    // the exact-codeword tie row picked code 1, not its duplicate 3
+    assert(gotEnc.last.head == 1, gotEnc.last)
+    // plan purity: fused, no ScalaUDF left in the PQ path
+    val planDf = spark.range(100)
+      .select(array((0 until dim).map(i => (col("id") + i).cast("double")): _*).as("v"))
+      .select(asCol(graft.expressions.PqEncode(asExpr(col("v")), books)).as("codes"))
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_pq_encode"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }
