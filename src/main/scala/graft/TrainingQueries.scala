@@ -411,12 +411,17 @@ object TrainingQueries {
     // T5: greedy sequence packing — assign docs to fixed token-budget packs
     // per language (the context-window packing step of an LLM data
     // pipeline). pack_id = floor(tokens-before-this-doc / budget).
+    // Routed through packSequencesAuto (round-13): the corpus has ~5
+    // languages, so the gate now exercises the distributed prefix-scan
+    // form — the one a few-huge-groups 100 TB corpus would actually run —
+    // against the same window-form oracle (outputs are identical by
+    // construction; FunctionsSpec pins both regimes).
     "t5_sequence_pack" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
         .select($"doc_id", $"lang",
           Text.tokenCountWs($"text").cast("long").as("n_tokens"))
-      Text.packSequences(docs, "lang", "doc_id", "n_tokens", budget = 2048L)
+      Text.packSequencesAuto(docs, "lang", "doc_id", "n_tokens", budget = 2048L)
     }),
 
     // D6: dedup CLUSTERS — connected components over the blocked-Jaccard

@@ -544,6 +544,28 @@ object Text {
     spark.createDataFrame(packed, outSchema)
   }
 
+  /** [[packSequences]] with the form CHOSEN by corpus shape — the d5
+    * routing discipline applied to packing. The window form parallelizes
+    * across groups (each group sorts in ONE task: right when groups are
+    * many, a scale cliff when 5 languages hold 100 TB); the prefix-scan
+    * form parallelizes within groups but collects a
+    * (partitions × groups)-sized offset table (right for few huge groups,
+    * a driver bomb for millions of tiny ones). The probe is a
+    * LocalLimit-bounded distinct count that stops at `groupThreshold`+1 —
+    * it never pays a full-corpus aggregate to decide. Output pack_ids are
+    * IDENTICAL either way (FunctionsSpec pins both regimes). */
+  def packSequencesAuto(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                        orderCol: String, tokenCol: String, budget: Long,
+                        groupThreshold: Int = 64, numPartitions: Int = 0
+                       ): org.apache.spark.sql.DataFrame = {
+    require(groupThreshold > 0, "groupThreshold must be positive")
+    val fewGroups = df.select(col(groupCol)).distinct()
+      .limit(groupThreshold + 1).count() <= groupThreshold
+    if (fewGroups)
+      packSequencesScalable(df, groupCol, orderCol, tokenCol, budget, numPartitions)
+    else packSequences(df, groupCol, orderCol, tokenCol, budget)
+  }
+
   /** Okapi BM25 document retrieval: score every document against a bag of
     * query terms and return the top `k` — the lexical-retrieval primitive
     * (quality-filter seeding, "more-like-this" expansion, eval-set mining)

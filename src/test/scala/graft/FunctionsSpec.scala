@@ -161,6 +161,38 @@ class TextSpec extends SparkSpec {
     assert(scanned.values.max > 10, "packing actually advanced across partitions")
   }
 
+  test("packSequencesAuto: many-group seam — forms agree, routing picks the right one") {
+    val rnd = new scala.util.Random(7)
+    // MANY groups (500, far above the probe threshold), few rows each —
+    // the adversarial shape for the prefix-scan form's offset collect
+    val rows = for (g <- 1 to 500; i <- 1L to 4L)
+      yield (s"g$g", i, rnd.nextInt(30).toLong + 1L)
+    val df = rows.toDF("lang", "doc_id", "n_tokens").repartition(13)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select($"lang", $"doc_id", $"pack_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val windowed = asMap(Text.packSequences(df, "lang", "doc_id", "n_tokens", 10L))
+    // the seam: scalable ≡ window on the many-group frame too
+    val scanned = asMap(Text.packSequencesScalable(df, "lang", "doc_id", "n_tokens", 10L,
+      numPartitions = 13))
+    assert(scanned == windowed)
+    // auto routes many-groups to the WINDOW form (observable: plan has a
+    // Window node; the prefix-scan form is an RDD scan with none)...
+    val manyAuto = Text.packSequencesAuto(df, "lang", "doc_id", "n_tokens", 10L,
+      groupThreshold = 64)
+    assert(manyAuto.queryExecution.executedPlan.toString.contains("Window"),
+      "many groups should route to the window form")
+    assert(asMap(manyAuto) == windowed)
+    // ...and few-groups to the prefix-scan form
+    val few = rows.filter(_._1.stripPrefix("g").toInt <= 3)
+      .toDF("lang", "doc_id", "n_tokens").repartition(13)
+    val fewAuto = Text.packSequencesAuto(few, "lang", "doc_id", "n_tokens", 10L,
+      groupThreshold = 64)
+    assert(!fewAuto.queryExecution.executedPlan.toString.contains("Window"),
+      "few groups should route to the prefix-scan form")
+    assert(asMap(fewAuto) == asMap(Text.packSequences(few, "lang", "doc_id", "n_tokens", 10L)))
+  }
+
   test("bm25TopK: hand-computed Okapi scores, rank order, tie-break") {
     // corpus: d1 "cat dog cat" (dl 3), d2 "dog fish" (dl 2),
     // d3 "bird bird bird fish" (dl 4); query {cat, fish}; N=3, avgdl=3.
