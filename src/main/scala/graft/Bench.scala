@@ -5,7 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // ",2": allow one task retry — the o23 retry-determinism gate injects
+      // first-attempt failures; identical behavior for every other query
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the

@@ -383,6 +383,32 @@ object SparkEntry {
         .select($"o_orderkey", $"o_custkey", $"row_id")
     }),
 
+    // O23: RETRY-DETERMINISM gate — o13's zipWithIndex row ids computed
+    // UNDER injected task failures (every even partition's first attempt
+    // throws; the ",2" in Verify/Bench masters makes that retryable).
+    // At 1000 executors retries are routine, so attempt-order-dependent
+    // output is the scale bug a clean small-SF run can never catch. The
+    // oracle recomputes the same ids in DuckDB with zero failures — any
+    // retry-order dependence hash-mismatches. `retries_fired` proves the
+    // injection actually happened (max attempt over surviving rows >= 1,
+    // raise_error otherwise — a vacuous-pass guard).
+    "o23_retry_rowids" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      val injected = graft.functions.Chaos.injectTaskRetries(base)
+      val ids = Relational.globalRowIds(injected,
+        orderCols = Seq($"l_orderkey".asc, $"l_linenumber".asc))
+      val fired = ids.agg(max($"__attempt").as("__mx"))
+        .select(when($"__mx" >= 1, lit(true))
+          .otherwise(raise_error(lit(
+            "o23: retry injection never fired — gate is vacuous"))).as("retries_fired"))
+      ids.filter($"row_id" % 97 === 0)
+        .select($"row_id", $"l_orderkey", $"l_linenumber",
+          $"l_quantity".cast("double").as("qty"))
+        .crossJoin(broadcast(fired))
+    }),
+
     // W12: interval-overlap concurrency via sweep line — peak simultaneous
     // open orders per priority class. The ±1 deltas aggregate per (key,
     // day) BEFORE the running sum, so the window sorts |distinct days|
@@ -429,6 +455,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS row_id
          FROM orders""",
+    "o23_retry_rowids" ->
+      """WITH ids AS (
+           SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
+                  row_number() OVER (ORDER BY l_orderkey ASC, l_linenumber ASC) AS row_id
+           FROM lineitem)
+         SELECT row_id, l_orderkey, l_linenumber, qty, true AS retries_fired
+         FROM ids WHERE row_id % 97 = 0""",
     "o14_cdc_apply" ->
       """WITH ch AS (
            SELECT o_custkey AS c_custkey,

@@ -12,7 +12,10 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // maxFailures=2 (the ",2"): identical behavior unless a task fails —
+      // needed by the o23 retry-determinism gate, whose injected
+      // first-attempt failures must be retryable rather than job-fatal
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the

@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // "local[4,3]": allow task retries (maxFailures=3) — RetrySpec injects
+      // first-attempt task failures; behavior is identical unless a task fails
+      .master("local[4,3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
