@@ -55,14 +55,19 @@ final case class FixtureSource(name: String, schema: StructType, rows: Seq[Row])
   * ×2, max 10 retries). Driver-side utility for production source impls.
   */
 object Retry {
+  /** `retryable` classifies failures (round 13, the reference's 400
+    * posture — helpers.py:1003-1010): a non-retryable error (e.g. HTTP
+    * 400, a malformed request no retry can fix) propagates immediately
+    * instead of burning the whole backoff schedule against a caller bug. */
   def withBackoff[T](maxRetries: Int = 10, initialDelayMs: Long = 10,
-                     jitterMs: Long = 250)(op: => T): T = {
+                     jitterMs: Long = 250,
+                     retryable: Throwable => Boolean = _ => true)(op: => T): T = {
     var attempt = 0
     var delay = initialDelayMs
     while (true) {
       try return op
       catch {
-        case e: Exception if attempt < maxRetries =>
+        case e: Exception if attempt < maxRetries && retryable(e) =>
           attempt += 1
           Thread.sleep(delay + scala.util.Random.nextLong(jitterMs))
           delay *= 2

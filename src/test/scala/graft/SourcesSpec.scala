@@ -86,3 +86,151 @@ class SourcesSpec extends SparkSpec {
       Set("""{"id": 3, "name": }""", "totally not json"))
   }
 }
+
+/** Executable live-source twins (round 13, verdict item 4): the pageKey
+  * pagination loop, 429/backoff retry, fatal-400 posture, batched
+  * multicall, and semaphore-bounded fan-out — driven end-to-end against
+  * a LOCALHOST fixture HTTP server inside the spec (no egress), with
+  * byte-identical frames vs the fixture records. */
+class LiveSourceSpec extends SparkSpec {
+  import graft.sources.{Http, HttpFetch, HttpStatusException}
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+  import java.util.concurrent.atomic.AtomicInteger
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+  private def reply(ex: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, b.length)
+    ex.getResponseBody.write(b); ex.close()
+  }
+  private def withServer(routes: (String, HttpExchange => Unit)*)(f: Int => Unit): Unit = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // a REAL executor: the default runs handlers on the single dispatch
+    // thread, which would serialize requests and make the concurrency
+    // assertions vacuous
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+    routes.foreach { case (path, h) => server.createContext(path, (ex: HttpExchange) => h(ex)) }
+    server.start()
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  // fixture corpus for the paged endpoint: 25 transfers, pages of 10
+  private val fixtureRecords = (1 to 25).map(i =>
+    s"""{"block":${1000 + i},"value":${i * 1.5},"hash":"0x$i"}""")
+
+  test("pageKey pagination: resumes across pages, retries a 429'd page with the SAME key, frame byte-identical to fixture") {
+    val m = Http.mapper
+    val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val handler = (ex: HttpExchange) => {
+      val req = m.readTree(readBody(ex))
+      val pageKey = Option(req.path("params").path(0).path("pageKey"))
+        .filter(n => !n.isMissingNode && !n.isNull).map(_.asText()).getOrElse("")
+      // injected 429 on the FIRST attempt of every distinct page
+      val firstAttempt = seen.add(pageKey)
+      requestLog.add((pageKey, firstAttempt))
+      if (firstAttempt) reply(ex, 429, """{"error":"rate limited"}""")
+      else {
+        val start = if (pageKey.isEmpty) 0 else pageKey.stripPrefix("k").toInt
+        val page = fixtureRecords.slice(start, start + 10)
+        val next = if (start + 10 < fixtureRecords.size) s""","pageKey":"k${start + 10}"""" else ""
+        reply(ex, 200, s"""{"result":{"transfers":[${page.mkString(",")}]$next}}""")
+      }
+    }
+    withServer("/paged" -> handler) { port =>
+      val payload = """{"id":1,"jsonrpc":"2.0","method":"alchemy_getAssetTransfers",
+        "params":[{"fromBlock":"0x3e8","toBlock":"0x7d0","category":["erc20"]}]}"""
+      val got = Http.fetchPaged(new HttpFetch(), s"http://127.0.0.1:$port/paged",
+        payload, maxRetries = 3, initialDelayMs = 1)
+      // every fixture record, in page order, byte-identical through the
+      // declared schema (the driver-contract equivalence: fetched frame
+      // == frame built straight from the fixture records)
+      val schema = new StructType().add("block", "long")
+        .add("value", "double").add("hash", "string")
+      val fetched = Http.jsonRecordsToDf(spark, got, schema).collect().toSeq
+      val fixture = Http.jsonRecordsToDf(spark, fixtureRecords, schema).collect().toSeq
+      assert(fetched == fixture && fetched.size == 25)
+      // request trace: 3 pages, each 429'd once then re-requested with the
+      // SAME pageKey (resumption, not restart)
+      import scala.jdk.CollectionConverters._
+      val log = requestLog.asScala.toSeq
+      assert(log.map(_._1) == Seq("", "", "k10", "k10", "k20", "k20"), log)
+      assert(log.map(_._2) == Seq(true, false, true, false, true, false), log)
+    }
+  }
+
+  test("fatal 400 fails immediately — exactly one request, no backoff burn") {
+    val hits = new AtomicInteger(0)
+    withServer("/bad" -> ((ex: HttpExchange) => {
+      hits.incrementAndGet(); reply(ex, 400, """{"description":"insufficient liquidity"}""")
+    })) { port =>
+      val e = intercept[HttpStatusException] {
+        Http.fetchPaged(new HttpFetch(), s"http://127.0.0.1:$port/bad",
+          """{"params":[{}]}""", maxRetries = 5, initialDelayMs = 1)
+      }
+      assert(e.status == 400 && hits.get() == 1)
+    }
+  }
+
+  test("multicall: batches of 3, call-order results re-associated by id, transient batch failure retried") {
+    val m = Http.mapper
+    val posts = new AtomicInteger(0)
+    val failedOnce = new AtomicInteger(0)
+    withServer("/rpc" -> ((ex: HttpExchange) => {
+      val n = posts.incrementAndGet()
+      val batch = m.readTree(readBody(ex))
+      // second HTTP batch fails once (transient), then succeeds
+      if (batch.get(0).path("id").asInt() == 3 && failedOnce.compareAndSet(0, 1))
+        reply(ex, 503, """{"error":"node syncing"}""")
+      else {
+        // reply in REVERSED order inside the batch — the client must
+        // re-associate by id, not by position
+        val results = (batch.size() - 1 to 0 by -1).map { i =>
+          val id = batch.get(i).path("id").asInt()
+          val method = batch.get(i).path("method").asText()
+          s"""{"jsonrpc":"2.0","id":$id,"result":"$method:$id"}"""
+        }
+        reply(ex, 200, s"[${results.mkString(",")}]")
+      }
+    })) { port =>
+      val calls = (0 until 7).map(i => (s"getAssetPrice$i", Seq(s"0xreserve$i")))
+      val got = Http.multicall(new HttpFetch(), s"http://127.0.0.1:$port/rpc",
+        calls, batchSize = 3, maxRetries = 3, initialDelayMs = 1)
+      assert(got.map(_.asText()) == (0 until 7).map(i => s"getAssetPrice$i:$i"))
+      // 3 batches (3+3+1) + 1 retried = 4 POSTs
+      assert(posts.get() == 4, posts.get())
+    }
+  }
+
+  test("boundedFanout: never exceeds the semaphore, actually parallel, results in item order, per-item retry inside") {
+    val inFlight = new AtomicInteger(0)
+    val maxInFlight = new AtomicInteger(0)
+    val retried = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer("/quote" -> ((ex: HttpExchange) => {
+      val amount = ex.getRequestURI.getQuery.stripPrefix("amount=")
+      // one injected 429 for a mid-sweep item: per-item backoff must absorb it
+      if (amount == "7" && retried.add(amount)) reply(ex, 429, "{}")
+      else {
+        val cur = inFlight.incrementAndGet()
+        maxInFlight.updateAndGet(m => math.max(m, cur))
+        Thread.sleep(20)
+        inFlight.decrementAndGet()
+        reply(ex, 200, s"""{"toTokenAmount":"${amount.toLong * 2}"}""")
+      }
+    })) { port =>
+      val http = new HttpFetch()
+      val got = Http.boundedFanout((1 to 40).toSeq, concurrency = 5) { i =>
+        val body = graft.sources.Retry.withBackoff(maxRetries = 3,
+          initialDelayMs = 1, jitterMs = 1, retryable = Http.retryableHttp) {
+          http.get(s"http://127.0.0.1:$port/quote?amount=$i")
+        }
+        Http.mapper.readTree(body).path("toTokenAmount").asText().toLong
+      }
+      assert(got == (1 to 40).map(_ * 2L))
+      assert(maxInFlight.get() <= 5, s"semaphore breached: ${maxInFlight.get()}")
+      assert(maxInFlight.get() >= 2, "fan-out never actually ran in parallel")
+    }
+  }
+}
