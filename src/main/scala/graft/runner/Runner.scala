@@ -131,8 +131,8 @@ object Runner {
     * Construction validates the 5-field shape loudly (a malformed cron
     * silently never firing is the worst failure mode a schedule has). */
   final case class Schedule(cron: String, jobName: String) {
+    private val fields = cron.trim.split("\\s+")
     locally {
-      val fields = cron.trim.split("\\s+")
       require(fields.length == 5,
         s"cron '$cron' must have 5 fields (min hour dom mon dow), got ${fields.length}")
       // Per-field VALUE validation, not just lexical shape: "0 99 * * *"
@@ -171,6 +171,125 @@ object Runner {
             throw new IllegalArgumentException(
               s"cron '$cron': malformed $what field part '$part'")
         }
+      }
+    }
+
+    /** Expand one validated field into its value set. */
+    private def expand(f: String, lo: Int, hi: Int): Set[Int] =
+      f.split(",", -1).flatMap { part =>
+        val (base, step) = part.split("/") match {
+          case Array(b) => (b, 1)
+          case Array(b, s) => (b, s.toInt)
+        }
+        val (a, b) = base match {
+          case "*" => (lo, hi)
+          case r if r.contains("-") =>
+            val Array(x, y) = r.split("-"); (x.toInt, y.toInt)
+          case v => (v.toInt, v.toInt)
+        }
+        (a to b by step)
+      }.toSet
+
+    private val minSet = expand(fields(0), 0, 59)
+    private val hourSet = expand(fields(1), 0, 23)
+    private val domSet = expand(fields(2), 1, 31)
+    private val monSet = expand(fields(3), 1, 12)
+    // cron Sunday is both 0 and 7 — normalize to 0
+    private val dowSet = expand(fields(4), 0, 7).map(_ % 7)
+    private val domStar = fields(2) == "*"
+    private val dowStar = fields(4) == "*"
+
+    /** Does this schedule fire at `epochMinute` (UTC, like the reference's
+      * `execution_timezone='UTC'`)? Vixie day semantics: when BOTH
+      * day-of-month and day-of-week are restricted, a minute fires when
+      * EITHER matches. */
+    def matchesMinute(epochMinute: Long): Boolean = {
+      val t = java.time.Instant.ofEpochSecond(epochMinute * 60)
+        .atZone(java.time.ZoneOffset.UTC)
+      val dayOk =
+        if (domStar && dowStar) true
+        else {
+          val domOk = domSet.contains(t.getDayOfMonth)
+          val dowOk = dowSet.contains(t.getDayOfWeek.getValue % 7)
+          if (domStar) dowOk else if (dowStar) domOk else domOk || dowOk
+        }
+      minSet.contains(t.getMinute) && hourSet.contains(t.getHour) &&
+        monSet.contains(t.getMonthValue) && dayOk
+    }
+  }
+
+  /** The TICK LOOP the Schedule descriptors were waiting for (round 13,
+    * verdict item 6) — a minimal clock driver with the reference
+    * scheduler's observable semantics (`__init__.py:374-434` +
+    * Dagster's catch-up posture), deterministic under a FAKE clock so
+    * specs never flake on wall time:
+    *
+    *   - **on-time fire**: `advanceTo(now)` evaluates every minute in
+    *     (lastEvaluated, now] against each schedule and invokes the
+    *     bound action once per matching minute, with the LOGICAL fire
+    *     instant as argument (not the wall instant — a catch-up run for
+    *     01:00 three days ago materializes THAT partition);
+    *   - **missed-window catch-up**: a gap (process down, long pause)
+    *     fires every missed tick in chronological order across all
+    *     schedules — partition idempotency (K1) makes replays safe;
+    *   - **failure stop**: a throwing action (e.g. [[ContractViolation]])
+    *     HALTS that schedule — its cursor stays just before the failed
+    *     minute, later minutes do not fire (no silent gap-skipping), and
+    *     other schedules continue. `resume(jobName)` re-arms it; the
+    *     failed tick then re-fires first (catch-up from the stop point).
+    *
+    * The loop owns no thread: the caller (a real `while(sleep)` in
+    * production, the spec's fake clock) decides when time advances —
+    * which is exactly what makes the semantics testable. */
+  final class Ticker(entries: Seq[(Schedule, java.time.Instant => Unit)],
+                     startAt: java.time.Instant) {
+    final case class Fire(jobName: String, at: java.time.Instant,
+                          error: Option[String])
+    private val cursors = scala.collection.mutable.ArrayBuffer.fill(
+      entries.size)(startAt.getEpochSecond / 60)
+    private val haltedBy = scala.collection.mutable.Map.empty[Int, Throwable]
+
+    def halted: Map[String, Throwable] =
+      haltedBy.map { case (i, e) => entries(i)._1.jobName -> e }.toMap
+
+    def resume(jobName: String): Unit =
+      haltedBy.filterInPlace { case (i, _) => entries(i)._1.jobName != jobName }
+
+    /** Evaluate all minutes up to `now` (inclusive); returns the fire log
+      * in chronological order. Idempotent per minute: re-advancing to the
+      * same instant fires nothing new. */
+    def advanceTo(now: java.time.Instant): Seq[Fire] = {
+      val nowMin = now.getEpochSecond / 60
+      require(nowMin - cursors.min <= 10L * 366 * 24 * 60,
+        "advanceTo: gap exceeds 10 years — wrong clock?")
+      val fires = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Option[String])]
+      // one GLOBAL minute walk, all schedules per minute: catch-up
+      // executes (not just reports) in chronological order across
+      // schedules — a downstream job's 01:30 tick must not run before the
+      // upstream's 01:15 tick of a LATER day
+      var m = cursors.min + 1
+      while (m <= nowMin) {
+        entries.indices.foreach { i =>
+          if (!haltedBy.contains(i) && cursors(i) < m) {
+            if (entries(i)._1.matchesMinute(m)) {
+              try {
+                entries(i)._2(java.time.Instant.ofEpochSecond(m * 60))
+                fires += ((m, i, None))
+                cursors(i) = m
+              } catch {
+                case e: Exception =>
+                  fires += ((m, i, Some(e.getMessage)))
+                  haltedBy(i) = e
+                  // cursor stays BEFORE the failed minute: resume re-fires it
+                  cursors(i) = m - 1
+              }
+            } else cursors(i) = m
+          }
+        }
+        m += 1
+      }
+      fires.toSeq.map { case (mm, i, err) =>
+        Fire(entries(i)._1.jobName, java.time.Instant.ofEpochSecond(mm * 60), err)
       }
     }
   }
