@@ -4,10 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      // ",2": allow one task retry — the o23 retry-determinism gate injects
-      // first-attempt failures; identical behavior for every other query
-      .master(s"local[$cpus,2]")
+    val builder0 = SparkSession.builder()
+    // respect an external master (spark-submit campaigns); self-managed
+    // local mode gets ",2" so the o23 retry gate's injected failures retry
+    val builder = if (sys.props.contains("spark.master")) builder0
+      else builder0.master(s"local[$cpus,2]")
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the
@@ -22,6 +24,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoints for multi-process runs (see Verify/Ckpt docs)
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     // Warm-up outside the timed region: executor-thread spin-up, codegen
     // compiler warm-up, parquet footer reads. Standard bench methodology —
     // steady-state per-query time is the meaningful number.

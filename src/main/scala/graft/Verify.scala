@@ -11,11 +11,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    // Respect an EXTERNAL master (spark-submit --master spark://…): the
+    // multi-process standalone campaign submits this same main; builder
+    // .master() would silently override the cluster back to local mode.
+    // Standalone defaults task.maxFailures=4, so the o23 retry gate works
+    // there too; in self-managed local mode the ",2" enables it.
+    val builder = if (sys.props.contains("spark.master")) builder0
       // maxFailures=2 (the ",2"): identical behavior unless a task fails —
       // needed by the o23 retry-determinism gate, whose injected
       // first-attempt failures must be retryable rather than job-fatal
-      .master(s"local[$cpus,2]")
+      else builder0.master(s"local[$cpus,2]")
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate buffers, e.g. the
@@ -29,6 +36,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint mode for multi-process runs: with a dir set,
+    // Ckpt.materialize switches from localCheckpoint (blocks die with the
+    // executor) to FS checkpoints that survive executor loss — the
+    // documented cluster posture for every iterative loop driver.
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     // Corpus-geometry guard for the two oracles with static range() caps
     // (DuckDB's range() can't take lateral column bounds): t15 enumerates

@@ -726,12 +726,14 @@ object Text {
     * twin of s17's anti-join deletes): a (doc_id, dl) frame of deleted
     * documents. Deleted docs are anti-joined out of the probed postings
     * BEFORE df is computed (so df is exact over the survivors), and the
-    * corpus stats are adjusted ALGEBRAICALLY in-plan —
+    * corpus stats are adjusted ALGEBRAICALLY —
     *   n'     = n − |tomb|
     *   avgdl' = (n·avgdl − Σdl_tomb) / n'
-    * — a 1-row broadcast aggregate over the tombstone table (the dl is
-    * carried BY the tombstone row, the shape a CDC delete naturally has,
-    * so no index partition outside the query's buckets is ever read).
+    * — one eager aggregate over the (doc_id-deduped) tombstone table,
+    * CDC-delete-sized by contract (the dl is carried BY the tombstone
+    * row, the shape a CDC delete naturally has, so no index partition
+    * outside the query's buckets is ever read). Tombstoning the whole
+    * corpus fails loudly at call time (adjusted n would be 0).
     * With tombstones, probe ≡ a full [[saveBm25Index]] rebuild over the
     * surviving corpus (same formula, same df, algebraically-equal stats;
     * the t28 gate asserts it to 1e-6). */
@@ -751,28 +753,28 @@ object Text {
     val buckets = terms.toDF("__t")
       .select(pmod(xxhash64(col("__t")), lit(nBuckets.toLong)).as("__b"))
       .distinct().as[Long].collect().toSeq
-    // survivors-adjusted stats, as a 1-row broadcast frame when
-    // tombstones are present (their dl sum is an aggregate, kept in-plan)
-    val st = tombstones match {
+    // survivors-adjusted stats. Round-12 ADVICE hardening: a duplicated
+    // tombstone row would double-subtract its dl and over-decrement N
+    // (skewing every surviving score), and tombstoning the whole corpus
+    // would yield 0/0 → null avgdl → silently null scores. Dedup on
+    // doc_id first, then fail loudly when the adjusted corpus is empty.
+    // The guard is an EAGER driver-side aggregate, not an in-plan
+    // raise_error: with every doc tombstoned the probe side is empty and
+    // AQE's empty-relation propagation can eliminate the downstream join
+    // before a planted error expression ever evaluates — an in-plan guard
+    // is unreachable by construction on exactly the input it guards.
+    // Cost: one job over the tombstone table, which is CDC-delete-sized
+    // by contract (it rides the driver as a broadcast either way).
+    val (nAdj, avgdlAdj) = tombstones match {
       case Some(tomb) =>
-        // Round-12 ADVICE hardening: a duplicated tombstone row would
-        // double-subtract its dl and over-decrement N (skewing every
-        // surviving score), and tombstoning the whole corpus would yield
-        // 0/0 → null avgdl → silently null scores. Dedup on doc_id first,
-        // then fail loudly (hybridRerank's raise_error posture) when the
-        // adjusted corpus is empty.
-        val tombU = tomb.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-        tombU.agg(count(lit(1)).cast("double").as("__tc"),
-            coalesce(sum(col("dl")), lit(0.0)).as("__tdl"))
-          .select(
-            when(lit(n0) - col("__tc") > 0.0, lit(n0) - col("__tc"))
-              .otherwise(raise_error(concat(
-                lit("bm25TopKFromIndex: tombstones cover the whole corpus (adjusted n_docs = "),
-                (lit(n0) - col("__tc")).cast("string"), lit(")")))).as("__n"),
-            ((lit(n0 * avgdl0) - col("__tdl")) / (lit(n0) - col("__tc")))
-              .as("__avgdl"))
-      case None =>
-        spark.range(1).select(lit(n0).as("__n"), lit(avgdl0).as("__avgdl"))
+        val r = tomb.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).cast("double"), coalesce(sum(col("dl")), lit(0.0)))
+          .head()
+        val (tc, tdl) = (r.getDouble(0), r.getDouble(1))
+        require(n0 - tc > 0,
+          s"bm25TopKFromIndex: tombstones cover the whole corpus (adjusted n_docs = ${n0 - tc})")
+        (n0 - tc, (n0 * avgdl0 - tdl) / (n0 - tc))
+      case None => (n0, avgdl0)
     }
     val probedAll = postings
       .filter(col("bucket").isInCollection(buckets))
@@ -786,12 +788,11 @@ object Text {
     val dft = probe.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("__df"))
     val scored = probe.join(broadcast(dft), "term")
-      .crossJoin(broadcast(st))
       .withColumn("__idf",
-        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+        log(lit(1.0) + (lit(nAdj) - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s", col("__idf") * col("tf") * lit(k1 + 1.0) /
         (col("tf") + lit(k1) *
-          (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+          (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdlAdj))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("__s")), 6).as("score"),
         count(lit(1)).as("n_terms_hit"))
