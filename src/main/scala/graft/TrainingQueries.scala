@@ -194,9 +194,17 @@ object TrainingQueries {
     // with deterministic per-lang doc counts as payload. The naive twin
     // is the verdict harness; the production path is the blocked
     // pipeline alone.
+    // SF-PROOF SLICE (round 13 — the sf10 campaign's find): the naive
+    // Hamming twin below is a per-language ALL-PAIRS join; at sf10 (200k
+    // en docs → 2e10 hamming evals) d3 alone took 28 of the gate's 126
+    // minutes. Same seam as d4/d5/d16: BOTH sides run on the md5-capped
+    // slice (keep-all at gate SF via the count short-circuit), so twin
+    // cost is O(cap²) at any corpus size; the full-corpus blocked path
+    // stays benched via productionOnly.
     "d3_simhash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val all = t(s, dir, "documents")
+      val (_, docs) = twinSample(all, "doc_id")
       val blocked = Dedup.simhashNearDup(docs, "text", "doc_id",
         radius = 8, blockCols = Seq("lang"))
       val sigs = docs.select($"doc_id".as("id"), $"lang", Dedup.simHash($"text").as("sig"))
@@ -2661,8 +2669,9 @@ object TrainingQueries {
                 (SELECT count(*) FROM pairs) AS n_exact_pairs,
                 true AS precision_ok, true AS recall_ok""",
     "d3_simhash_neardup" ->
-      """SELECT lang, count(*) AS n_docs, true AS pairs_match_naive
-         FROM documents GROUP BY lang""",
+      s"""SELECT lang, count(*) AS n_docs, true AS pairs_match_naive
+         FROM documents WHERE ${twinSampleSql("documents", "doc_id")}
+         GROUP BY lang""",
     "d16_record_linkage" ->
       """WITH w AS (
            SELECT doc_id,
