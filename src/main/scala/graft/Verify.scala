@@ -68,6 +68,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         // The driver's oracle compare sorts cells in pandas, which cannot
@@ -136,9 +137,13 @@ object Verify {
             }
           }
         }
+        // Per-query wall time on stderr: the scale campaigns (sf1, sf10)
+        // find their stragglers by grepping these lines — the driver
+        // ignores stderr, so this is free diagnostics.
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.1f s: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

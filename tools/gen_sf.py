@@ -96,8 +96,16 @@ def hot_mix(n, n_keys, hot_key, hot_frac):
     return keys
 
 def write(name, table):
-    pq.write_table(table, f"{out}/{name}.parquet")
-    print(f"{name}: {table.num_rows} rows")
+    # Row groups are Spark's scan-split unit: pyarrow's default (1Mi rows)
+    # leaves any sub-million-row table as ONE row group, serializing every
+    # scan of it onto one core no matter how many executors exist. At sf10
+    # that made documents (500k rows of full text) and embeddings (200k
+    # 64-dim vectors) single-task scans feeding 30+ queries — the read-side
+    # twin of the one-giant-row-group write defect the skew campaign found
+    # (Sinks.writeRowGroupBounded). Target >=32 splittable groups per table.
+    rg = max(10_000, min(1_000_000, table.num_rows // 32))
+    pq.write_table(table, f"{out}/{name}.parquet", row_group_size=rg)
+    print(f"{name}: {table.num_rows} rows ({-(-table.num_rows // rg)} row groups)")
 
 # ---- dimensions -----------------------------------------------------------
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
