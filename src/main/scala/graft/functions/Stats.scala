@@ -323,4 +323,139 @@ object Stats {
     partials.groupBy(col(keyCol)).agg(sum(col("cnt")).as("est"))
       .crossJoin(broadcast(bound))
   }
+
+  /** EXACT continuous quantiles (Spark `percentile` / SQL
+    * `percentile_cont` semantics: linear interpolation at 0-indexed rank
+    * `p·(n−1)`) computed SCALABLY — a distributed range-partitioned sort
+    * plus rank arithmetic touching only the ≤ 2·|ps| order statistics the
+    * interpolation needs. The built-in exact `percentile` aggregate
+    * instead buffers a value→count OpenHashMap and merges every map-side
+    * partial on the ONE reducer of the final (single-group) aggregate —
+    * O(distinct values) memory and single-threaded merge time on one
+    * task, which is exactly the shape that cannot survive a 100× scale-up
+    * (sf10 campaign: three such aggregates over 15 M near-all-distinct
+    * `o_totalprice` values put 180 s of the k11 gate on one core; this
+    * form is a parallel sort + two jobs). Ties need no tie-break key: the
+    * k-th order statistic is a pure function of the value MULTISET, so
+    * the result is deterministic (and retry-safe) even though tied rows
+    * may swap ranks.
+    *
+    * Returns ONE row with a double column per `(name, p)` — null-valued
+    * when the input is empty, matching the built-in aggregate. The
+    * driver-side `count()` action is scalar-sized traffic (the rank
+    * targets must be literals before the pick plan is built).
+    *
+    * Shape: one column-pruned count scan + one range sort (`orderBy`) +
+    * `zipWithIndex` (per-partition offsets job) + a map-side-combined
+    * 2·|ps|-row aggregate. No stage ever holds more than a partition of
+    * values.
+    */
+  def exactQuantiles(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                     ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      "fractions must be in [0,1]")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val n = vals.count()
+    if (n == 0L)
+      return spark.range(1).select(ps.map { case (name, _) =>
+        lit(null).cast("double").as(name) }: _*)
+    val ranked = graft.operators.Relational.globalRowIds(
+      vals, Seq(col("__v")), "__rk")
+    // 1-indexed bracketing ranks + interpolation fraction per p
+    val specs = ps.map { case (name, p) =>
+      val r = p * (n - 1) // 0-indexed continuous rank
+      val k1 = math.floor(r).toLong + 1
+      (name, k1, math.min(k1 + 1, n), r - math.floor(r))
+    }
+    val needed = specs.flatMap(s => Seq(s._2, s._3)).distinct
+    val aggs = specs.zipWithIndex.flatMap { case ((_, k1, k2, _), i) =>
+      Seq(min(when(col("__rk") === k1, col("__v"))).as(s"__lo_$i"),
+          min(when(col("__rk") === k2, col("__v"))).as(s"__hi_$i"))
+    }
+    ranked.filter(col("__rk").isin(needed: _*))
+      .agg(aggs.head, aggs.drop(1): _*)
+      // Bit-identical to the built-in aggregate's interpolation:
+      // (1−frac)·lo + frac·hi with the equal-keys short-circuit
+      // (Percentile.getPercentile) — NOT lo + frac·(hi−lo), which can
+      // differ in the last ulp.
+      .select(specs.zipWithIndex.map { case ((name, _, _, frac), i) =>
+        when(col(s"__hi_$i") === col(s"__lo_$i"), col(s"__lo_$i"))
+          .otherwise(lit(1.0 - frac) * col(s"__lo_$i") +
+            lit(frac) * col(s"__hi_$i"))
+          .as(name) }: _*)
+  }
+
+  /** Grouped [[exactQuantiles]]: exact interpolated quantiles PER GROUP,
+    * one distributed sort for the whole frame. The built-in grouped
+    * `percentile` puts each group's entire value→count map on the single
+    * reducer owning that group — with FEW HUGE groups (the common fact-
+    * table shape: 3 return flags over 60 M lineitem rows) that is 3 tasks
+    * doing all the work while the cluster idles. Here the frame is sorted
+    * ONCE by (groups…, value) — a range sort whose parallelism is
+    * independent of the group count — and each group's local ranks are
+    * recovered from global `zipWithIndex` ids minus per-group offsets,
+    * where the offsets come from a cumulative sum over the GROUP-COUNT
+    * frame (G rows, one tiny single-partition window — bounded by the
+    * number of groups, not the data). Rank targets are per-group COLUMNS
+    * (groups differ in size), so everything after the sort is ordinary
+    * map-side-combinable expression work.
+    *
+    * Returns one row per group: groupCols ++ a double column per
+    * `(name, p)` ++ (optionally) the group row count as `countCol`.
+    * NULL group keys are legal groups (sorted nulls-first, matching the
+    * cumsum window's default) — the null-planted corpora exercise this.
+    * NULL values are ignored like the built-in aggregate; the one
+    * semantic difference: a group whose values are ALL null is ABSENT
+    * from the output (the filter precedes the groupBy), where the
+    * built-in emits the group with a null quantile.
+    */
+  def exactQuantilesByGroup(df: org.apache.spark.sql.DataFrame,
+                            valueCol: String, groupCols: Seq[String],
+                            ps: Seq[(String, Double)],
+                            countCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(groupCols.nonEmpty, "use exactQuantiles for the global form")
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
+      "fractions must be in [0,1]")
+    val gs = groupCols.map(col)
+    val vals = df.select(gs :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val ranked = graft.operators.Relational.globalRowIds(
+      vals, gs :+ col("__v"), "__rk")
+    // Per-group (offset, size) WITHOUT a second pass over the sorted
+    // frame: group sizes from one groupBy count; offsets = cumulative
+    // sum of sizes in group order (G-row window, nulls-first like the
+    // sort above).
+    val counts = vals.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    val one = graft.operators.Relational.onePartKey(col("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(one)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_first): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val joinCond = groupCols.map(c => ranked(c) <=> offsets(c)).reduce(_ && _)
+    val local = ranked.join(offsets, joinCond)
+      .select(Seq(col("__v"), (col("__rk") - col("__off")).as("__lr"), col("__n")) ++
+        groupCols.map(c => offsets(c).as(c)): _*)
+    val specCols = ps.zipWithIndex.map { case ((_, p), i) =>
+      val r = lit(p) * (col("__n") - 1) // 0-indexed continuous rank, per group
+      val k1 = floor(r).cast("long") + 1
+      (i, k1, least(k1 + 1, col("__n")), r - floor(r))
+    }
+    val aggs = specCols.flatMap { case (i, k1, k2, frac) =>
+      Seq(min(when(col("__lr") === k1, col("__v"))).as(s"__lo_$i"),
+          min(when(col("__lr") === k2, col("__v"))).as(s"__hi_$i"),
+          max(frac).as(s"__fr_$i")) // per-group constant
+    } ++ countCol.map(c => max(col("__n")).as(c)).toSeq
+    local.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.drop(1): _*)
+      // Same bit-identical interpolation form as [[exactQuantiles]].
+      .select(gs ++ ps.zipWithIndex.map { case ((name, _), i) =>
+        when(col(s"__hi_$i") === col(s"__lo_$i"), col(s"__lo_$i"))
+          .otherwise((lit(1.0) - col(s"__fr_$i")) * col(s"__lo_$i") +
+            col(s"__fr_$i") * col(s"__hi_$i"))
+          .as(name) } ++ countCol.map(col).toSeq: _*)
+  }
 }

@@ -569,6 +569,56 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("exact quantiles via sort+rank == built-in percentile, global + grouped (a11/k11)") {
+    import graft.functions.Stats
+    import org.apache.spark.sql.functions._
+    val ps = Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9, "q100" -> 1.0)
+    trials(5) {
+      val n = 30 + rnd.nextInt(300)
+      // half the values snapped to a 10-point grid: heavy ties stress the
+      // no-tie-break determinism claim (the k-th order statistic is a pure
+      // function of the multiset); planted nulls must be ignored like the
+      // built-in; group "g9" has exactly one row (frac paths degenerate)
+      val rows = (1 to n).map { i =>
+        val v: java.lang.Double =
+          if (rnd.nextInt(10) == 0) null
+          else if (rnd.nextBoolean()) rnd.nextInt(10).toDouble
+          else rnd.nextDouble() * 100.0
+        (if (i % 7 == 0) null else s"g${i % 4}", v)
+      } :+ (("g9", java.lang.Double.valueOf(42.0)))
+      val df = rows.toDF("g", "v")
+      // global: bit-equal to the built-in aggregate
+      val gotG = Stats.exactQuantiles(df, "v", ps).collect().head
+      val expG = df.agg(expr(
+        "percentile(v, array(0.25D, 0.5D, 0.9D, 1.0D))").as("e")).collect()
+        .head.getSeq[Double](0)
+      ps.map(_._1).zipWithIndex.foreach { case (name, i) =>
+        assert(gotG.getAs[Double](name) == expG(i), s"global $name")
+      }
+      // grouped (null group key included): bit-equal per group + count
+      val gotByG = Stats.exactQuantilesByGroup(df, "v", Seq("g"), ps,
+        countCol = Some("n_rows")).collect()
+        .map(r => Option(r.getAs[String]("g")) -> r).toMap
+      val expByG = df.filter($"v".isNotNull).groupBy($"g")
+        .agg(expr("percentile(v, array(0.25D, 0.5D, 0.9D, 1.0D))").as("e"),
+          count(lit(1)).as("n"))
+        .collect().map(r => Option(r.getAs[String]("g")) ->
+          (r.getSeq[Double](1), r.getAs[Long]("n"))).toMap
+      assert(gotByG.keySet == expByG.keySet, "same groups")
+      expByG.foreach { case (g, (es, cnt)) =>
+        val got = gotByG(g)
+        ps.map(_._1).zipWithIndex.foreach { case (name, i) =>
+          assert(got.getAs[Double](name) == es(i), s"group $g $name")
+        }
+        assert(got.getAs[Long]("n_rows") == cnt, s"group $g count")
+      }
+    }
+    // empty input: one all-null row, like the built-in returning null
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    val r = Stats.exactQuantiles(empty, "v", Seq("q50" -> 0.5)).collect()
+    assert(r.length == 1 && r.head.isNullAt(0))
+  }
+
   test("heavy-hitter partials: < k rows per period, pigeonhole envelope, subset merge, planted hitter found (k14)") {
     import graft.functions.Stats
     import org.apache.spark.sql.functions._
