@@ -379,14 +379,17 @@ object AnalyticsQueries {
 
     // A18: quantile feature binning — bucket each row by which quartile of the
     // GLOBAL value distribution it falls in (the ML feature discretizer).
-    // Edges come from one exact-percentile aggregate (1 row, broadcast);
+    // Edges come from one exact-quantile pass (sort+rank form — the
+    // built-in percentile aggregate merged a 60 M-value map on one
+    // reducer, 200 s at sf10; campaign find #3) broadcast as 1 row;
     // rounded to 4dp on both engines so the edge comparison is identical.
     "a18_quantile_bucket" -> ((s, dir) => {
       import s.implicits._
-      val edges = t(s, dir, "lineitem").agg(
-        expr("round(percentile(l_extendedprice, 0.25D), 4)").as("q1"),
-        expr("round(percentile(l_extendedprice, 0.50D), 4)").as("q2"),
-        expr("round(percentile(l_extendedprice, 0.75D), 4)").as("q3"))
+      val edges = graft.functions.Stats.exactQuantiles(
+          t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+        .select(round($"q1", 4).as("q1"), round($"q2", 4).as("q2"),
+          round($"q3", 4).as("q3"))
       t(s, dir, "lineitem")
         .crossJoin(broadcast(edges))
         .select($"l_orderkey", $"l_partkey", $"l_suppkey",

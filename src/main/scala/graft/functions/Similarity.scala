@@ -870,24 +870,65 @@ object Similarity {
                               k: Int = 50, threshold: Double = -1.0,
                               nLists: Int = 16, nProbe: Int = 4,
                               trainIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spread = Dedup.spread(df)
     val (seeds, seedNorms) =
       if (trainIters > 0) trainSeeds(spread, idCol, vecCol, nLists, trainIters)
       else collectSeeds(spread, idCol, vecCol, nLists)
-    val assigned = spread.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+    val idType = df.schema(idCol).dataType
+    // Integral ids take the bounded-heap funnel below, which needs the
+    // pair packed into one long: safe for [0, 2^31) — always true for
+    // int/short/byte, guarded in-plan for long (one check per ASSIGNMENT
+    // row, nProbe·N evaluations, not per candidate pair).
+    val packable = Seq(IntegerType, LongType, ShortType, ByteType).contains(idType)
+    val idExpr = {
+      // negative ids would invert the pack's lexicographic order, so the
+      // whole integral family is guarded, not just long
+      val asLong = col(idCol).cast("long")
+      when(asLong.between(0L, (1L << 31) - 1), asLong).otherwise(raise_error(
+        concat(lit("embeddingNearDupBlocked: id outside packable [0, 2^31): "),
+          asLong.cast("string"))))
+    }
+    val assigned = spread.select(
+      (if (packable) idExpr else col(idCol)).as("id"), asDouble(col(vecCol)).as("v"),
       explode(probeUdf(seeds, seedNorms, nProbe)(asDouble(col(vecCol)))).as("list_id"))
     val a = assigned.as("a")
     val b = assigned.as("b")
-    a.join(b, col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      // a pair sharing several probed lists matches once per shared list;
-      // cosine is a pure function of the pair, so any survivor row is
-      // canonical
-      .dropDuplicates("id_a", "id_b")
-      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
-      .limit(k)
+    val pairs = a.join(b, col("a.list_id") === col("b.list_id") && col("a.id") < col("b.id"))
+    if (packable) {
+      // The candidate volume here is the designed nLists×(N·nProbe/nLists)²/2
+      // budget (≈ 8·N^1.5 at the sqrt-floored list count) — ~7e8 pairs for
+      // 200k vectors. Funnel them through the k-bounded heap aggregate
+      // (knnGraphBlocked's trick): partial heaps collapse the multi-list
+      // duplicate pairs (cosine rounded BEFORE the aggregate, so dups are
+      // bit-identical) and the exchange carries ≤ partitions×k entries.
+      // The previous dropDuplicates + orderBy funnel shuffled every
+      // candidate pair — 230 of d5's 280 s at sf10 (campaign find #4).
+      // Heap order (score desc, packed id asc) ≡ the documented
+      // (cosine desc, id_a asc, id_b asc) contract because the pack is
+      // lexicographic for ids in [0, 2^31).
+      pairs
+        .select(round(cosine(col("a.v"), col("b.v")), 6).as("cosine"),
+          (col("a.id") * lit(4294967296L) + col("b.id")).as("__pk"))
+        .filter(col("cosine") >= threshold)
+        .agg(topKPairsAgg(col("cosine"), col("__pk"), k).as("__nbrs"))
+        .select(explode(col("__nbrs")).as("__e"))
+        .select(shiftright(col("__e.id"), 32).cast(idType).as("id_a"),
+          (col("__e.id").bitwiseAND(lit(4294967295L))).cast(idType).as("id_b"),
+          col("__e.score").as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+    } else {
+      pairs
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+        .filter(col("cosine") >= threshold)
+        // a pair sharing several probed lists matches once per shared list;
+        // cosine is a pure function of the pair, so any survivor row is
+        // canonical
+        .dropDuplicates("id_a", "id_b")
+        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+        .limit(k)
+    }
   }
 
   /** IVF probe: score only the vectors whose list belongs to the `nProbe`

@@ -117,22 +117,41 @@ object Stats {
     * threshold). Adds `med`, `mad`, `robust_z` (null when MAD = 0 — a
     * constant-majority group has no robust scale) and `is_outlier`.
     *
-    * Shape: two grouped EXACT percentile aggregates (median, then MAD over
-    * the residuals) + two broadcast joins of the tiny per-group stat
-    * tables — the fact side never shuffles. Exact `percentile` sorts each
-    * group's values inside the aggregate buffer; at extreme per-group
-    * cardinality swap `percentile` for `approx_percentile` (same plan
-    * shape, sketch-mergeable buffers).
+    * Shape: two grouped EXACT median passes + two broadcast joins of the
+    * tiny per-group stat tables — the fact side never shuffles. The
+    * median form is ROUTED by group count (the packSequencesAuto /
+    * d5 discipline, via a LocalLimit-bounded distinct probe): with many
+    * groups the built-in `percentile` aggregate parallelizes across
+    * reducers and is right; with FEW HUGE groups that same aggregate
+    * merges each group's whole value→count map on the one reducer owning
+    * it (sf10 campaign: 3 return-flag groups over 60 M rows = all the
+    * work on 3 tasks), so the few-group regime takes
+    * [[exactQuantilesByGroup]]'s sort+rank form — bit-identical values.
+    * One semantic corner on the few-group path: a group whose values are
+    * ALL null is dropped rather than emitted with null med/mad.
     */
   def robustOutliers(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
-                     valueCol: String, k: Double = 3.0): org.apache.spark.sql.DataFrame = {
+                     valueCol: String, k: Double = 3.0,
+                     groupThreshold: Int = 64): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val gcols = groupCols.map(col)
-    val med = df.groupBy(gcols: _*)
-      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val fewGroups = df.select(gcols: _*).distinct()
+      .limit(groupThreshold + 1).count() <= groupThreshold
+    def groupedMedian(src: org.apache.spark.sql.DataFrame, vCol: org.apache.spark.sql.Column,
+                      outName: String) =
+      if (fewGroups) {
+        // ≤ groupThreshold rows by the probe above — materialize as a
+        // literal frame so the nested med→mad→output lineage never
+        // replays the sort+zip subtree (bounded driver traffic).
+        val q = exactQuantilesByGroup(src.select(gcols :+ vCol.as("__mv"): _*),
+          "__mv", groupCols, Seq(outName -> 0.5))
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(q.collect(): _*), q.schema)
+      }
+      else src.groupBy(gcols: _*).agg(percentile(vCol, lit(0.5)).as(outName))
+    val med = groupedMedian(df, col(valueCol), "med")
     val withMed = df.join(broadcast(med), groupCols)
-    val mad = withMed.groupBy(gcols: _*)
-      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    val mad = groupedMedian(withMed, abs(col(valueCol) - col("med")), "mad")
     withMed.join(broadcast(mad), groupCols)
       .withColumn("robust_z",
         when(col("mad") === 0, lit(null).cast("double"))
@@ -375,7 +394,7 @@ object Stats {
       Seq(min(when(col("__rk") === k1, col("__v"))).as(s"__lo_$i"),
           min(when(col("__rk") === k2, col("__v"))).as(s"__hi_$i"))
     }
-    ranked.filter(col("__rk").isin(needed: _*))
+    val result = ranked.filter(col("__rk").isin(needed: _*))
       .agg(aggs.head, aggs.drop(1): _*)
       // Bit-identical to the built-in aggregate's interpolation:
       // (1−frac)·lo + frac·hi with the equal-keys short-circuit
@@ -386,6 +405,13 @@ object Stats {
           .otherwise(lit(1.0 - frac) * col(s"__lo_$i") +
             lit(frac) * col(s"__hi_$i"))
           .as(name) }: _*)
+    // Materialize the ONE result row as a literal local frame: consumers
+    // invariably crossJoin(broadcast(...)) this against a fact table, and
+    // a lazy result would replay the whole sort+zip subtree inside every
+    // downstream action (zipWithIndex's offsets job already executes it
+    // once eagerly). One row of doubles is scalar-sized driver traffic.
+    spark.createDataFrame(
+      java.util.Arrays.asList(result.collect(): _*), result.schema)
   }
 
   /** Grouped [[exactQuantiles]]: exact interpolated quantiles PER GROUP,

@@ -701,6 +701,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"blocked near-dup recall $recall ($hits/${exactPairs.size})")
   }
 
+  test("embeddingNearDupBlocked: heap funnel ≡ legacy dropDuplicates funnel (pair-for-pair), negative id fails loudly") {
+    // Integral ids route through the packed bounded-heap funnel; string
+    // ids keep the legacy dropDuplicates+orderBy funnel. Fixed-width ids
+    // (100..) make string order == numeric order, so the two paths must
+    // agree TUPLE-FOR-TUPLE including the (cosine desc, id_a, id_b) tie
+    // order and the k-th-boundary cut.
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 300).map { i =>
+      (100L + i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val viaHeap = Similarity.embeddingNearDupBlocked(emb, "vec_id", "embedding",
+        k = 40, nLists = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaLegacy = Similarity.embeddingNearDupBlocked(
+        emb.withColumn("vec_id", $"vec_id".cast("string")), "vec_id", "embedding",
+        k = 40, nLists = 6, nProbe = 2)
+      .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getDouble(2))).toSeq
+    assert(viaHeap.size == 40)
+    assert(viaHeap == viaLegacy)
+    // ids outside [0, 2^31) cannot pack — loud failure, not wrong order
+    val bad = Seq((-1L, Seq.fill(16)(0.5f)), (5L, Seq.fill(16)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.embeddingNearDupBlocked(bad, "vec_id", "embedding", k = 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank scores, one-list members, tie-break, k-cut") {
     // lex: (1,r1) (2,r2) (3,r3); vec: (2,r1) (4,r2) (3,r3)
     val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
