@@ -964,23 +964,33 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events").select($"user_id",
         expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
         coalesce($"value", lit(0.0)).as("value"))
-      ev.coalesce(1).write.mode("overwrite").parquet(src)
+      // The load-bearing ingest property is ONE CORPUS BATCH (an
+      // intermediate watermark advance would fire session timers early
+      // for users whose remaining events sit in a later, unordered
+      // file), not one corpus FILE: 8 files + run-1 maxFilesPerTrigger=8
+      // keep the single-batch semantics while the write and scan
+      // parallelize (the coalesce(1) form pushed 10 M rows through one
+      // task at sf10). Run 2 keeps mFPT=1 so the two flush files stay
+      // SEPARATE batches — Spark derives batch N+1's watermark from
+      // batch N's data, so the timers fire during the second flush batch.
+      ev.coalesce(8).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
       def flush(tsStr: String): Unit =
         Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
           .toDF("user_id", "ts", "value").coalesce(1)
           .write.mode("append").parquet(src)
-      graft.streaming.Streams.withGateStreamConfs(s) {
-        def run(): Unit = Streams.runAvailableNow(
+      graft.streaming.Streams.withGateStreamConfs(s,
+        Streams.gateStatePartitions(t(s, dir, "events").count())) {
+        def run(mfpt: Int): Unit = Streams.runAvailableNow(
           Streams.sessionizeTws(
-            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = mfpt)
               .as[Streams.TwsEvent],
             gapMs = 30L * 60 * 1000).toDF(),
           out, ckpt)
-        run() // ingests the month; timers armed, nothing fired yet
+        run(8) // ingests the month in ONE batch; timers armed, not fired
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
-        run() // flush batches advance the watermark; timers fire
+        run(1) // flush batches advance the watermark; timers fire
       }
       val live = s.read.parquet(out).filter($"user_id" =!= -1L)
         .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
@@ -1299,13 +1309,21 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events").select($"event_id", $"user_id",
         expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
         $"event_type")
-      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
-      ev.coalesce(1).write.mode("append").parquet(src) // delivery 2
+      // 8-file deliveries, 8-file triggers: the emitted set equals the
+      // distinct corpus no matter how files group into batches (the
+      // comment above — this gate's contract is batching-invariant), so
+      // the delivery needn't be ONE file, and a coalesce(1) write pushed
+      // 10 M rows through a single task twice at sf10. State partitions
+      // scale with the 2N-row ingest (8 RocksDB instances serialized the
+      // sf10 drain).
+      ev.coalesce(8).write.mode("append").parquet(src) // delivery 1
+      ev.coalesce(8).write.mode("append").parquet(src) // delivery 2
       val schema = s.read.parquet(src).schema
-      graft.streaming.Streams.withGateStreamConfs(s) {
+      graft.streaming.Streams.withGateStreamConfs(s,
+        Streams.gateStatePartitions(2L * t(s, dir, "events").count())) {
         Streams.runAvailableNow(
           Streams.dedupStream(
-            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 8),
             "ts", Seq("event_id"), watermark = "800 hours"),
           out, ckpt)
       }
@@ -1416,14 +1434,20 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events").select($"event_id", $"user_id",
         expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
         $"event_type")
-      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
+      // 8-file deliveries + 8-file triggers: the payload excludes ts, so
+      // the surviving set is delivery-order-invariant (comment above) and
+      // the key-only dedup drops the restamp within OR across batches —
+      // same batching-invariance argument as o20, same coalesce(1)
+      // single-task-write and 8-instance RocksDB costs removed.
+      ev.coalesce(8).write.mode("append").parquet(src) // delivery 1
       ev.withColumn("ts", expr("ts + INTERVAL 2 seconds")) // re-stamped
-        .coalesce(1).write.mode("append").parquet(src)     // delivery 2
+        .coalesce(8).write.mode("append").parquet(src)     // delivery 2
       val schema = s.read.parquet(src).schema
-      graft.streaming.Streams.withGateStreamConfs(s) {
+      graft.streaming.Streams.withGateStreamConfs(s,
+        Streams.gateStatePartitions(2L * t(s, dir, "events").count())) {
         Streams.runAvailableNow(
           Streams.dedupWithinWatermark(
-            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 8),
             "ts", Seq("event_id"), watermark = "800 hours"),
           out, ckpt)
       }

@@ -957,17 +957,19 @@ object Streams {
     * `body`, restore previous values. Stateful availableNow gates carry
     * tiny per-key state, so the session default of 32 shuffle partitions
     * means 32 RocksDB instances per stateful operator PER MICRO-BATCH of
-    * pure setup cost. 8 is plenty for gate corpora; production
-    * checkpoints choose their own width at creation time (Spark pins the
-    * state partition count INTO the checkpoint, so this is a
-    * per-checkpoint sizing decision, never a global) — at cluster scale
-    * you'd size it to keep per-partition state under executor memory,
-    * not minimize instance count. */
-  def withGateStreamConfs(s: SparkSession)(body: => Unit): Unit = {
+    * pure setup cost. 8 is plenty for gate corpora — but the pin is a
+    * PER-CHECKPOINT sizing decision (Spark freezes the count at
+    * checkpoint creation), so big-ingest gates pass
+    * [[gateStatePartitions]] of their row count instead: at sf10 a
+    * 20 M-key dedup drain through 8 RocksDB instances serializes the
+    * state work onto 8 of 32 cores. At cluster scale you'd size it to
+    * keep per-partition state under executor memory, not minimize
+    * instance count. */
+  def withGateStreamConfs(s: SparkSession, statePartitions: Int = 8)(body: => Unit): Unit = {
     val confs = Seq(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.shuffle.partitions" -> "8")
+      "spark.sql.shuffle.partitions" -> statePartitions.toString)
     val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try body
@@ -976,6 +978,13 @@ object Streams {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** State-partition width for a gate checkpoint, from the rows it will
+    * ingest: the narrow 8 keeps small-corpus gates from paying 32 RocksDB
+    * setups per stateful op per micro-batch; past ~2 M rows the state
+    * work itself dominates setup and wants the full local parallelism. */
+  def gateStatePartitions(ingestRows: Long): Int =
+    if (ingestRows >= 2_000_000L) 32 else 8
 
   /** LIVE ANN-INDEX INGEST: maintain an at-rest IVF member table from a
     * stream of embedding batches. Each micro-batch is assigned against the
