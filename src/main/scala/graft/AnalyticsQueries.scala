@@ -651,22 +651,27 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events").select($"user_id",
         expr("timestamp_millis(CAST(ts AS BIGINT) div 1000000)").as("ts"),
         coalesce($"value", lit(0.0)).as("value"))
-      ev.coalesce(1).write.mode("overwrite").parquet(src)
+      // ONE CORPUS BATCH is the load-bearing property under the 0-second
+      // watermark delay (an intermediate advance would drop later-file
+      // rows as late), not one corpus FILE — w21's 8-file/run-matched
+      // maxFilesPerTrigger treatment, see there for the mechanics.
+      ev.coalesce(8).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
       def flush(tsStr: String): Unit =
         Seq((-1L, java.sql.Timestamp.valueOf(tsStr), 0.0))
           .toDF("user_id", "ts", "value").coalesce(1)
           .write.mode("append").parquet(src)
-      graft.streaming.Streams.withGateStreamConfs(s) {
-        def run(): Unit = Streams.runAvailableNow(
+      graft.streaming.Streams.withGateStreamConfs(s,
+        Streams.gateStatePartitions(t(s, dir, "events").count())) {
+        def run(mfpt: Int): Unit = Streams.runAvailableNow(
           Streams.sessionWindowCounts(
-            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1),
+            Streams.parquetStream(s, src, schema, maxFilesPerTrigger = mfpt),
             "ts", "user_id"),
           out, ckpt)
-        run() // ingests all real events; nothing sealed yet
+        run(8) // ingests all real events in ONE batch; nothing sealed yet
         flush("2099-01-01 00:00:00")
         flush("2099-01-02 00:00:00")
-        run() // flush 1 advances the watermark, flush 2's batch seals all
+        run(1) // flush 1 advances the watermark, flush 2's batch seals all
       }
       val live = s.read.parquet(out).filter($"user_id" =!= -1L)
         .select($"user_id", unix_millis($"session_start").as("session_start_ms"),
@@ -1492,11 +1497,17 @@ object AnalyticsQueries {
       rm(new java.io.File(tmp))
       val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
       val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type")
-      ev.coalesce(1).write.mode("append").parquet(src) // delivery 1
+      // permanent-state dedup has no watermark, so any batching of the
+      // 8-file deliveries preserves the contract (o20's argument); the
+      // state-partition width must be the SAME for both runs — the
+      // checkpoint freezes it at creation and run 2 reuses it
+      ev.coalesce(8).write.mode("append").parquet(src) // delivery 1
       val schema = s.read.parquet(src).schema
-      def runOnce(): Unit = graft.streaming.Streams.withGateStreamConfs(s) {
+      val stateParts = Streams.gateStatePartitions(t(s, dir, "events").count())
+      def runOnce(): Unit =
+        graft.streaming.Streams.withGateStreamConfs(s, stateParts) {
         val stream = Streams.parquetStream(s, src, schema,
-          maxFilesPerTrigger = 1).as[(Long, Long, String)]
+          maxFilesPerTrigger = 8).as[(Long, Long, String)]
         Streams.runAvailableNow(
           Streams.dedupIncrementalBy[(Long, Long, String)](
             stream, _._1.toString, _._1)
@@ -1505,7 +1516,7 @@ object AnalyticsQueries {
       }
       runOnce() // run 1: fresh state, emits the whole corpus, stops
       val n1 = s.read.parquet(out).count()
-      ev.coalesce(1).write.mode("append").parquet(src) // redelivery
+      ev.coalesce(8).write.mode("append").parquet(src) // redelivery
       runOnce() // run 2: the RESTART — state must come back
       val n2 = s.read.parquet(out).count()
       val live = s.read.parquet(out)
