@@ -139,15 +139,12 @@ object Stats {
       .limit(groupThreshold + 1).count() <= groupThreshold
     def groupedMedian(src: org.apache.spark.sql.DataFrame, vCol: org.apache.spark.sql.Column,
                       outName: String) =
-      if (fewGroups) {
-        // ≤ groupThreshold rows by the probe above — materialize as a
-        // literal frame so the nested med→mad→output lineage never
-        // replays the sort+zip subtree (bounded driver traffic).
-        val q = exactQuantilesByGroup(src.select(gcols :+ vCol.as("__mv"): _*),
+      if (fewGroups)
+        // helper materializes its ≤ groupThreshold rows as a literal
+        // frame, so the nested med→mad→output lineage never replays the
+        // sort+zip subtree (bounded driver traffic)
+        exactQuantilesByGroup(src.select(gcols :+ vCol.as("__mv"): _*),
           "__mv", groupCols, Seq(outName -> 0.5))
-        df.sparkSession.createDataFrame(
-          java.util.Arrays.asList(q.collect(): _*), q.schema)
-      }
       else src.groupBy(gcols: _*).agg(percentile(vCol, lit(0.5)).as(outName))
     val med = groupedMedian(df, col(valueCol), "med")
     val withMed = df.join(broadcast(med), groupCols)
@@ -381,8 +378,11 @@ object Stats {
     if (n == 0L)
       return spark.range(1).select(ps.map { case (name, _) =>
         lit(null).cast("double").as(name) }: _*)
-    val ranked = graft.operators.Relational.globalRowIds(
-      vals, Seq(col("__v")), "__rk")
+    // persist across zipWithIndex's eager offsets job and the collect
+    // below — without it the range sort executes twice (see zipRowIds)
+    val sorted = vals.orderBy(col("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = graft.operators.Relational.zipRowIds(sorted, "__rk")
     // 1-indexed bracketing ranks + interpolation fraction per p
     val specs = ps.map { case (name, p) =>
       val r = p * (n - 1) // 0-indexed continuous rank
@@ -410,8 +410,10 @@ object Stats {
     // a lazy result would replay the whole sort+zip subtree inside every
     // downstream action (zipWithIndex's offsets job already executes it
     // once eagerly). One row of doubles is scalar-sized driver traffic.
-    spark.createDataFrame(
+    val out = spark.createDataFrame(
       java.util.Arrays.asList(result.collect(): _*), result.schema)
+    sorted.unpersist()
+    out
   }
 
   /** Grouped [[exactQuantiles]]: exact interpolated quantiles PER GROUP,
@@ -437,11 +439,18 @@ object Stats {
     * semantic difference: a group whose values are ALL null is ABSENT
     * from the output (the filter precedes the groupBy), where the
     * built-in emits the group with a null quantile.
+    *
+    * With `materialize` (the default) the G result rows are collected
+    * into a literal frame and the sort cache released — right whenever G
+    * is group-sized small (the few-huge-groups regime this function
+    * exists for); pass false for adversarially many groups to keep the
+    * result lazy (downstream actions then replay the sort+zip subtree).
     */
   def exactQuantilesByGroup(df: org.apache.spark.sql.DataFrame,
                             valueCol: String, groupCols: Seq[String],
                             ps: Seq[(String, Double)],
-                            countCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+                            countCol: Option[String] = None,
+                            materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     require(groupCols.nonEmpty, "use exactQuantiles for the global form")
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
@@ -449,13 +458,21 @@ object Stats {
     val gs = groupCols.map(col)
     val vals = df.select(gs :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
-    val ranked = graft.operators.Relational.globalRowIds(
-      vals, gs :+ col("__v"), "__rk")
+    // persist across zipWithIndex's eager offsets job, the counts pass,
+    // and the final action — without it the range sort executes once per
+    // pass (see zipRowIds); only worth holding when we materialize and
+    // can release it before returning
+    val sorted = vals.orderBy(gs :+ col("__v"): _*)
+    val held = if (materialize)
+      Some(sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else None
+    val ranked = graft.operators.Relational.zipRowIds(
+      held.getOrElse(sorted), "__rk")
     // Per-group (offset, size) WITHOUT a second pass over the sorted
-    // frame: group sizes from one groupBy count; offsets = cumulative
-    // sum of sizes in group order (G-row window, nulls-first like the
-    // sort above).
-    val counts = vals.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    // frame: group sizes from one groupBy count (reading the cache when
+    // held); offsets = cumulative sum of sizes in group order (G-row
+    // window, nulls-first like the sort above).
+    val counts = held.getOrElse(vals).groupBy(gs: _*).agg(count(lit(1)).as("__n"))
     val one = graft.operators.Relational.onePartKey(col("__n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(one)
       .orderBy(groupCols.map(c => col(c).asc_nulls_first): _*)
@@ -475,7 +492,7 @@ object Stats {
           min(when(col("__lr") === k2, col("__v"))).as(s"__hi_$i"),
           max(frac).as(s"__fr_$i")) // per-group constant
     } ++ countCol.map(c => max(col("__n")).as(c)).toSeq
-    local.groupBy(groupCols.map(col): _*)
+    val result = local.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.drop(1): _*)
       // Same bit-identical interpolation form as [[exactQuantiles]].
       .select(gs ++ ps.zipWithIndex.map { case ((name, _), i) =>
@@ -483,5 +500,13 @@ object Stats {
           .otherwise((lit(1.0) - col(s"__fr_$i")) * col(s"__lo_$i") +
             col(s"__fr_$i") * col(s"__hi_$i"))
           .as(name) } ++ countCol.map(col).toSeq: _*)
+    held match {
+      case Some(cached) =>
+        val out = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(result.collect(): _*), result.schema)
+        cached.unpersist()
+        out
+      case None => result
+    }
   }
 }

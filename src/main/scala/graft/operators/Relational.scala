@@ -94,9 +94,19 @@ object Relational {
     * hitters, which run over already-tiny inputs).
     */
   def globalRowIds(df: DataFrame, orderCols: Seq[Column],
-                   idName: String = "row_id"): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(orderCols: _*)
+                   idName: String = "row_id"): DataFrame =
+    zipRowIds(df.orderBy(orderCols: _*), idName)
+
+  /** The zip half of [[globalRowIds]]: stamp contiguous 1..N ids onto an
+    * ALREADY-SORTED frame. Exposed separately because `zipWithIndex`
+    * computes its per-partition offsets in an EAGER job at construction —
+    * the sort subtree executes once for the offsets and again for every
+    * downstream action — so callers that pay a large sort (the exact-
+    * quantile family) persist the sorted frame first and hand it here,
+    * halving the sort count; callers with cheap inputs use
+    * [[globalRowIds]] unchanged. */
+  def zipRowIds(sorted: DataFrame, idName: String = "row_id"): DataFrame = {
+    val spark = sorted.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(idName,
