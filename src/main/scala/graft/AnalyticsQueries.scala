@@ -1028,16 +1028,21 @@ object AnalyticsQueries {
       }
       rm(new java.io.File(tmp))
       val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      // persisted: the md5+token-count projection over full text is the
+      // expensive part and feeds maxId, the seed set, the source write,
+      // and the batch twin — one materialization instead of five
+      // (the k14 discipline; at sf10 the recomputes were ~2/3 of c3)
       val meta = t(s, dir, "documents").select(
         $"doc_id".cast("long").as("doc_id"), $"lang",
         Text.tokenCountWs($"text").cast("long").as("n_tokens"),
         Text.fingerprintMd5($"text").as("fingerprint"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = meta.agg(max($"doc_id")).as[Long].first()
       val seedFps = meta.filter($"doc_id" * 2 <= maxId)
         .select($"fingerprint").as[String]
-      for (i <- 0 until 3)
-        meta.filter(pmod(hash($"fingerprint"), lit(3)) === i)
-          .coalesce(1).write.mode("append").parquet(src)
+      // one parallel job, 3 files, every fingerprint's docs entirely
+      // inside one file — the o17 key-hash form of the shard invariant
+      meta.repartition(3, $"fingerprint").write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
       graft.streaming.Streams.withGateStreamConfs(s) {
         val docs = Streams.parquetStream(s, src, schema, maxFilesPerTrigger = 1)
@@ -1568,9 +1573,11 @@ object AnalyticsQueries {
         when($"o_orderkey" % 10 === 0, "D").otherwise("U").as("op"),
         $"o_orderkey".as("seq"))
       base.write.mode("overwrite").parquet(snap)
-      for (i <- 0 until 3)
-        changes.filter($"c_custkey" % 3 === i).coalesce(1)
-          .write.mode("append").parquet(src)
+      // one parallel job, 3 files, each key's changes entirely inside one
+      // file (hash partitioning by the key itself — the same one-batch-
+      // per-key invariant the old 3 sequential coalesce(1) shard writes
+      // bought with 3 scans + 3 single-task writes)
+      changes.repartition(3, $"c_custkey").write.mode("append").parquet(src)
       val schema = s.read.parquet(src).schema
       graft.streaming.Streams.withGateStreamConfs(s) {
         graft.streaming.Streams.runCdcSnapshotAvailableNow(
