@@ -119,10 +119,18 @@ object AnalyticsQueries {
     // itself is what's gate-verified (upgraded from rows-only, round 8).
     "a13_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
-             countDistinct($"l_orderkey").as("exact_orders"))
+      // approx and exact as SEPARATE aggregations joined on the 3-row
+      // group table: mixing countDistinct with another aggregate makes
+      // Catalyst Expand every input row once per aggregate class — the
+      // 60 M-row scan shuffled 120 M expanded rows (160 s at sf10).
+      // Split, the HLL side is a pure map-side-combined sketch and the
+      // exact side is the plain two-phase distinct (sf10: 160 -> 6.5 s).
+      val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_orderkey")
+      val approx = li.groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"))
+      val exact = li.distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_orders"))
+      approx.join(exact, Seq("l_returnflag"))
         .select($"l_returnflag", $"exact_orders",
           (abs($"approx_orders" - $"exact_orders") <=
             $"exact_orders" * lit(0.06)).as("within_bound"))
@@ -1152,7 +1160,11 @@ object AnalyticsQueries {
       val facts = t(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey".as("c_custkey"))
       val dimV1 = t(s, dir, "customer").select($"c_custkey", $"c_name")
-      facts.filter($"o_orderkey" % 2 === 0).coalesce(1)
+      // wave membership is by RUN (each availableNow drain processes all
+      // pending files in one batch — mFPT below exceeds any file count),
+      // so a wave needn't be one file; coalesce(1) was a 7.5M-row
+      // single-task write per wave at sf10
+      facts.filter($"o_orderkey" % 2 === 0).coalesce(8)
         .write.mode("append").parquet(src)
       dimV1.write.mode("overwrite").parquet(dimPath)
       val schema = s.read.parquet(src).schema
@@ -1166,7 +1178,7 @@ object AnalyticsQueries {
       run() // wave 1 enriches against dim v1
       dimV1.select($"c_custkey", concat(lit("v2_"), $"c_name").as("c_name"))
         .write.mode("overwrite").parquet(dimPath)
-      facts.filter($"o_orderkey" % 2 === 1).coalesce(1)
+      facts.filter($"o_orderkey" % 2 === 1).coalesce(8)
         .write.mode("append").parquet(src)
       run() // wave 2's batch re-reads the dim: sees v2
       val live = s.read.parquet(out)
