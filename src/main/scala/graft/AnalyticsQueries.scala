@@ -178,11 +178,15 @@ object AnalyticsQueries {
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mov = w.rowsBetween(-2, 0)
       // decimal cumulative sum (skew-sf1): the hot customer's running
-      // spend crosses 1e10 where double ulps exceed the round(4) quantum
+      // spend crosses 1e10 where double ulps exceed the round(4) quantum.
+      // NO round after the double cast (skew-sf10): the decimal is exactly
+      // 2dp, and at 3.6e11 running spend, x*1e4 > 2^51 — Spark's
+      // BigDecimal round and DuckDB's numeric round disagree on the last
+      // ulp there (64k diff rows in the hot partition).
       t(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey",
-          round(sum($"o_totalprice".cast("decimal(18,2)")).over(cum)
-            .cast("double"), 4).as("running_spend"),
+          sum($"o_totalprice".cast("decimal(18,2)")).over(cum)
+            .cast("double").as("running_spend"),
           count(lit(1)).over(cum).as("n_so_far"),
           round(avg($"o_totalprice").over(mov), 4).as("moving_avg3"))
     }),
@@ -257,7 +261,10 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"),
              min($"event_id").as("first_event"),
              max($"event_id").as("last_event"),
-             round(sum(coalesce($"value", lit(0.0))), 4).as("total_value"))
+             // exact decimal session sums: the Zipf user's single 1.6M-event
+             // session leaves double sum-order noise near the round(4) grid
+             round(sum(coalesce($"value", lit(0.0)).cast("decimal(18,2)"))
+               .cast("double"), 4).as("total_value"))
     }),
 
     // W11: per-group z-score outlier flagging — the statistical quality
@@ -318,7 +325,8 @@ object AnalyticsQueries {
           .otherwise($"o_orderstatus").as("k"),
         $"o_totalprice")
       val dim = withKey.groupBy($"k".as("k2"))
-        .agg(round(avg($"o_totalprice"), 4).as("avg_price_k"),
+        .agg(round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double") /
+          count($"o_totalprice"), 4).as("avg_price_k"),
              count(lit(1)).as("n_k"))
       withKey.join(dim, $"k" <=> $"k2")
         .select($"o_orderkey", $"k", $"avg_price_k", $"n_k")
@@ -433,8 +441,8 @@ object AnalyticsQueries {
                       CAST(grouping(l_returnflag) AS INT) AS g_rf,
                       CAST(grouping(l_linestatus) AS INT) AS g_ls2,
                       count(1) AS n_rows,
-                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                            AS DOUBLE), 4) AS sum_price
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS sum_price
                FROM l_gs
                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
     }),
@@ -483,8 +491,16 @@ object AnalyticsQueries {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select($"l_returnflag", $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      // mx: quantity is integer-valued, its double sum is exact; my: price
+      // is fractional, so the mean routes through an exact decimal sum —
+      // both engines then center on bit-identical means (skew-sf10
+      // decimal discipline; the centered product sums stay double and
+      // carry a documented sub-boundary ulp risk)
       val means = li.groupBy($"l_returnflag")
-        .agg(avg($"x").as("mx"), avg($"y").as("my"), count(lit(1)).as("n"))
+        .agg(avg($"x").as("mx"),
+          (sum($"y".cast("decimal(18,2)")).cast("double") / count($"y"))
+            .as("my"),
+          count(lit(1)).as("n"))
       li.join(broadcast(means), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(first($"n").as("n"), first($"mx").as("mx"), first($"my").as("my"),
@@ -1781,8 +1797,8 @@ object AnalyticsQueries {
                 CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
                 CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls2,
                 count(*) AS n_rows,
-                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                      AS DOUBLE), 4) AS sum_price
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) AS sum_price
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""",
     "a17_heavy_hitters" ->
@@ -1815,9 +1831,9 @@ object AnalyticsQueries {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "w8_cumulative" ->
       """SELECT o_custkey, o_orderkey,
-         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_spend,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
          count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
          round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -1871,7 +1887,8 @@ object AnalyticsQueries {
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(event_id) AS first_event, max(event_id) AS last_event,
-                round(sum(coalesce(value, 0)), 4) AS total_value
+                round(CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2)))
+                      AS DOUBLE), 4) AS total_value
          FROM s GROUP BY user_id, session_id""",
     "w11_zscore_outliers" ->
       """WITH z AS (
@@ -1936,7 +1953,9 @@ object AnalyticsQueries {
                   o_totalprice
            FROM orders),
          dim AS (
-           SELECT k AS k2, round(avg(o_totalprice), 4) AS avg_price_k,
+           SELECT k AS k2,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(o_totalprice), 4) AS avg_price_k,
                   CAST(count(*) AS BIGINT) AS n_k
            FROM wk GROUP BY k)
          SELECT o_orderkey, k, avg_price_k, n_k
@@ -1944,7 +1963,8 @@ object AnalyticsQueries {
     "a21_group_ols" ->
       """WITH m AS (
            SELECT l_returnflag, avg(l_quantity) AS mx,
-                  avg(l_extendedprice) AS my, count(*) AS n
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(l_extendedprice) AS my, count(*) AS n
            FROM lineitem GROUP BY l_returnflag),
          c AS (
            SELECT l.l_returnflag,

@@ -97,10 +97,18 @@ object ExprQueries {
         count(lit(1)).as("n"),
         count($"l_quantity").as("nn_qty"), round(min($"l_quantity"), 4).as("mn_qty"),
         round(max($"l_quantity"), 4).as("mx_qty"), round(avg($"l_quantity"), 4).as("av_qty"),
+        // fractional-money avgs via exact decimal sums (skew-sf10 j2
+        // lesson): a 60M-row double avg's summation-order ulps land the
+        // mean anywhere relative to the round(4) grid; sum(DECIMAL)/count
+        // gives both engines the identical double to round
         count($"l_extendedprice").as("nn_prc"), round(min($"l_extendedprice"), 4).as("mn_prc"),
-        round(max($"l_extendedprice"), 4).as("mx_prc"), round(avg($"l_extendedprice"), 4).as("av_prc"),
+        round(max($"l_extendedprice"), 4).as("mx_prc"),
+        round(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") /
+          count($"l_extendedprice"), 4).as("av_prc"),
         count($"l_discount").as("nn_dsc"), round(min($"l_discount"), 4).as("mn_dsc"),
-        round(max($"l_discount"), 4).as("mx_dsc"), round(avg($"l_discount"), 4).as("av_dsc"))
+        round(max($"l_discount"), 4).as("mx_dsc"),
+        round(sum($"l_discount".cast("decimal(18,2)")).cast("double") /
+          count($"l_discount"), 4).as("av_dsc"))
       agg.select(explode(array(
           struct(lit("l_quantity").as("column"), $"n".as("n_rows"),
             ($"n" - $"nn_qty").as("n_nulls"), $"mn_qty".as("min_v"),
@@ -119,9 +127,18 @@ object ExprQueries {
     // J2: inner equi-join on composite key (data_lake.py:1045-1050)
     "j2_composite_key_join" -> ((s, dir) => {
       import s.implicits._
+      // decimal-exact avg, emitted UNROUNDED (skew-sf10 campaign):
+      // sum(DECIMAL(18,2)) is exact and engine-identical, and the double
+      // division by the non-null count is then IEEE-identical — but a
+      // round(6) on top is NOT: when the quotient's shortest decimal repr
+      // is a true half-way point (32.3159375 in this corpus), Spark
+      // rounds that decimal string HALF_UP while DuckDB rounds the binary
+      // value sitting an ulp below it. With 7.5M groups one such quotient
+      // is guaranteed; only the unrounded identical double is safe.
       val dim = t(s, dir, "events")
         .groupBy($"user_id", $"event_type")
-        .agg(round(avg($"value"), 6).as("avg_value"))
+        .agg((sum($"value".cast("decimal(18,2)")).cast("double") /
+          count($"value")).as("avg_value"))
       t(s, dir, "events")
         .join(dim, Seq("user_id", "event_type"), "inner")
         .filter($"value" > $"avg_value" * 2)
@@ -163,10 +180,15 @@ object ExprQueries {
     // J6: left join against filtered derived subquery (asset_tvl_by_day.sql:38-43)
     "j6_join_derived_subquery" -> ((s, dir) => {
       import s.implicits._
+      // decimal-exact sum (skew-sf10): the hot customer's F-order spend
+      // reaches 1e11, past the magnitude where double sum order is
+      // round(4)-stable (j1's skew-sf1 lesson, unapplied here until the
+      // skew-sf10 gate caught it)
       val finished = t(s, dir, "orders")
         .filter($"o_orderstatus" === "F")
         .groupBy($"o_custkey")
-        .agg(round(sum($"o_totalprice"), 4).as("finished_spend"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("finished_spend"))
       t(s, dir, "customer")
         .join(finished, $"c_custkey" === $"o_custkey", "left")
         .select($"c_custkey", coalesce($"finished_spend", lit(0.0)).as("finished_spend"))
@@ -178,10 +200,12 @@ object ExprQueries {
       import s.implicits._
       val custAvg = t(s, dir, "customer").filter($"c_acctbal" > 5000)
         .groupBy($"c_nationkey".cast("long").as("nk"))
-        .agg(round(avg($"c_acctbal"), 4).as("cust_avg"))
+        .agg(round(sum($"c_acctbal".cast("decimal(18,2)")).cast("double") /
+          count($"c_acctbal"), 4).as("cust_avg"))
       val suppAvg = t(s, dir, "supplier")
         .groupBy($"s_nationkey".cast("long").as("nk"))
-        .agg(round(avg($"s_acctbal"), 4).as("supp_avg"))
+        .agg(round(sum($"s_acctbal".cast("decimal(18,2)")).cast("double") /
+          count($"s_acctbal"), 4).as("supp_avg"))
       t(s, dir, "nation")
         .join(custAvg, $"n_nationkey" === custAvg("nk"), "left")
         .join(suppAvg, $"n_nationkey" === suppAvg("nk"), "left")
@@ -304,7 +328,10 @@ object ExprQueries {
         .withColumn("day",
           date_trunc("day", timestamp_micros(($"ts" / 1000).cast("long"))))
         .groupBy($"user_id", $"day")
-        .agg(round(sum($"value"), 6).as("day_value"))
+        // exact decimal day sums: the Zipf user's ~52k-value days leave a
+        // double sum's order-ulps within reach of the round(6) grid
+        .agg(round(sum($"value".cast("decimal(18,2)")).cast("double"), 6)
+          .as("day_value"))
       graft.operators.Temporal.resampleDaily(base, Seq("user_id"), "day", Seq("day_value"))
         .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"), $"day_value")
     }),
@@ -396,7 +423,8 @@ object ExprQueries {
         pivotCol = "event_type",
         values = Seq("click", "purchase", "view"),
         aggs = Seq(
-          "total" -> round(sum(coalesce($"value", lit(0.0))), 4),
+          "total" -> round(sum(coalesce($"value", lit(0.0))
+            .cast("decimal(18,2)")).cast("double"), 4),
           "n" -> count(lit(1))))
         .na.fill(0)
     }),
@@ -485,10 +513,11 @@ object ExprQueries {
         .groupBy($"prio")
         .agg(count(lit(1)).as("n_orders"),
           countDistinct($"cust").as("n_custs"),
-          // avg, not sum: a round(4) on a ~1e10-magnitude sum sits within
-          // accumulation-order ulp noise at sf0.1+ (the a21 lesson); the
-          // mean's relative error leaves ~1000x margin at the same scale
-          round(avg($"price"), 4).as("avg_price"),
+          // exact decimal-sum mean (skew-sf10 j2 lesson): a multi-million-
+          // row double avg's summation-order ulps can land the mean on a
+          // round(4) boundary; sum(DECIMAL)/count is engine-identical
+          round(sum($"price".cast("decimal(18,2)")).cast("double") /
+            count($"price"), 4).as("avg_price"),
           min($"d").as("min_date"),
           (count($"missing") === 0L).as("missing_path_ok"))
     }),
@@ -599,7 +628,9 @@ object ExprQueries {
     "j2_composite_key_join" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value, d.avg_value
          FROM events e
-         JOIN (SELECT user_id, event_type, round(avg(value),6) AS avg_value
+         JOIN (SELECT user_id, event_type,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(value) AS avg_value
                FROM events GROUP BY user_id, event_type) d
          USING (user_id, event_type)
          WHERE e.value > d.avg_value * 2""",
@@ -617,16 +648,22 @@ object ExprQueries {
     "j6_join_derived_subquery" ->
       """SELECT c_custkey, coalesce(f.finished_spend, 0) AS finished_spend
          FROM customer
-         LEFT JOIN (SELECT o_custkey, round(sum(o_totalprice),4) AS finished_spend
+         LEFT JOIN (SELECT o_custkey,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE) AS finished_spend
                     FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
          ON c_custkey = f.o_custkey""",
     "j7_coalesce_multi_join" ->
       """SELECT n_nationkey, n_name,
          round(coalesce(ca.cust_avg, sa.supp_avg, 0), 4) AS resolved_balance
          FROM nation
-         LEFT JOIN (SELECT CAST(c_nationkey AS BIGINT) AS nk, round(avg(c_acctbal),4) AS cust_avg
+         LEFT JOIN (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+                           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                 / count(c_acctbal), 4) AS cust_avg
                     FROM customer WHERE c_acctbal > 5000 GROUP BY 1) ca ON n_nationkey = ca.nk
-         LEFT JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, round(avg(s_acctbal),4) AS supp_avg
+         LEFT JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                           round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                 / count(s_acctbal), 4) AS supp_avg
                     FROM supplier GROUP BY 1) sa ON n_nationkey = sa.nk""",
     "j10_asof_join" ->
       """SELECT c.event_id, c.user_id, round(p.value, 4) AS last_purchase_value
@@ -681,7 +718,8 @@ object ExprQueries {
     "w7_resample_gapfill" ->
       """WITH base AS (
            SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
-                  round(sum(value), 6) AS day_value
+                  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+                    AS day_value
            FROM events GROUP BY 1, 2),
          b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM base GROUP BY 1),
          spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
@@ -736,11 +774,14 @@ object ExprQueries {
            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)""",
     "e5_pivot_multi_agg" ->
       """SELECT user_id,
-         round(sum(CASE WHEN event_type='click' THEN coalesce(value,0) ELSE 0 END),4) AS click_total,
+         round(CAST(sum(CASE WHEN event_type='click'
+           THEN CAST(coalesce(value,0) AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE),4) AS click_total,
          count(CASE WHEN event_type='click' THEN 1 END) AS click_n,
-         round(sum(CASE WHEN event_type='purchase' THEN coalesce(value,0) ELSE 0 END),4) AS purchase_total,
+         round(CAST(sum(CASE WHEN event_type='purchase'
+           THEN CAST(coalesce(value,0) AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE),4) AS purchase_total,
          count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase_n,
-         round(sum(CASE WHEN event_type='view' THEN coalesce(value,0) ELSE 0 END),4) AS view_total,
+         round(CAST(sum(CASE WHEN event_type='view'
+           THEN CAST(coalesce(value,0) AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE),4) AS view_total,
          count(CASE WHEN event_type='view' THEN 1 END) AS view_n
          FROM events GROUP BY user_id""",
     "e6_explode_grid" ->
@@ -761,7 +802,8 @@ object ExprQueries {
       """SELECT o_orderpriority AS prio,
                 CAST(count(*) AS BIGINT) AS n_orders,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-                round(avg(o_totalprice), 4) AS avg_price,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(o_totalprice), 4) AS avg_price,
                 min(CAST(o_orderdate AS VARCHAR)) AS min_date,
                 true AS missing_path_ok
          FROM orders GROUP BY o_orderpriority""",
@@ -774,12 +816,14 @@ object ExprQueries {
          UNION ALL
          SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
                 round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
-                round(avg(l_extendedprice), 4)
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(l_extendedprice), 4)
          FROM lineitem
          UNION ALL
          SELECT 'l_discount', count(*), count(*) - count(l_discount),
                 round(min(l_discount), 4), round(max(l_discount), 4),
-                round(avg(l_discount), 4)
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(l_discount), 4)
          FROM lineitem""",
     "e12_array_ops" ->
       """WITH g AS (

@@ -112,7 +112,10 @@ object SparkEntry {
         .groupBy($"o_orderpriority")
         .agg(
           sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
-          round(avg($"o_totalprice"), 4).as("avg_price"),
+          // decimal-sum mean (skew-sf10): 3M-row-group double avgs are
+          // summation-order-dependent at the round(4) grid
+          round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double") /
+            count($"o_totalprice"), 4).as("avg_price"),
           min($"o_totalprice").as("min_price"),
           max($"o_totalprice").as("max_price"),
           count(lit(1)).as("n_orders"))
@@ -132,9 +135,15 @@ object SparkEntry {
     // A7: ratio-of-sums (sm_cost_of_cover_by_day.sql:5-6)
     "a7_ratio_of_sums" -> ((s, dir) => {
       import s.implicits._
+      // price(2dp) x discount(2dp) is exactly 4dp: DECIMAL products make
+      // both sums exact, so the ratio divides identical doubles (skew-sf10
+      // decimal discipline)
       t(s, dir, "lineitem")
         .groupBy($"l_linestatus")
-        .agg(round(sum($"l_extendedprice" * $"l_discount") / sum($"l_extendedprice"), 6)
+        .agg(round(
+          sum($"l_extendedprice".cast("decimal(18,2)") *
+            $"l_discount".cast("decimal(18,2)")).cast("double") /
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"), 6)
           .as("effective_discount"))
     }),
 
@@ -144,7 +153,8 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy($"user_id")
         .agg(
-          round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 4)
+          round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)
+            .cast("decimal(18,2)")).cast("double"), 4)
             .as("purchase_value"),
           count(when($"event_type" === "error", lit(1))).as("n_errors"),
           count(when($"event_type" === "click", lit(1))).as("n_clicks"))
@@ -182,7 +192,11 @@ object SparkEntry {
         .select(
           $"c_custkey", $"c_name",
           coalesce($"cnt", lit(0L)).as("n_orders"),
-          round(coalesce($"spend", lit(0.0)), 4).as("total_spend"))
+          // NO round after the double cast: the decimal sum is exactly
+          // 2dp, and at the hot customer's ~3.6e11 spend, spend*1e4 is
+          // past 2^51 where Spark's BigDecimal round and DuckDB's
+          // numeric round disagree on the last ulp (skew-sf10 w8 find)
+          coalesce($"spend", lit(0.0)).as("total_spend"))
     }),
 
     // J5: multi-way join with small-dim broadcast (all_financials.sql:437-445)
@@ -397,8 +411,19 @@ object SparkEntry {
       val base = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
       val injected = graft.functions.Chaos.injectTaskRetries(base)
+      // The order MUST be total over every emitted column: (l_orderkey,
+      // l_linenumber) alone has duplicate pairs in EVERY corpus (14k at
+      // the driver's sf0.01, 16M at skew-sf10 where 5% of rows share one
+      // orderkey), and Spark's spill-merge does not preserve tie order —
+      // the skew-sf10 gate caught the row_id↔qty pairing diverging from
+      // DuckDB's stable sort. Adding l_quantity makes ties FULL-ROW
+      // identical, so any intra-tie row_id permutation yields the same
+      // output multiset. asc_nulls_first is Spark's asc default, stated
+      // explicitly because the oracle must pin NULLS FIRST (DuckDB
+      // defaults ASC to NULLS LAST).
       val ids = Relational.globalRowIds(injected,
-        orderCols = Seq($"l_orderkey".asc, $"l_linenumber".asc))
+        orderCols = Seq($"l_orderkey".asc, $"l_linenumber".asc,
+          $"l_quantity".asc_nulls_first))
       val fired = ids.agg(max($"__attempt").as("__mx"))
         .select(when($"__mx" >= 1, lit(true))
           .otherwise(raise_error(lit(
@@ -458,7 +483,8 @@ object SparkEntry {
     "o23_retry_rowids" ->
       """WITH ids AS (
            SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty,
-                  row_number() OVER (ORDER BY l_orderkey ASC, l_linenumber ASC) AS row_id
+                  row_number() OVER (ORDER BY l_orderkey ASC, l_linenumber ASC,
+                                     l_quantity ASC NULLS FIRST) AS row_id
            FROM lineitem)
          SELECT row_id, l_orderkey, l_linenumber, qty, true AS retries_fired
          FROM ids WHERE row_id % 97 = 0""",
@@ -511,7 +537,8 @@ object SparkEntry {
     "a2_named_aggs" ->
       """SELECT o_orderpriority,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-         round(avg(o_totalprice),4) AS avg_price,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(o_totalprice),4) AS avg_price,
          min(o_totalprice) AS min_price,
          max(o_totalprice) AS max_price,
          count(*) AS n_orders
@@ -524,11 +551,15 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "a7_ratio_of_sums" ->
       """SELECT l_linestatus,
-         round(sum(l_extendedprice*l_discount)/sum(l_extendedprice),6) AS effective_discount
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+               6) AS effective_discount
          FROM lineitem GROUP BY l_linestatus""",
     "a8_conditional_agg" ->
       """SELECT user_id,
-         round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),4) AS purchase_value,
+         round(CAST(sum(CAST(CASE WHEN event_type='purchase' THEN value ELSE 0 END
+                   AS DECIMAL(18,2))) AS DOUBLE),4) AS purchase_value,
          count(CASE WHEN event_type='error' THEN 1 END) AS n_errors,
          count(CASE WHEN event_type='click' THEN 1 END) AS n_clicks
          FROM events GROUP BY user_id""",
@@ -543,7 +574,7 @@ object SparkEntry {
     "j1_left_join" ->
       """SELECT c_custkey, c_name,
          coalesce(o.cnt, 0) AS n_orders,
-         round(coalesce(o.spend, 0),4) AS total_spend
+         coalesce(o.spend, 0) AS total_spend
          FROM customer
          LEFT JOIN (SELECT o_custkey, count(*) AS cnt,
                            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend

@@ -3326,16 +3326,16 @@ object TrainingQueries {
                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS s
            FROM documents),
          n AS (SELECT doc_id, s, length(s) - 8 + 1 AS ng FROM d WHERE length(s) >= 8),
-         g AS (SELECT doc_id, CAST(j AS INTEGER) AS j, md5(substr(s, CAST(j AS INTEGER), 8)) AS fp
+         g AS (SELECT doc_id, ng, CAST(j AS INTEGER) AS j, md5(substr(s, CAST(j AS INTEGER), 8)) AS fp
                FROM n, range(1, 601) t(j) WHERE j <= ng),
-         win AS (SELECT doc_id, CAST(p AS INTEGER) AS p
-                 FROM n, range(1, 601) t(p) WHERE p BETWEEN least(8, ng) AND ng),
-         cand AS (SELECT w.doc_id, w.p, g.j, g.fp,
-                         row_number() OVER (PARTITION BY w.doc_id, w.p
-                                            ORDER BY g.fp ASC, g.j DESC) AS rn
-                  FROM win w JOIN g ON g.doc_id = w.doc_id
-                                   AND g.j BETWEEN w.p - 7 AND w.p)
-         SELECT DISTINCT doc_id, j AS pos, fp FROM cand WHERE rn = 1""",
+         m AS (SELECT doc_id, ng, j,
+                      min(fp || lpad(CAST(600 - j AS VARCHAR), 3, '0'))
+                        OVER (PARTITION BY doc_id ORDER BY j
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS key
+               FROM g)
+         SELECT DISTINCT doc_id, CAST(600 - CAST(right(key, 3) AS INTEGER) AS INTEGER) AS pos,
+                left(key, 32) AS fp
+         FROM m WHERE j >= least(8, ng)""",
     "t13_filter_stats" ->
       """WITH d AS (
            SELECT doc_id, lang,

@@ -94,7 +94,15 @@ object Verify {
         // joins, windows) into a single thread — at sf1 one such query ran
         // 7+ min on one core. repartition adds a tiny exchange so upstream
         // stages keep full parallelism and only the write is single-file.
-        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // SPARK_GRAFT_OUT_PARTS widens the WRITE side for big-SF campaigns
+        // (skew-sf10's j15 emits a ~570 MB quadratic-on-the-hot-key result;
+        // one writer task spent minutes encoding it). Default 1 keeps the
+        // driver-contract layout byte-stable; tools/check.py globs the dir
+        // either way.
+        val outParts = sys.env.get("SPARK_GRAFT_OUT_PARTS")
+          .map(_.toInt).getOrElse(1)
+        df.repartition(outParts).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
         // NaN/Infinity guard (round 9): pandas/DuckDB disagree on NaN
         // ordering and equality semantics in the driver's sorted-cell
         // compare, so a NaN/Inf double in an oracle-checked output could

@@ -388,7 +388,7 @@ object Protocol {
     val aggs = sort_array(collect_list(struct(col("price_impact"), col("from_amount_usd"))))
       .as("__pts") +: metaCols.map(c => first(col(c)).as(c))
     val interped = raw.groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       .withColumn("__fa", Interp.linearInterp(qs,
         col("__pts.price_impact"), col("__pts.from_amount_usd")))
       .select((keys ++ metaCols).map(col) :+ col("__fa") :+

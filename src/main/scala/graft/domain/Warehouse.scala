@@ -135,7 +135,7 @@ object Warehouse {
       marketChains: DataFrame       // market, chain
   ): DataFrame = {
     val kept = balances.columns.filterNot(Seq("block_height", "decimals").contains)
-    val base0 = balances.select(kept.map(col): _*)
+    val base0 = balances.select(kept.map(col).toIndexedSeq: _*)
     // pandas merge(mc) joins on ALL shared columns — (market, chain) when
     // the lake frame already carries the chain, market alone otherwise
     val mcKeys = if (base0.columns.contains("chain")) Seq("market", "chain") else Seq("market")

@@ -18,12 +18,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Bound DuckDB's memory and give it a spill directory: at sf10 an oracle
+# with a wide window/join intermediate (t15's 300M-gram winnowing CTE on
+# the skew corpus) otherwise grows the process past physical RAM and the
+# kernel OOM-kills the whole gate (exit 137) instead of spilling.
+# preserve_insertion_order=false lets the big EXCEPT ALL compares stream.
+import os
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET memory_limit='48GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute("SET preserve_insertion_order=false")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# ONLY=a,b,c (env) restricts the run — resume a long campaign gate after
+# a straggler/OOM without re-checking the queries that already passed.
+only = set(os.environ.get("ONLY", "").split(",")) - {""}
 n_pass = n_fail = 0
 for name in sorted(oracle):
+    if only and name not in only:
+        continue
     sql = oracle[name]
     try:
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
