@@ -408,8 +408,19 @@ object SparkEntry {
     // raise_error otherwise — a vacuous-pass guard).
     "o23_retry_rowids" -> ((s, dir) => {
       import s.implicits._
+      // repartition(8) BEFORE injection: the corpus tables can be a
+      // single parquet row group, so file-splitting puts every row in ONE
+      // split of arbitrary parity (the other splits are empty) — and the
+      // split count follows defaultParallelism, which on a cluster tracks
+      // the LIVE executor count at planning time. The chaos campaign
+      // caught exactly that: with an executor down, the row-bearing split
+      // landed on an odd partition, empty even partitions threw+retried
+      // invisibly, and the vacuous-pass guard fired on a run whose
+      // injection had in fact happened. A round-robin shuffle guarantees
+      // rows in every partition, making the attempt stamp observable.
       val base = t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .repartition(8)
       val injected = graft.functions.Chaos.injectTaskRetries(base)
       // The order MUST be total over every emitted column: (l_orderkey,
       // l_linenumber) alone has duplicate pairs in EVERY corpus (14k at
